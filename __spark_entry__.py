@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` aggregates every implemented operator family from SURVEY.md §2;
+``oracle_sql()`` returns DuckDB-equivalent SQL for the driver's correctness
+gate (sf0.01, row-count + schema + order-insensitive value-hash).
 """
 
 from __future__ import annotations
@@ -15,24 +13,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    from flink_release_1_14_5_comment_spark.operators import relational
+
+    return relational.q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _modules():
+    from flink_release_1_14_5_comment_spark.operators import (
+        relational,
+        temporal_joins,
+        time_windows,
+    )
+    from flink_release_1_14_5_comment_spark.pipeline import (
+        dedup,
+        similarity,
+        text_analysis,
+    )
+
+    return [relational, time_windows, temporal_joins, dedup, similarity, text_analysis]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _modules():
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(m.ORACLE)
+    return out

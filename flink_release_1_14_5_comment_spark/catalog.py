@@ -1,0 +1,63 @@
+"""Catalog: register the testdata star schema as temp views.
+
+Mirrors the reference's catalog layer (`CatalogManager.java:65`,
+`GenericInMemoryCatalog.java:50`) in spirit: a named-table registry the SQL
+surface resolves against. Spark's own session catalog does the real work.
+
+Scale note: the dimension tables (region/nation/supplier/part/customer) are
+orders of magnitude smaller than the fact tables (lineitem/orders/events) at
+every SF — Spark's 10 MB autoBroadcastJoinThreshold (see session.py) makes
+every dim join a broadcast-hash join with zero shuffle on the fact side, the
+same decision the reference's broadcast-threshold planner makes
+(`OptimizerConfigOptions.java:51`).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Tables small enough to always broadcast in joins at any SF (bounded cardinality).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+@lru_cache(maxsize=64)
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
+    (spark.sql.legacy.parquet.nanosAsLong); we convert to micros timestamps,
+    truncating exactly like DuckDB's nanos→TIMESTAMP mapping."""
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every parquet table under ``sf_dir`` that exists."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for col in _nanos_ts_columns(path):
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            out[name] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (idempotent) and return the frames."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

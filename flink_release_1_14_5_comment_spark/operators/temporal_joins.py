@@ -1,0 +1,181 @@
+"""Temporal joins: interval join and as-of (temporal) join (SURVEY.md §2.3).
+
+Reference operators re-expressed Spark-first:
+
+* Interval join — TimeIntervalJoin.java:51 / IntervalJoinOperator.java:87:
+  `l.ts BETWEEN r.ts - X AND r.ts + Y` on an equi-key. In Spark this is a
+  plain join with a range residual: the equi-key drives the shuffle, the time
+  band is evaluated as a post-probe filter. At 100 TB both sides shuffle once
+  on the key; no state, no explosion as long as the band is selective.
+
+* As-of join — TemporalRowTimeJoinOperator.java:78 (`FOR SYSTEM_TIME AS OF`):
+  probe row joins the single most recent build row with ts <= probe ts.
+  A naive range-join explodes (every probe row matches every earlier build
+  row). The scalable batch formulation is UNION + single sort per key:
+  tag build rows 0 and probe rows 1, sort by (key, ts, tag), and carry the
+  last non-null build row forward with last(ignorenulls) over an unbounded
+  preceding ROWS frame — one shuffle, one sort, zero row multiplication.
+  This is the batch analog of the reference's per-key sorted version list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: Column,
+    time_cond: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key join constrained to a time band (Flink interval join)."""
+    return left.join(right, key & time_cond, how)
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    build_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: for each probe row, the latest build row with
+    build_ts <= probe_ts for the same key.
+
+    Build side MUST be unique per (key, build_ts) — pre-dedup upstream.
+    Returns probe columns + requested build columns (null when no build row
+    precedes, matching LEFT semantics; how='inner' drops those).
+    """
+    p = probe.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(probe_ts))
+    b = build.withColumn("__tag", F.lit(0)).withColumn("__ts", F.col(build_ts))
+
+    # Align schemas for the union: probe cols ∪ build cols, null-filled.
+    p_cols = set(probe.columns)
+    b_cols = set(build.columns)
+    all_cols = list(probe.columns) + [c for c in build.columns if c not in p_cols]
+    p_sel = [
+        (F.col(c) if c in p_cols else F.lit(None).cast(dict(build.dtypes)[c])).alias(c)
+        for c in all_cols
+    ] + [F.col("__tag"), F.col("__ts")]
+    b_sel = [
+        (F.col(c) if c in b_cols else F.lit(None).cast(dict(probe.dtypes)[c])).alias(c)
+        for c in all_cols
+    ] + [F.col("__tag"), F.col("__ts")]
+    unioned = p.select(*p_sel).unionByName(b.select(*b_sel))
+
+    # Build rows sort before probe rows at equal ts (tag 0 < 1) so a build row
+    # AT the probe timestamp is visible — Flink's AS OF <= semantics.
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__tag") == 0, F.col(c)), ignorenulls=True).over(w).alias(f"__b_{c}")
+            for c in build_cols
+        ],
+    )
+    out = carried.filter(F.col("__tag") == 1)
+    keep = [c for c in probe.columns]
+    out = out.select(
+        *keep, *[F.col(f"__b_{c}").alias(c) for c in build_cols]
+    )
+    if how == "inner":
+        out = out.filter(F.col(build_cols[0]).isNotNull())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks followed by a purchase of the same user within 30 minutes."""
+    t = register_views(spark, sf_dir)
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = interval_join(
+        clicks,
+        buys,
+        clicks.user_id == buys.p_user,
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select("user_id", "click_id", "purchase_id")
+
+
+ORACLE_Q_INTERVAL_JOIN = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before it
+    (FOR SYSTEM_TIME AS OF — TemporalRowTimeJoinOperator.java:78)."""
+    t = register_views(spark, sf_dir)
+    e = t["events"]
+    # Dedup build side per (user_id, ts): keep max event_id — makes the as-of
+    # target unique and the result deterministic on both engines.
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = asof_join(
+        probe=buys,
+        build=clicks.select("user_id", F.col("ts").alias("click_ts"), "click_id"),
+        key="user_id",
+        probe_ts="ts",
+        build_ts="click_ts",
+        build_cols=["click_id", "click_ts"],
+        how="left",
+    )
+    return out.select("user_id", "purchase_id", "ts", "click_id", "click_ts")
+
+
+ORACLE_Q_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), buys AS (
+  SELECT user_id, event_id AS purchase_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT b.user_id AS user_id, b.purchase_id, b.ts, c.click_id, c.click_ts
+FROM buys b ASOF LEFT JOIN clicks c
+  ON b.user_id = c.user_id AND b.ts >= c.click_ts
+"""
+
+
+QUERIES = {
+    "interval_join": q_interval_join,
+    "asof_join": q_asof_join,
+}
+
+ORACLE = {
+    "interval_join": ORACLE_Q_INTERVAL_JOIN,
+    "asof_join": ORACLE_Q_ASOF_JOIN,
+}

@@ -1,0 +1,208 @@
+"""Deduplication operators over `documents`: exact (hash-groupBy) and
+near-duplicate via MinHash + LSH banding with exact-Jaccard verification.
+
+Scale design (the part that matters at 100 TB):
+  * Exact dedup: md5 fingerprint → groupBy(fp). One shuffle keyed by a
+    uniformly-distributed hash — no skew by construction.
+  * MinHash+LSH: shingle → per-band minhash signature (map-only, codegen'd
+    array exprs, no Python) → explode to (band, sig) → self-join on the band
+    signature. Only documents agreeing on a band signature ever meet, so the
+    candidate set is ~linear in corpus size instead of O(n²); the expensive
+    exact-Jaccard check runs only on candidates. This is the standard
+    web-scale near-dup pipeline (e.g. the one described for C4/RefinedWeb).
+  * All hashes derive from md5 (stable across engines and runs) — the DuckDB
+    oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+N_BANDS = 4  # one minhash per band (band size r=1, b=4 → catches J >~ 0.4)
+JACCARD_THRESHOLD = 0.4
+
+_NORM = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
+_TOKS = f"split({_NORM}, ' ')"
+# 3-gram shingles over the token stream, deduplicated into a set per doc.
+_SHINGLES = (
+    f"array_distinct(transform(sequence(0, size({_TOKS}) - 3), "
+    f"i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2])))"
+)
+
+
+def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, shingles: array<string>), docs with ≥3 tokens."""
+    t = register_views(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.expr(f"size({_TOKS})") >= 3)
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    )
+
+
+def minhash_signatures(shingled: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, sig): per-band minhash = min over shingles of a seeded
+    md5-derived 32-bit integer. Pure codegen'd array exprs — no Python."""
+    sigs = [
+        F.expr(
+            "array_min(transform(shingles, x -> "
+            f"cast(conv(substr(md5(concat('{b}', ':', x)), 1, 8), 16, 10) as bigint)))"
+        ).alias(f"sig_{b}")
+        for b in range(n_bands)
+    ]
+    wide = shingled.select("doc_id", "shingles", *sigs)
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")) for b in range(n_bands)
+    ])
+    return (
+        wide.select("doc_id", F.explode(bands).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-text fingerprint, keep min doc_id."""
+    t = register_views(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", F.md5(F.expr(_NORM)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+ORACLE_Q_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash-banded candidates verified by exact Jaccard ≥ 0.4."""
+    sh = shingle_docs(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+ORACLE_Q_DEDUP_MINHASH_LSH = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM docs WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, s.band,
+         list_min(list_transform(shingles,
+             x -> ('0x' || substr(md5(s.band || ':' || x), 1, 8))::BIGINT)) AS sig
+  FROM sh, (SELECT unnest(['0','1','2','3']) AS band) s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles))
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.4
+"""
+
+
+def q_dedup_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup statistics: how many band-signature neighbors
+    each doc has (cheap LSH-degree signal used for corpus triage)."""
+    sig = minhash_signatures(shingle_docs(spark, sf_dir))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    neighbors = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("nbr"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return neighbors
+
+
+ORACLE_Q_DEDUP_NGRAM_OVERLAP = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM docs WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, s.band,
+         list_min(list_transform(shingles,
+             x -> ('0x' || substr(md5(s.band || ':' || x), 1, 8))::BIGINT)) AS sig
+  FROM sh, (SELECT unnest(['0','1','2','3']) AS band) s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nbr
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id <> b.doc_id
+)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_overlap": q_dedup_ngram_overlap,
+}
+
+ORACLE = {
+    "dedup_exact": ORACLE_Q_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_Q_DEDUP_MINHASH_LSH,
+    "dedup_ngram_overlap": ORACLE_Q_DEDUP_NGRAM_OVERLAP,
+}

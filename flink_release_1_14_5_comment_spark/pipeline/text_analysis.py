@@ -1,0 +1,161 @@
+"""Text analysis over the `documents` table: token stats, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is built from JVM-side `pyspark.sql.functions` (split / filter /
+transform / md5) — no Python UDFs — so the whole pipeline stays inside
+whole-stage codegen and scales linearly with document count: a pure map +
+one bounded-key aggregation; no shuffle carries document text except the
+small per-group aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "), " ")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: token counts, stopword ratio, and a
+    deterministic quality score (length-capped × content-word ratio)."""
+    t = register_views(spark, sf_dir)
+    toks = _toks()
+    n_tok = F.size(toks).cast("double")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(
+        f"filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), x -> x IN ({stop_list}))"
+    )).cast("double")
+    stop_ratio = n_stop / n_tok
+    quality = F.least(F.lit(1.0), n_tok / 50.0) * (1.0 - stop_ratio)
+    return (
+        t["documents"]
+        .select("lang", F.col("n_chars").cast("double").alias("nc"),
+                n_tok.alias("ntok"), stop_ratio.alias("sr"), quality.alias("ql"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ntok"), 4).alias("avg_tokens"),
+            F.round(F.avg("nc"), 4).alias("avg_chars"),
+            F.round(F.avg("sr"), 6).alias("avg_stop_ratio"),
+            F.round(F.avg("ql"), 6).alias("avg_quality"),
+        )
+    )
+
+
+ORACLE_Q_TEXT_STATS = r"""
+WITH d AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS nc,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE) AS ntok,
+         CAST(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                              x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) AS nstop
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(ntok), 4) AS avg_tokens,
+       ROUND(AVG(nc), 4) AS avg_chars,
+       ROUND(AVG(nstop / ntok), 6) AS avg_stop_ratio,
+       ROUND(AVG(least(1.0, ntok / 50.0) * (1.0 - nstop / ntok)), 6) AS avg_quality
+FROM d
+GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic → confusion matrix vs the labeled
+    `lang` column. (The real signal in synthetic data is weak; the operator
+    under test is the deterministic scoring pipeline, not model quality.)"""
+    t = register_views(spark, sf_dir)
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return F.size(F.expr(
+            f"filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), x -> x IN ({lst}))"
+        ))
+
+    en = hits(("the", "a", "of", "and"))
+    es = hits(("el", "la", "de", "los"))
+    de = hits(("der", "die", "das", "und"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return (
+        t["documents"]
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_Q_LANG_ID = r"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         x -> x IN ('the','a','of','and'))) AS en,
+         len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         x -> x IN ('el','la','de','los'))) AS es,
+         len(list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         x -> x IN ('der','die','das','und'))) AS de
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+            WHEN es >= de AND es > 0 THEN 'es'
+            WHEN de > 0 THEN 'de'
+            ELSE 'und' END AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized text, plus the
+    size of each fingerprint's duplicate group (window count)."""
+    t = register_views(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(_toks()).cast("long").alias("n_tokens"),
+            F.md5(norm).alias("fp"),
+        )
+        .withColumn("group_n", F.count(F.lit(1)).over(W.partitionBy("fp")))
+    )
+
+
+ORACLE_Q_DOC_FINGERPRINT = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT doc_id, n_tokens, fp,
+       CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n
+FROM d
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLE = {
+    "text_stats": ORACLE_Q_TEXT_STATS,
+    "lang_id": ORACLE_Q_LANG_ID,
+    "doc_fingerprint": ORACLE_Q_DOC_FINGERPRINT,
+}
