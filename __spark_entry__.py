@@ -27,11 +27,13 @@ def _modules():
     )
     from flink_release_1_14_5_comment_spark.pipeline import (
         dedup,
+        multimodal,
         similarity,
         text_analysis,
     )
 
-    return [relational, time_windows, temporal_joins, dedup, similarity, text_analysis]
+    return [relational, time_windows, temporal_joins, dedup, similarity,
+            text_analysis, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

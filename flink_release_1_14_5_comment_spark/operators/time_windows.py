@@ -60,13 +60,16 @@ def q_window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["events"]
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        # round(sum)/count, not avg(): see q_agg_pricing_summary note.
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"))
         .select(F.col("w.start").alias("w_start"), "n", "avg_value")
     )
 
 
 ORACLE_Q_WINDOW_HOP = """
-SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(value), 4) AS avg_value
+SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value
 FROM (
   SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start, value
   FROM events, (SELECT unnest([0, 1]) AS k)

@@ -21,45 +21,71 @@ from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
 
-N_BANDS = 4  # one minhash per band (band size r=1, b=4 → catches J >~ 0.4)
+N_BANDS = 4   # LSH bands
+BAND_ROWS = 2  # minhashes per band (b=4, r=2 → P(candidate) = 1-(1-J²)⁴:
+               # J=0.8 → 0.99, J=0.4 → 0.50, J=0.1 → 0.04 — keeps the
+               # verify join ~linear instead of flooded with false positives)
 JACCARD_THRESHOLD = 0.4
 
 _NORM = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
 _TOKS = f"split({_NORM}, ' ')"
-# 3-gram shingles over the token stream, deduplicated into a set per doc.
-_SHINGLES = (
-    f"array_distinct(transform(sequence(0, size({_TOKS}) - 3), "
-    f"i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2])))"
-)
 
 
-def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, shingles: array<string>), docs with ≥3 tokens."""
-    t = register_views(spark, sf_dir)
+def shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, shingles: array<string>), docs with ≥3 tokens.
+
+    Tokenizes once into a `toks` column so the per-shingle lambda reads the
+    array instead of re-splitting the text 3× per element, and repartitions
+    first: the documents table often arrives as one file → one partition, and
+    shingling+md5 is the CPU-heavy map of this pipeline — spread it across
+    all cores (on a cluster: across executors) before doing the work.
+    """
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
     return (
-        t["documents"]
-        .filter(F.expr(f"size({_TOKS})") >= 3)
-        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        docs.repartition(n_parts)
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks) - 3), "
+                "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+            ).alias("shingles"),
+        )
     )
 
 
-def minhash_signatures(shingled: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """(doc_id, band, sig): per-band minhash = min over shingles of a seeded
-    md5-derived 32-bit integer. Pure codegen'd array exprs — no Python."""
+def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → shingle sets."""
+    t = register_views(spark, sf_dir)
+    return shingle_frame(t["documents"])
+
+
+def minhash_signatures(shingled: DataFrame, n_bands: int = N_BANDS,
+                       band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band, s0..s{r-1}): per-band minhash rows = min over shingles
+    of seeded md5-derived 32-bit integers (seed h = band*r + row). Pure
+    codegen'd array exprs — no Python."""
+    n_hashes = n_bands * band_rows
     sigs = [
         F.expr(
             "array_min(transform(shingles, x -> "
-            f"cast(conv(substr(md5(concat('{b}', ':', x)), 1, 8), 16, 10) as bigint)))"
-        ).alias(f"sig_{b}")
-        for b in range(n_bands)
+            f"cast(conv(substr(md5(concat('{h}', ':', x)), 1, 8), 16, 10) as bigint)))"
+        ).alias(f"sig_{h}")
+        for h in range(n_hashes)
     ]
-    wide = shingled.select("doc_id", "shingles", *sigs)
+    wide = shingled.select("doc_id", *sigs)
     bands = F.array(*[
-        F.struct(F.lit(b).alias("band"), F.col(f"sig_{b}").alias("sig")) for b in range(n_bands)
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"sig_{b * band_rows + r}").alias(f"s{r}") for r in range(band_rows)],
+        )
+        for b in range(n_bands)
     ])
     return (
         wide.select("doc_id", F.explode(bands).alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .select("doc_id", F.col("bs.band").alias("band"),
+                *[F.col(f"bs.s{r}").alias(f"s{r}") for r in range(band_rows)])
     )
 
 
@@ -84,16 +110,23 @@ GROUP BY 1
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: MinHash-banded candidates verified by exact Jaccard ≥ 0.4."""
-    sh = shingle_docs(spark, sf_dir)
-    sig = minhash_signatures(sh)
+    """Near-dup pairs: MinHash-banded candidates verified by exact Jaccard ≥ 0.4.
+
+    The shingle and signature frames feed four plan branches (both sides of
+    the candidate self-join + both verification joins) — persist them so the
+    shingling/md5 map runs once, not five times. At cluster scale this is the
+    standard materialize-the-signatures step of every LSH pipeline.
+    """
+    sh = shingle_docs(spark, sf_dir).persist()
+    sig = minhash_signatures(sh).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.s0") == F.col("b.s0"))
+            & (F.col("a.s1") == F.col("b.s1"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -130,12 +163,14 @@ WITH docs AS (
 ), sig AS (
   SELECT doc_id, s.band,
          list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5(s.band || ':' || x), 1, 8))::BIGINT)) AS sig
-  FROM sh, (SELECT unnest(['0','1','2','3']) AS band) s
+             x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
+         list_min(list_transform(shingles,
+             x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
        ROUND(len(list_intersect(sa.shingles, sb.shingles))
@@ -151,14 +186,15 @@ WHERE len(list_intersect(sa.shingles, sb.shingles))
 def q_dedup_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document near-dup statistics: how many band-signature neighbors
     each doc has (cheap LSH-degree signal used for corpus triage)."""
-    sig = minhash_signatures(shingle_docs(spark, sf_dir))
+    sig = minhash_signatures(shingle_docs(spark, sf_dir)).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     neighbors = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.s0") == F.col("b.s0"))
+            & (F.col("a.s1") == F.col("b.s1"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("nbr"))
@@ -182,14 +218,16 @@ WITH docs AS (
 ), sig AS (
   SELECT doc_id, s.band,
          list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5(s.band || ':' || x), 1, 8))::BIGINT)) AS sig
-  FROM sh, (SELECT unnest(['0','1','2','3']) AS band) s
+             x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
+         list_min(list_transform(shingles,
+             x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
 FROM (
   SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nbr
   FROM sig a JOIN sig b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id <> b.doc_id
+    ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id <> b.doc_id
 )
 GROUP BY doc_id
 """

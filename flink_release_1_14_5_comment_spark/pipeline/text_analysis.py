@@ -43,8 +43,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("ntok"), 4).alias("avg_tokens"),
             F.round(F.avg("nc"), 4).alias("avg_chars"),
-            F.round(F.avg("sr"), 6).alias("avg_stop_ratio"),
-            F.round(F.avg("ql"), 6).alias("avg_quality"),
+            # round(sum)/count for non-integer summands (see relational.py).
+            (F.round(F.sum("sr"), 6) / F.count(F.lit(1))).alias("avg_stop_ratio"),
+            (F.round(F.sum("ql"), 6) / F.count(F.lit(1))).alias("avg_quality"),
         )
     )
 
@@ -61,8 +62,8 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(ntok), 4) AS avg_tokens,
        ROUND(AVG(nc), 4) AS avg_chars,
-       ROUND(AVG(nstop / ntok), 6) AS avg_stop_ratio,
-       ROUND(AVG(least(1.0, ntok / 50.0) * (1.0 - nstop / ntok)), 6) AS avg_quality
+       ROUND(SUM(nstop / ntok), 6) / COUNT(*) AS avg_stop_ratio,
+       ROUND(SUM(least(1.0, ntok / 50.0) * (1.0 - nstop / ntok)), 6) / COUNT(*) AS avg_quality
 FROM d
 GROUP BY lang
 """

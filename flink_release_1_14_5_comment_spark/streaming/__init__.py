@@ -1,0 +1,19 @@
+"""Structured-Streaming surface with Flink semantics (SURVEY.md §2.9, §7 Phase 2-3).
+
+What Spark gives us free (configured, not built): micro-batch = Flink
+mini-batch; watermarks; windowed aggs; stream-stream joins; checkpointing =
+Flink's aligned barriers (WAL + state store; RocksDB provider at scale).
+
+What we build here:
+  * ``watermarks``  — rowtime/watermark translation (WATERMARK FOR … → withWatermark)
+  * ``windows``     — streaming tumble/hop/session/cumulate aggs
+  * ``dedup``       — keep-first (dropDuplicates) / keep-last (stateful)
+  * ``topn``        — incremental per-key Top-N (AppendOnlyTopNFunction semantics)
+  * ``changelog``   — RowKind (+I/-U/+U/-D) conventions, DropUpdateBefore,
+                      ChangelogNormalize, SinkUpsertMaterializer-style upsert sink
+  * ``sources``     — deterministic replay of testdata as a file stream
+
+Documented non-goals (no Spark equivalent, per SURVEY §2.9): punctuated
+watermarks, per-source idleness detection, custom triggers/evictors beyond
+processing-time triggers + watermark lateness.
+"""

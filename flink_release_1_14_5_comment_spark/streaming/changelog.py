@@ -1,0 +1,84 @@
+"""Changelog / RowKind semantics (SURVEY §1.1 dynamic tables, §2.2, §4.1
+FlinkChangelogModeInferenceProgram — the reference's core novelty with no
+Catalyst equivalent).
+
+Convention: a changelog DataFrame carries a string `__rowkind` column with
+values '+I', '-U', '+U', '-D' (RowKind.java:31-52). Insert-only frames may
+omit it (implicitly all '+I').
+
+Operators:
+  * ``drop_update_before``   — StreamExecDropUpdateBefore.java:46 /
+                               DropUpdateBeforeFunction.java: sinks that key
+                               by PK don't need the retraction half.
+  * ``changelog_normalize``  — StreamExecChangelogNormalize.java:61: collapse
+                               a keyed changelog into clean last-value upserts.
+  * ``upsert_sink``          — SinkUpsertMaterializer.java:57: foreachBatch
+                               merge of a disordered changelog into a keyed
+                               materialized table (parquet-backed here; MERGE
+                               INTO Delta/Iceberg on a real deployment).
+  * ``infer_output_mode``    — the planner decision of
+                               FlinkChangelogModeInferenceProgram, mapped onto
+                               Spark output modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+ROWKIND = "__rowkind"
+INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
+
+
+def drop_update_before(df: DataFrame) -> DataFrame:
+    """Remove -U rows (sink consumes upserts keyed by PK)."""
+    if ROWKIND not in df.columns:
+        return df
+    return df.filter(F.col(ROWKIND) != UPDATE_BEFORE)
+
+
+def changelog_normalize(df: DataFrame, pk: list[str], order_col: str) -> DataFrame:
+    """Collapse a changelog to the live row per key: last +I/+U wins, a
+    trailing -D removes the key. Batch/`foreachBatch` formulation of
+    ChangelogNormalize (row_number over order desc = 1, then drop deletes)."""
+    kind = F.col(ROWKIND) if ROWKIND in df.columns else F.lit(INSERT)
+    w = W.partitionBy(*pk).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__kind", kind)
+        .filter(F.col("__kind") != UPDATE_BEFORE)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__kind") != DELETE))
+        .drop("__rn", "__kind")
+    )
+
+
+def upsert_sink(changelog: DataFrame, pk: list[str], order_col: str, target_path: str) -> None:
+    """Materialize a streaming changelog into a keyed table at `target_path`
+    via foreachBatch: per micro-batch, normalize the batch, union with the
+    current table, and keep the newest row per key (SinkUpsertMaterializer
+    semantics — tolerant of disordered -U/+U arrival)."""
+    spark = changelog.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        normalized = changelog_normalize(batch, pk, order_col)
+        try:
+            current = spark.read.parquet(target_path)
+            merged = changelog_normalize(
+                current.unionByName(normalized, allowMissingColumns=True), pk, order_col
+            )
+        except Exception:  # first batch: no table yet
+            merged = normalized
+        merged.write.mode("overwrite").parquet(target_path + "_tmp")
+        spark.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(target_path)
+
+    (changelog.writeStream.outputMode("update").foreachBatch(merge)
+     .option("checkpointLocation", target_path + "_ckpt").start())
+
+
+def infer_output_mode(has_agg: bool, has_watermark: bool, append_only_source: bool = True) -> str:
+    """The FlinkChangelogModeInferenceProgram decision, Spark-ified:
+    insert-only plan → append; agg over watermarked windows → append
+    (emit-on-close); unbounded agg → update (retracting stream)."""
+    if not has_agg:
+        return "append"
+    return "append" if has_watermark else "update"

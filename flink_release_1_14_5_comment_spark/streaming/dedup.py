@@ -1,0 +1,81 @@
+"""Streaming deduplication (SURVEY §2.6; reference
+flink-table-runtime/.../operators/deduplicate/ — keep-first/keep-last by
+row-time or proc-time, DeduplicateFunctionHelper.java).
+
+* keep-first — Spark's state-backed ``dropDuplicates`` emits the first row
+  per key and drops the rest: exactly ProcTimeDeduplicateKeepFirstRowFunction.
+  With a watermark, ``dropDuplicatesWithinWatermark`` bounds state (Flink's
+  state-TTL'd variant).
+* keep-last — needs retraction semantics (later row replaces earlier emit);
+  implemented as a keyed stateful op via ``applyInPandasWithState``: state
+  holds the current winner (max (ts, tiebreak)); each batch emits the new
+  winner only when it changed — the +U stream of RowTimeDeduplicateFunction
+  (emit-last, update mode).
+
+Scale: state is one row per key; hash-partitioned by key; RocksDB state
+store recommended at high key cardinality (config, not code).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], within_watermark: bool = False) -> DataFrame:
+    """First row per key wins (streaming, state-backed)."""
+    return df.dropDuplicatesWithinWatermark(keys) if within_watermark else df.dropDuplicates(keys)
+
+
+def dedup_keep_last(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Last row per key wins; emits an update whenever the winner changes.
+
+    Output schema: key_cols + [ts_col] + value_cols + __rowkind ('+I' first
+    emit, '+U' replacement) — the changelog convention from SURVEY §1.1.
+    """
+    out_fields = (
+        [f"{c} {t}" for c, t in df.select(*key_cols).dtypes]
+        + [f"{ts_col} {dict(df.dtypes)[ts_col]}"]
+        + [f"{c} {dict(df.dtypes)[c]}" for c in value_cols]
+        + ["__rowkind string"]
+    )
+    out_schema = ", ".join(out_fields)
+    # Timestamps round-trip poorly through state serialization — keep the
+    # watermark-ish ordering value in state as epoch micros (bigint).
+    state_schema = ", ".join(
+        ["__ts_micros bigint"]
+        + [f"{c} {dict(df.dtypes)[c]}" for c in value_cols]
+    )
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        best = batch.sort_values(ts_col, kind="stable").iloc[-1]
+        best_micros = int(pd.Timestamp(best[ts_col]).value // 1000)
+        had_state = state.exists
+        if had_state:
+            prev = state.get
+            if best_micros <= prev[0]:
+                return
+        state.update(tuple([best_micros] + [best[c] for c in value_cols]))
+        row = {key_cols[i]: key[i] for i in range(n_keys)}
+        row[ts_col] = best[ts_col]
+        for c in value_cols:
+            row[c] = best[c]
+        row["__rowkind"] = "+U" if had_state else "+I"
+        yield pd.DataFrame([row])
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,53 @@
+"""Streaming sources (SURVEY §2.1).
+
+Built-in Spark sources cover the reference's connector surface we target:
+file-stream (FileSource), kafka (KafkaSource; config-only here — no broker in
+the test env), rate (test source). This module adds a deterministic *replay*
+helper: chunk a batch DataFrame into N parquet files and read them back with
+``maxFilesPerTrigger=1`` so tests drive micro-batch-at-a-time processing,
+mirroring the reference's harness tests (SURVEY §5: scripted element-by-element
+operator harnesses).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def replay_as_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    n_chunks: int = 4,
+    order_col: str | None = None,
+    files_per_trigger: int = 1,
+) -> tuple[DataFrame, str]:
+    """Write `df` as `n_chunks` parquet files; return (streaming_df, tmpdir).
+
+    Rows are range-partitioned by `order_col` (if given) so chunk k contains
+    earlier timestamps than chunk k+1 — a realistic in-order replay.
+    Caller owns cleanup of tmpdir.
+    """
+    tmpdir = tempfile.mkdtemp(prefix="spark_graft_replay_")
+    data_dir = os.path.join(tmpdir, "data")
+    staged = df.repartitionByRange(n_chunks, order_col) if order_col else df.repartition(n_chunks)
+    staged.write.mode("overwrite").parquet(data_dir)
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(data_dir)
+    )
+    return stream, tmpdir
+
+
+def cleanup(tmpdir: str) -> None:
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Test source (reference: legacy SourceFunction run-loop sources)."""
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()

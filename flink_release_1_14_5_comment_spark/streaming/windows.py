@@ -1,0 +1,48 @@
+"""Streaming window aggregations (SURVEY §2.4 group-window / window-TVF).
+
+The window *expressions* are shared with the batch module
+(operators/time_windows.py) — `F.window` / `F.session_window` are valid in
+both modes, Flink's unified TVF story. This module binds them to watermarks
+and output modes:
+
+  * append mode + watermark → emit once when the window closes
+    (Flink: EventTimeTriggers.afterEndOfWindow, the SQL default)
+  * update mode → emit refinements per micro-batch
+    (Flink: early-fire enabled / OnElement trigger)
+
+CUMULATE reuses the explode-based assigner from the batch module; with a
+watermark it behaves like the reference's cumulative windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.operators.time_windows import cumulate  # noqa: F401  (re-export)
+
+
+def _windowed_agg(df: DataFrame, window_expr: Column, keys: list[str], aggs: list[Column]) -> DataFrame:
+    out = df.groupBy(window_expr.alias("w"), *keys).agg(*aggs)
+    rest = [c for c in out.columns if c != "w"]
+    return out.select(
+        F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), *rest
+    )
+
+
+def tumble_agg(df: DataFrame, ts_col: str, size: str, keys: list[str],
+               aggs: list[Column], delay: str = "0 seconds") -> DataFrame:
+    """TUMBLE windowed aggregate with watermark."""
+    return _windowed_agg(df.withWatermark(ts_col, delay), F.window(ts_col, size), keys, aggs)
+
+
+def hop_agg(df: DataFrame, ts_col: str, size: str, slide: str, keys: list[str],
+            aggs: list[Column], delay: str = "0 seconds") -> DataFrame:
+    """HOP (sliding) windowed aggregate with watermark."""
+    return _windowed_agg(df.withWatermark(ts_col, delay), F.window(ts_col, size, slide), keys, aggs)
+
+
+def session_agg(df: DataFrame, ts_col: str, gap: str, keys: list[str],
+                aggs: list[Column], delay: str = "0 seconds") -> DataFrame:
+    """SESSION windowed aggregate with watermark (merging windows)."""
+    return _windowed_agg(df.withWatermark(ts_col, delay), F.session_window(ts_col, gap), keys, aggs)

@@ -1,0 +1,162 @@
+"""Streaming-surface tests, mirroring the reference's operator-harness style
+(SURVEY §5: scripted micro-batches through a stateful operator, asserted
+against golden/batch-equivalent results)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_14_5_comment_spark.catalog import load_tables
+from flink_release_1_14_5_comment_spark.streaming import sources
+from flink_release_1_14_5_comment_spark.streaming.changelog import (
+    INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE, changelog_normalize, drop_update_before,
+    infer_output_mode,
+)
+from flink_release_1_14_5_comment_spark.streaming.dedup import dedup_keep_first, dedup_keep_last
+from flink_release_1_14_5_comment_spark.streaming.topn import streaming_topn
+from flink_release_1_14_5_comment_spark.streaming.watermarks import parse_watermark_ddl, with_rowtime
+from flink_release_1_14_5_comment_spark.streaming.windows import tumble_agg
+
+
+def _events(spark, sf_dir, n=None):
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.limit(n) if n else ev
+
+
+def _run_stream(sdf, mode="update"):
+    """Run a streaming DF to completion into a memory sink; return batch DF."""
+    import uuid
+
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sdf.sparkSession.table(name)
+
+
+def test_streaming_tumble_agg_matches_batch(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=4, order_col="ts")
+    try:
+        # Delay covers the whole data span: the file source may process the
+        # chunk files in any order (identical mtimes), and this test checks
+        # refinement semantics, not late-drop policy.
+        sdf = tumble_agg(
+            stream, "ts", "1 hour", ["event_type"],
+            [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+            delay="40 days",
+        )
+        got = _run_stream(sdf, mode="update")
+        # update mode emits refinements; last emit per (window, key) is final.
+        # With in-order chunk replay + availableNow, final refinement = batch result.
+        final = (
+            got.groupBy("w_start", "event_type")
+            .agg(F.max_by("n", "n").alias("n"), F.max_by("sum_value", "n").alias("sum_value"))
+        )
+        batch = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+        )
+        diff = final.join(batch, ["w_start", "event_type", "n"], "full_outer").filter(
+            F.col("n").isNull()
+        )
+        assert batch.count() > 0
+        assert final.count() == batch.count()
+        assert diff.count() == 0
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_streaming_dedup_keep_first(spark, sf_dir):
+    ev = _events(spark, sf_dir, 200).select("event_id", "user_id", "ts", "value")
+    doubled = ev.union(ev)  # duplicate every row
+    stream, tmpdir = sources.replay_as_stream(spark, doubled, n_chunks=3)
+    try:
+        got = _run_stream(dedup_keep_first(stream, ["event_id"]), mode="append")
+        assert got.count() == 200
+        assert got.select("event_id").distinct().count() == 200
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_streaming_dedup_keep_last(spark, sf_dir):
+    ev = _events(spark, sf_dir, 500)
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=4, order_col="ts")
+    try:
+        out = dedup_keep_last(stream, ["user_id"], "ts", ["event_id", "value"])
+        got = _run_stream(out, mode="update")
+        # Last emission per user (by ts) must equal the batch keep-last winner.
+        last_emit = (
+            got.groupBy("user_id").agg(F.max_by("event_id", "ts").alias("event_id"))
+        )
+        batch_last = (
+            ev.groupBy("user_id").agg(F.max_by("event_id", "ts").alias("event_id"))
+        )
+        assert last_emit.exceptAll(batch_last).count() == 0
+        kinds = {r["__rowkind"] for r in got.select("__rowkind").distinct().collect()}
+        assert kinds <= {"+I", "+U"} and "+I" in kinds
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_streaming_topn(spark, sf_dir):
+    ev = _events(spark, sf_dir, 800)
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=4, order_col="ts")
+    try:
+        out = streaming_topn(stream, ["event_type"], "value", "event_id", n=3)
+        got = _run_stream(out, mode="update")
+        # Every batch-final top-3 row must have been emitted at some point
+        # with the correct value (append-only input → final winners were
+        # admitted when they arrived).
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+        batch_top = (
+            ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+            .select("event_type", "event_id")
+        )
+        missed = batch_top.join(got.select("event_type", "event_id").distinct(),
+                                ["event_type", "event_id"], "left_anti")
+        assert missed.count() == 0
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_changelog_normalize_and_drop_update_before(spark):
+    rows = [
+        (1, "a", 1, INSERT),
+        (1, "b", 2, UPDATE_AFTER),
+        (1, "a", 2, UPDATE_BEFORE),
+        (2, "x", 1, INSERT),
+        (2, "x", 2, DELETE),
+        (3, "z", 1, INSERT),
+    ]
+    df = spark.createDataFrame(rows, "k int, v string, seq int, __rowkind string")
+    assert drop_update_before(df).filter(F.col("__rowkind") == UPDATE_BEFORE).count() == 0
+    live = changelog_normalize(df, ["k"], "seq")
+    got = {(r["k"], r["v"]) for r in live.select("k", "v").collect()}
+    assert got == {(1, "b"), (3, "z")}  # key 2 deleted, key 1 upserted to b
+
+
+def test_watermark_ddl_translation(spark, sf_dir):
+    assert parse_watermark_ddl("WATERMARK FOR ts AS ts - INTERVAL '5' SECOND") == ("ts", "5 second")
+    ev = _events(spark, sf_dir, 10)
+    wm = with_rowtime(ev, "ts", "5 seconds")
+    assert wm.schema == ev.schema  # watermark is metadata, not schema
+
+
+def test_infer_output_mode():
+    assert infer_output_mode(has_agg=False, has_watermark=False) == "append"
+    assert infer_output_mode(has_agg=True, has_watermark=True) == "append"
+    assert infer_output_mode(has_agg=True, has_watermark=False) == "update"
