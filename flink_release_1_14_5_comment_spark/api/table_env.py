@@ -1,0 +1,204 @@
+"""Flink Table/SQL API facade (SURVEY §3.1-3.2).
+
+Reference entry points re-expressed:
+  * ``TableEnvironment.execute_sql`` — TableEnvironmentImpl.java:735. DDL
+    (`CREATE TABLE … WITH (…)`) is translated into Spark reader registration;
+    queries pass through to `spark.sql` (Calcite's job → Catalyst's job).
+  * ``WATERMARK FOR ts AS ts - INTERVAL '5' SECOND`` column clause →
+    remembered rowtime; applied as ``withWatermark`` when the table is read
+    as a stream (streaming=True connector or `to_stream`).
+  * ``Table`` — Table.java:128 (select) etc.; expression strings support the
+    Flink suffix-agg style ("b.sum AS total") plus any Spark SQL expression.
+
+Unsupported DDL surface raises with a clear message (documented non-goals:
+catalogs beyond in-memory, PRIMARY KEY enforcement — Flink's is
+NOT ENFORCED anyway, LIKE clauses).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.session import get_spark
+from flink_release_1_14_5_comment_spark.streaming.watermarks import parse_watermark_ddl
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((?P<cols>.*)\)\s*WITH\s*\((?P<opts>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPT_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+
+# Flink suffix aggregations for Table.select after group_by (Table API style).
+_SUFFIX_AGGS = {"sum", "avg", "count", "min", "max", "stddev_pop", "stddev_samp"}
+_SUFFIX_RE = re.compile(r"^(\w+)\.(" + "|".join(_SUFFIX_AGGS) + r")(?:\s+as\s+(\w+))?$", re.IGNORECASE)
+
+
+class TableEnvironment:
+    """In-memory catalog + SQL front door (GenericInMemoryCatalog.java:50)."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self._watermarks: dict[str, tuple[str, str]] = {}  # table -> (col, delay)
+
+    @classmethod
+    def create(cls, spark: SparkSession | None = None) -> "TableEnvironment":
+        return cls(spark)
+
+    # -- DDL / SQL ---------------------------------------------------------
+
+    def execute_sql(self, sql: str) -> "Table | None":
+        stripped = sql.strip().rstrip(";")
+        m = _CREATE_RE.match(stripped)
+        if m:
+            self._create_table(m.group(1), m.group("cols"), m.group("opts"))
+            return None
+        return Table(self.spark.sql(stripped), self)
+
+    def sql_query(self, sql: str) -> "Table":
+        return Table(self.spark.sql(sql.strip().rstrip(";")), self)
+
+    def _create_table(self, name: str, cols: str, opts: str) -> None:
+        options = dict(_OPT_RE.findall(opts))
+        connector = options.get("connector", "")
+        wm = None
+        for clause in cols.split(","):
+            if "WATERMARK" in clause.upper():
+                # clauses may span the split; re-scan the whole cols string
+                try:
+                    wm = parse_watermark_ddl(cols)
+                except ValueError:
+                    wm = None
+                break
+        if connector == "filesystem":
+            fmt = options.get("format", "parquet")
+            path = options["path"]
+            reader = self.spark.read
+            if fmt == "csv":
+                reader = reader.option("header", options.get("csv.include-header", "true"))
+            df = getattr(reader, fmt)(path)
+        elif connector in ("datagen", "values"):
+            raise NotImplementedError(f"connector {connector!r}: use spark.createDataFrame + register_table")
+        elif connector == "kafka":
+            # Config-only translation (no broker in this environment).
+            stream = (
+                self.spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", options.get("properties.bootstrap.servers", ""))
+                .option("subscribe", options.get("topic", ""))
+            )
+            df = stream.load()
+        else:
+            raise NotImplementedError(f"connector {connector!r} not supported")
+        if wm:
+            self._watermarks[name] = wm
+        df.createOrReplaceTempView(name)
+
+    # -- catalog -----------------------------------------------------------
+
+    def register_table(self, name: str, df: DataFrame,
+                       rowtime: tuple[str, str] | None = None) -> None:
+        df.createOrReplaceTempView(name)
+        if rowtime:
+            self._watermarks[name] = rowtime
+
+    def from_path(self, name: str) -> "Table":
+        return Table(self.spark.table(name), self)
+
+    def rowtime_of(self, name: str) -> tuple[str, str] | None:
+        return self._watermarks.get(name)
+
+
+class GroupedTable:
+    def __init__(self, df: DataFrame, keys: list[str], env: TableEnvironment):
+        self._df = df
+        self._keys = keys
+        self._env = env
+
+    def select(self, exprs: str) -> "Table":
+        """Flink style: "key, value.sum AS total" after group_by."""
+        keys, aggs = [], []
+        for item in _split_top_level(exprs):
+            m = _SUFFIX_RE.match(item.strip())
+            if m:
+                col, fn, alias = m.groups()
+                agg = getattr(F, "count" if fn.lower() == "count" else fn.lower())(col)
+                aggs.append(agg.alias(alias or f"{fn.lower()}_{col}"))
+            elif item.strip() in self._keys:
+                keys.append(item.strip())
+            else:
+                aggs.append(F.expr(item))
+        return Table(self._df.groupBy(*self._keys).agg(*aggs), self._env)
+
+
+class Table:
+    """Flink Table facade over a DataFrame (Table.java surface subset)."""
+
+    def __init__(self, df: DataFrame, env: TableEnvironment):
+        self._df = df
+        self._env = env
+
+    # relational ops (Table.java:128 select, :234 where, :297 group_by, :343 join)
+    def select(self, exprs: str) -> "Table":
+        return Table(self._df.selectExpr(*_split_top_level(exprs)), self._env)
+
+    def where(self, predicate: str) -> "Table":
+        return Table(self._df.filter(predicate), self._env)
+
+    filter = where
+
+    def group_by(self, keys: str) -> GroupedTable:
+        return GroupedTable(self._df, [k.strip() for k in keys.split(",")], self._env)
+
+    def join(self, other: "Table", on: str, how: str = "inner") -> "Table":
+        return Table(self._df.join(other._df, F.expr(on), how), self._env)
+
+    def left_outer_join(self, other: "Table", on: str) -> "Table":
+        return self.join(other, on, "left")
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self._df.unionByName(other._df), self._env)
+
+    def minus(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df), self._env)
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self._df.intersect(other._df), self._env)
+
+    def distinct(self) -> "Table":
+        return Table(self._df.distinct(), self._env)
+
+    def order_by(self, exprs: str) -> "Table":
+        return Table(self._df.orderBy(*[F.expr(e) for e in _split_top_level(exprs)]), self._env)
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self._df.limit(n), self._env)
+
+    limit = fetch
+
+    # execution (Table.execute().collect() in the reference)
+    def to_data_frame(self) -> DataFrame:
+        return self._df
+
+    def execute(self) -> DataFrame:
+        return self._df
+
+    def to_pandas(self):
+        return self._df.toPandas()
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a comma-separated expression list, ignoring commas in parens."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += ch in "(["
+            depth -= ch in ")]"
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]

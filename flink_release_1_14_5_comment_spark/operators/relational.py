@@ -728,6 +728,44 @@ FROM part
 """
 
 
+def q_scalar_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink scalar functions that needed shims (functions/scalar.py):
+    SPLIT_INDEX, IS_DECIMAL/IS_DIGIT/IS_ALPHA, TRUNCATE-numeric, plus
+    base64/hex/chr/locate from the built-in surface."""
+    from flink_release_1_14_5_comment_spark.functions import scalar as fs
+
+    t = register_views(spark, sf_dir)
+    c = t["customer"]
+    digits = F.regexp_extract("c_name", r"(\d+)$", 1)
+    return c.select(
+        "c_custkey",
+        fs.split_index("c_name", "#", 1).alias("name_num"),
+        fs.is_digit(digits).alias("num_is_digit"),
+        fs.is_alpha(F.expr("left(c_name, 8)")).alias("prefix_is_alpha"),
+        fs.is_decimal(F.col("c_acctbal").cast("string")).alias("bal_is_decimal"),
+        fs.truncate_numeric(F.col("c_acctbal"), 1).alias("bal_trunc1"),
+        F.base64(F.encode("c_mktsegment", "utf-8")).alias("seg_b64"),
+        F.hex(F.col("c_custkey")).alias("key_hex"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("letter"),
+        F.locate("e", "c_mktsegment").cast("long").alias("pos_e"),
+    )
+
+
+ORACLE_Q_SCALAR_SHIMS = r"""
+SELECT c_custkey,
+       string_split(c_name, '#')[2] AS name_num,
+       regexp_full_match(regexp_extract(c_name, '(\d+)$', 1), '\d+') AS num_is_digit,
+       regexp_full_match(left(c_name, 8), '[A-Za-z]+') AS prefix_is_alpha,
+       regexp_full_match(CAST(c_acctbal AS VARCHAR), '[+-]?(\d+(\.\d*)?|\.\d+)') AS bal_is_decimal,
+       CASE WHEN c_acctbal >= 0 THEN floor(c_acctbal * 10) ELSE ceil(c_acctbal * 10) END / 10 AS bal_trunc1,
+       to_base64(encode(c_mktsegment)) AS seg_b64,
+       CASE WHEN c_custkey = 0 THEN '0' ELSE upper(ltrim(hex(c_custkey), '0')) END AS key_hex,
+       chr(CAST(65 + (c_custkey % 26) AS INT)) AS letter,
+       CAST(instr(c_mktsegment, 'e') AS BIGINT) AS pos_e
+FROM customer
+"""
+
+
 def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math-function gauntlet (BuiltInFunctionDefinitions.java:715-1161):
     ABS CEIL FLOOR ROUND POWER MOD SQRT LN LOG10 SIGN SIN COS ATAN2 DEGREES
@@ -909,6 +947,7 @@ QUERIES = {
     "set_intersect_all": q_set_intersect_all,
     "unnest_tokens": q_unnest_tokens,
     "scalar_string": q_scalar_string,
+    "scalar_shims": q_scalar_shims,
     "scalar_math": q_scalar_math,
     "scalar_temporal": q_scalar_temporal,
     "scalar_json": q_scalar_json,
@@ -941,6 +980,7 @@ ORACLE = {
     "set_intersect_all": ORACLE_Q_SET_INTERSECT_ALL,
     "unnest_tokens": ORACLE_Q_UNNEST_TOKENS,
     "scalar_string": ORACLE_Q_SCALAR_STRING,
+    "scalar_shims": ORACLE_Q_SCALAR_SHIMS,
     "scalar_math": ORACLE_Q_SCALAR_MATH,
     "scalar_temporal": ORACLE_Q_SCALAR_TEMPORAL,
     "scalar_json": ORACLE_Q_SCALAR_JSON,

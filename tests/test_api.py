@@ -1,0 +1,151 @@
+"""Table/SQL + DataStream facade tests (SURVEY §3) — the reference-user
+migration surface."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_14_5_comment_spark.api import (
+    DataStream,
+    StreamExecutionEnvironment,
+    Table,
+    TableEnvironment,
+)
+
+
+@pytest.fixture(scope="module")
+def tenv(spark, sf_dir):
+    env = TableEnvironment.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE orders_t (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING
+        ) WITH ('connector' = 'filesystem', 'path' = '{sf_dir}/orders.parquet',
+                'format' = 'parquet')
+    """)
+    return env
+
+
+def test_ddl_and_sql_query(tenv):
+    t = tenv.execute_sql("SELECT o_orderstatus, count(*) AS n FROM orders_t GROUP BY o_orderstatus")
+    pdf = t.to_pandas()
+    assert set(pdf["o_orderstatus"]) == {"O", "F", "P"}
+    assert pdf["n"].sum() == tenv.from_path("orders_t").to_data_frame().count()
+
+
+def test_table_api_chain(tenv):
+    t = (
+        tenv.from_path("orders_t")
+        .where("o_totalprice > 100000")
+        .group_by("o_orderpriority")
+        .select("o_orderpriority, o_totalprice.sum AS total, o_orderkey.count AS n")
+    )
+    pdf = t.to_pandas()
+    assert set(pdf.columns) == {"o_orderpriority", "total", "n"}
+    assert (pdf["total"] > 0).all()
+
+
+def test_table_setops_and_order(tenv):
+    t = tenv.from_path("orders_t")
+    a = t.where("o_orderstatus = 'O'").select("o_custkey")
+    b = t.where("o_totalprice > 300000").select("o_custkey")
+    merged = a.union_all(b).distinct().order_by("o_custkey").fetch(5)
+    pdf = merged.to_pandas()
+    assert len(pdf) == 5
+    assert list(pdf["o_custkey"]) == sorted(pdf["o_custkey"])
+
+
+def test_table_join(tenv, spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    tenv.register_table("customer_t", load_tables(spark, sf_dir)["customer"])
+    j = (
+        tenv.from_path("orders_t")
+        .join(tenv.from_path("customer_t"), "o_custkey = c_custkey")
+        .group_by("c_mktsegment")
+        .select("c_mktsegment, o_totalprice.sum AS revenue")
+    )
+    pdf = j.to_pandas()
+    assert len(pdf) == 5 and (pdf["revenue"] > 0).all()
+
+
+def test_watermark_ddl_is_captured(spark, sf_dir, tmp_path):
+    env = TableEnvironment.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ev_t (
+            event_id BIGINT, ts TIMESTAMP,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{sf_dir}/events.parquet',
+                'format' = 'parquet')
+    """)
+    assert env.rowtime_of("ev_t") == ("ts", "5 second")
+
+
+def test_datastream_batch_topology(spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    out = (
+        env.from_data_frame(ev)
+        .filter("event_type = 'click'")
+        .map(["user_id", "value * 2 AS v2", "ts"])
+        .key_by("user_id")
+        .window("ts", "1 hour")
+        .aggregate([F.count(F.lit(1)).alias("n"), F.round(F.sum("v2"), 2).alias("s")])
+    )
+    pdf = out.to_data_frame().toPandas()
+    assert {"w_start", "w_end", "user_id", "n", "s"} == set(pdf.columns)
+    assert (pdf["n"] > 0).all()
+
+
+def test_datastream_pandas_map_and_side_output(spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load_tables(spark, sf_dir)["events"].limit(100)
+    ds = env.from_data_frame(ev.select("event_id", "value"))
+    mapped = ds.map(lambda pdf: pdf.assign(value=pdf.value + 1), "event_id long, value double")
+    assert mapped.to_data_frame().count() == 100
+    main, side = ds.side_output("value > 50")
+    assert main.to_data_frame().count() + side.to_data_frame().count() == 100
+
+
+def test_datastream_keyed_process(spark, sf_dir):
+    """KeyedProcessFunction emulation: per-key running count via state."""
+    import pandas as pd
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+    from flink_release_1_14_5_comment_spark.streaming import sources
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load_tables(spark, sf_dir)["events"].limit(300).select("user_id", "event_id")
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=3)
+    try:
+        def counter(key, pdfs, state):
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        out = (
+            env.from_data_frame(stream)
+            .key_by("user_id")
+            .process(counter, "user_id long, n long", "n long")
+        )
+        import uuid
+
+        name = "t" + uuid.uuid4().hex[:10]
+        q = (out.to_data_frame().writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.table(name).groupBy("user_id").agg(F.max("n").alias("n"))
+        batch = ev.groupBy("user_id").count().withColumnRenamed("count", "n")
+        assert got.exceptAll(batch).count() == 0
+    finally:
+        sources.cleanup(tmpdir)
