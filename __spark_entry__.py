@@ -21,6 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from flink_release_1_14_5_comment_spark.operators import (
+        patterns,
         relational,
         temporal_joins,
         time_windows,
@@ -32,8 +33,8 @@ def _modules():
         text_analysis,
     )
 
-    return [relational, time_windows, temporal_joins, dedup, similarity,
-            text_analysis, multimodal]
+    return [relational, time_windows, temporal_joins, patterns, dedup,
+            similarity, text_analysis, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

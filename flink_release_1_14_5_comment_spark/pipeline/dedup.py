@@ -16,7 +16,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
@@ -233,14 +233,95 @@ GROUP BY doc_id
 """
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 16-bit token-level simhash, candidates =
+    docs sharing BOTH 8-bit halves (≈ hamming-0 within the fingerprint);
+    output per-doc fingerprint + collision-group size.
+
+    Simhash here: bit i of the fingerprint is 1 iff more tokens hash with bit
+    i set than not (majority vote over md5-derived token hashes) — the
+    classic Charikar construction at reduced width, built entirely from
+    codegen'd array/bit expressions so the DuckDB oracle reproduces it
+    bit-for-bit. Scale: one map pass + one groupBy on the fingerprint.
+    """
+    t = register_views(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        # per-token 16-bit hash from md5 (stable across engines)
+        .select("doc_id", F.expr(
+            "transform(toks, x -> cast(conv(substr(md5(x), 1, 4), 16, 10) as int))"
+        ).alias("hashes"))
+    )
+    # majority vote per bit: bit b set iff sum(sign(h & 2^b)) * 2 > n_tokens
+    bit_exprs = [
+        F.expr(
+            f"case when aggregate(hashes, 0, (a, h) -> a + cast((h div {1 << b}) % 2 as int)) * 2"
+            f" > size(hashes) then {1 << b} else 0 end"
+        )
+        for b in range(16)
+    ]
+    fp = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        fp = fp + e
+    sim = docs.select("doc_id", fp.cast("long").alias("simhash"))
+    return (
+        sim.withColumn("half_hi", F.expr("simhash div 256"))
+        .withColumn("half_lo", F.expr("simhash % 256"))
+        .withColumn("group_n", F.count(F.lit(1)).over(W.partitionBy("simhash")))
+        .select("doc_id", "simhash", "half_hi", "half_lo", "group_n")
+    )
+
+
+ORACLE_Q_DEDUP_SIMHASH = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                        x -> (('0x' || substr(md5(x), 1, 4))::BIGINT)::INT) AS hashes
+  FROM documents
+  WHERE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 1
+), fp AS (
+  SELECT doc_id,
+         CAST((
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 1) % 2)) > len(hashes) THEN 1 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 2) % 2)) > len(hashes) THEN 2 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 4) % 2)) > len(hashes) THEN 4 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 8) % 2)) > len(hashes) THEN 8 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 16) % 2)) > len(hashes) THEN 16 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 32) % 2)) > len(hashes) THEN 32 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 64) % 2)) > len(hashes) THEN 64 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 128) % 2)) > len(hashes) THEN 128 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 256) % 2)) > len(hashes) THEN 256 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 512) % 2)) > len(hashes) THEN 512 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 1024) % 2)) > len(hashes) THEN 1024 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 2048) % 2)) > len(hashes) THEN 2048 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 4096) % 2)) > len(hashes) THEN 4096 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 8192) % 2)) > len(hashes) THEN 8192 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 16384) % 2)) > len(hashes) THEN 16384 ELSE 0 END +
+           CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h // 32768) % 2)) > len(hashes) THEN 32768 ELSE 0 END
+         ) AS BIGINT) AS simhash
+  FROM docs
+)
+SELECT doc_id, simhash,
+       simhash // 256 AS half_hi,
+       simhash % 256 AS half_lo,
+       CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_n
+FROM fp
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_overlap": q_dedup_ngram_overlap,
+    "dedup_simhash": q_dedup_simhash,
 }
 
 ORACLE = {
     "dedup_exact": ORACLE_Q_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_Q_DEDUP_MINHASH_LSH,
     "dedup_ngram_overlap": ORACLE_Q_DEDUP_NGRAM_OVERLAP,
+    "dedup_simhash": ORACLE_Q_DEDUP_SIMHASH,
 }

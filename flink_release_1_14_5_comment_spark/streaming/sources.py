@@ -35,6 +35,17 @@ def replay_as_stream(
     data_dir = os.path.join(tmpdir, "data")
     staged = df.repartitionByRange(n_chunks, order_col) if order_col else df.repartition(n_chunks)
     staged.write.mode("overwrite").parquet(data_dir)
+    # Spark's file stream source orders new files by modification time, and
+    # parallel-written parts share one mtime — the replay order would be
+    # nondeterministic. Stamp strictly increasing mtimes in part order
+    # (range partition k holds the k-th ts range → part-0000k replays k-th).
+    parts = sorted(
+        f for f in os.listdir(data_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = os.path.getmtime(os.path.join(data_dir, parts[0])) if parts else 0
+    for k, fname in enumerate(parts):
+        path = os.path.join(data_dir, fname)
+        os.utime(path, (base + 10 * k, base + 10 * k))
     schema = spark.read.parquet(data_dir).schema
     stream = (
         spark.readStream.schema(schema)
