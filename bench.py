@@ -39,9 +39,13 @@ HEADLINE = [
     "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_cosine",
     "ann_lsh_topk",
     "text_stats",
+    "funnel_match",
+    "sessionize_paths",
+    "multimodal_features",
 ]
 
 
@@ -52,11 +56,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # Warm the JVM + parquet footers with a trivial action (not counted).
+    # Warm the JVM, codegen, and parquet footers with real actions (not
+    # counted) so the first timed query doesn't absorb session startup.
     from flink_release_1_14_5_comment_spark.catalog import load_tables
 
     for df in load_tables(spark, SF_DIR).values():
-        df.schema
+        df.limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -139,10 +139,16 @@ class KeyedStream:
     def session_window(self, ts_col: str, gap: str) -> "WindowedStream":
         return WindowedStream(self._df, self._keys, F.session_window(ts_col, gap), self.env)
 
-    def count_window_is_unsupported(self):
-        raise NotImplementedError(
-            "count windows: use process() with a stateful counter "
-            "(KeyedStream.java:696 semantics; no Spark builtin)"
+    def count_window(self, size: int, value_col: str, id_col: str) -> DataStream:
+        """Tumbling count window (KeyedStream.java:696): emit an aggregate
+        row every `size` elements per key — a stateful counter op (no Spark
+        builtin). Emits (key, window_seq, n, sum_value)."""
+        from flink_release_1_14_5_comment_spark.streaming.count_windows import (
+            tumbling_count_window,
+        )
+
+        return DataStream(
+            tumbling_count_window(self._df, self._keys, value_col, id_col, size), self.env
         )
 
     def reduce(self, aggs: list[Column]) -> DataStream:

@@ -48,7 +48,13 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake media table: documents' text utf-8 encoded as the
     binary payload (stands in for image bytes), with typed metadata."""
     t = register_views(spark, sf_dir)
-    return t["documents"].select(
+    docs = t["documents"]
+    # Documents often arrive as one file → one partition, serializing the
+    # downstream Pandas-UDF work. Spread it — but scale partitions with the
+    # data, not the core count: each Arrow batch costs a Python worker
+    # round-trip, so tiny corpora want few, large partitions.
+    n_parts = max(8, docs.rdd.getNumPartitions())
+    return docs.repartition(n_parts).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
         F.struct(

@@ -1,0 +1,77 @@
+"""Streaming OVER aggregates — SURVEY §2.5; reference
+RowTimeRowsBoundedPrecedingFunction.java:56 (ROWS BETWEEN N PRECEDING AND
+CURRENT ROW per key, event-time ordered).
+
+Spark has no streaming window functions; this is a keyed stateful op:
+state = the last N (ts, value) pairs per key (bounded ring buffer — exactly
+the reference's per-key state layout); each arriving row emits the aggregate
+over its preceding frame. Assumes in-order arrival per key within the
+watermark (the reference buffers out-of-order rows until the watermark;
+micro-batch replay in ts order gives the same guarantee per batch — rows are
+sorted within each batch before stepping).
+
+Output: key + id + ts + value + running_sum/running_avg/running_count over
+the trailing `n_rows` frame (inclusive of the current row).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def rows_bounded_over(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    n_rows: int,
+) -> DataFrame:
+    """SUM/AVG/COUNT OVER (PARTITION BY key ORDER BY ts ROWS n_rows-1 PRECEDING)."""
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join([
+        *[f"{c} {dtypes[c]}" for c in key_cols],
+        f"{id_col} {dtypes[id_col]}",
+        f"{ts_col} {dtypes[ts_col]}",
+        f"{value_col} {dtypes[value_col]}",
+        "running_sum double", "running_avg double", "running_count int",
+    ])
+    state_schema = "ts_micros array<bigint>, vals array<double>"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values([ts_col, id_col], kind="stable")
+        if state.exists:
+            ts_buf, val_buf = [list(x) for x in state.get]
+        else:
+            ts_buf, val_buf = [], []
+        out_rows = []
+        for _, row in batch.iterrows():
+            ts_buf.append(int(pd.Timestamp(row[ts_col]).value // 1000))
+            val_buf.append(float(row[value_col]))
+            if len(val_buf) > n_rows:
+                ts_buf.pop(0)
+                val_buf.pop(0)
+            out_rows.append({
+                **{key_cols[i]: key[i] for i in range(n_keys)},
+                id_col: row[id_col],
+                ts_col: row[ts_col],
+                value_col: row[value_col],
+                "running_sum": sum(val_buf),
+                "running_avg": sum(val_buf) / len(val_buf),
+                "running_count": len(val_buf),
+            })
+        state.update((ts_buf, val_buf))
+        yield pd.DataFrame(out_rows)
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,37 @@
+"""Format round-trips + partitioned file sink (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_14_5_comment_spark.catalog import load_tables
+from flink_release_1_14_5_comment_spark.io_formats import FORMATS, read_table, write_table
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_format_round_trip(spark, sf_dir, tmp_path, fmt):
+    src = load_tables(spark, sf_dir)["nation"]
+    path = str(tmp_path / f"t_{fmt}")
+    write_table(src, path, fmt)
+    schema = "n_nationkey int, n_name string, n_regionkey int" if fmt in ("csv", "json") else None
+    back = read_table(spark, path, fmt, schema=schema)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    assert back.exceptAll(src.select(*back.columns)).count() == 0
+
+
+def test_partitioned_file_sink_enables_pruning(spark, sf_dir, tmp_path):
+    src = load_tables(spark, sf_dir)["orders"]
+    path = str(tmp_path / "orders_by_status")
+    write_table(src, path, "parquet", partition_by=["o_orderstatus"])
+    back = read_table(spark, path, "parquet")
+    one = back.filter(F.col("o_orderstatus") == "O")
+    # partition pruning: the physical scan must read only the matching dir
+    plan = one._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert one.count() == src.filter("o_orderstatus = 'O'").count()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus%3DO" not in plan
