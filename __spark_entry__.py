@@ -23,6 +23,7 @@ def _modules():
     from flink_release_1_14_5_comment_spark.operators import (
         patterns,
         relational,
+        relational_ext,
         temporal_joins,
         time_windows,
     )
@@ -33,8 +34,8 @@ def _modules():
         text_analysis,
     )
 
-    return [relational, time_windows, temporal_joins, patterns, dedup,
-            similarity, text_analysis, multimodal]
+    return [relational, relational_ext, time_windows, temporal_joins,
+            patterns, dedup, similarity, text_analysis, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
