@@ -29,13 +29,14 @@ def _modules():
     )
     from flink_release_1_14_5_comment_spark.pipeline import (
         dedup,
+        graph,
         multimodal,
         similarity,
         text_analysis,
     )
 
     return [relational, relational_ext, time_windows, temporal_joins,
-            patterns, dedup, similarity, text_analysis, multimodal]
+            patterns, dedup, graph, similarity, text_analysis, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -39,6 +39,7 @@ HEADLINE = [
     "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "knn_cosine",
     "ann_lsh_topk",

@@ -1,0 +1,143 @@
+"""Graph helpers (SURVEY §1.1 Gelly `Graph<K,VV,EV>`; §2.9 DataSet bulk/delta
+iterations — IterativeDataSet.java:41).
+
+Flink's Gelly is vertex/edge DataSets + iterative joins; the Spark-first
+equivalent is DataFrames + a driver-side iteration loop (Flink's bulk
+iteration = our loop; its delta iteration = our convergence check on the
+changed-label count).
+
+`connected_components` implements min-label propagation: each node adopts
+the smallest label among itself and its neighbors until fixpoint. At 100 TB
+scale the proper algorithm is large-star/small-star (alternating
+conditional stars, O(log n) rounds, same join shape) — noted here because
+plain propagation needs O(diameter) rounds; for dedup-cluster graphs
+(diameter ≈ 2-4) propagation IS the right choice.
+
+Primary consumer: near-dup pair graphs → duplicate clusters (the standard
+last step of a MinHash dedup pipeline: keep min doc_id per cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.pipeline.dedup import q_dedup_minhash_lsh
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iters: int = 30) -> DataFrame:
+    """(node, component) for the undirected graph given by `edges`;
+    component = min node id reachable. Driver-side bulk iteration with a
+    delta-style convergence check (stop when no label changed)."""
+    undirected = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        undirected.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            undirected.join(labels, undirected.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    undirected.unpersist()
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash pair graph → connected components →
+    (doc_id, cluster representative, cluster size). The canonical "which
+    docs to drop" output of a dedup pipeline."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("keep_id"), "cluster_size")
+    )
+
+
+# Recursive-CTE transitive closure; min reachable node = component. The doc
+# pair graph is tiny relative to the corpus, so closure is cheap for the
+# oracle even though the Spark side uses iteration.
+ORACLE_Q_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE pairs AS (
+  -- inline near-dup pairs: same pipeline as the dedup_minhash_lsh oracle
+  WITH docs AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+  ), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+    FROM docs WHERE len(toks) >= 3
+  ), sig AS (
+    SELECT doc_id, s.band,
+           list_min(list_transform(shingles,
+               x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
+           list_min(list_transform(shingles,
+               x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
+    FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
+  ), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+  )
+  SELECT doc_a, doc_b FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.4
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+), cc AS (
+  SELECT a AS doc_id, MIN(b) AS keep_id FROM reach GROUP BY a
+)
+SELECT doc_id, keep_id,
+       CAST(COUNT(*) OVER (PARTITION BY keep_id) AS BIGINT) AS cluster_size
+FROM cc
+"""
+
+
+QUERIES = {
+    "dedup_clusters": q_dedup_clusters,
+}
+
+ORACLE = {
+    "dedup_clusters": ORACLE_Q_DEDUP_CLUSTERS,
+}

@@ -23,6 +23,8 @@ Operators:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -82,3 +84,53 @@ def infer_output_mode(has_agg: bool, has_watermark: bool, append_only_source: bo
     if not has_agg:
         return "append"
     return "append" if has_watermark else "update"
+
+
+@dataclass
+class ChangelogPlan:
+    """The changelog classification of a (streaming) DataFrame — the
+    decision surface of FlinkChangelogModeInferenceProgram.scala:46
+    (ModifyKindSet: which RowKinds the plan can emit; UpdateKind: whether a
+    consumer needs -U or can take upserts)."""
+
+    output_mode: str                    # append | update | complete
+    emits_updates: bool                 # plan can produce +U (= retract stream)
+    needs_upsert_materializer: bool     # out-of-order upserts → SinkUpsertMaterializer
+    drop_update_before_safe: bool       # sink keyed by PK → -U rows removable
+    reasons: list[str]
+
+
+def plan_changelog(df: DataFrame, sink_has_primary_key: bool = False) -> ChangelogPlan:
+    """Classify a DataFrame's changelog behavior by inspecting its analyzed
+    plan — Aggregate without watermark-bounded windows ⇒ update (retracting)
+    stream; watermarked windowed aggs ⇒ append-on-close; pure pipelines ⇒
+    insert-only append (the reference's ModifyKindSetTrait inference).
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001 - no public accessor
+    has_agg = "Aggregate" in plan
+    has_watermark = "EventTimeWatermark" in plan
+    has_dedup = "Deduplicate" in plan
+    has_flatmap_state = "FlatMapGroupsInPandasWithState" in plan
+    reasons: list[str] = []
+
+    if not df.isStreaming:
+        reasons.append("batch plan: insert-only by definition")
+        return ChangelogPlan("append", False, False, True, reasons)
+
+    if has_flatmap_state:
+        reasons.append("custom stateful operator: operator declares its own mode (update assumed)")
+        return ChangelogPlan("update", True, not sink_has_primary_key, sink_has_primary_key, reasons)
+
+    if has_agg and has_watermark:
+        reasons.append("windowed agg + watermark: finalized results emitted on window close")
+        return ChangelogPlan("append", False, False, True, reasons)
+    if has_agg:
+        reasons.append("unbounded aggregate: results refine per batch (+U retract stream)")
+        return ChangelogPlan(
+            "update", True, not sink_has_primary_key, sink_has_primary_key, reasons
+        )
+    if has_dedup:
+        reasons.append("streaming dropDuplicates: first-winner inserts only")
+        return ChangelogPlan("append", False, False, True, reasons)
+    reasons.append("stateless pipeline: insert-only")
+    return ChangelogPlan("append", False, False, True, reasons)

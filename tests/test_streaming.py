@@ -160,3 +160,35 @@ def test_infer_output_mode():
     assert infer_output_mode(has_agg=False, has_watermark=False) == "append"
     assert infer_output_mode(has_agg=True, has_watermark=True) == "append"
     assert infer_output_mode(has_agg=True, has_watermark=False) == "update"
+
+
+def test_plan_changelog_classification(spark, sf_dir):
+    """FlinkChangelogModeInferenceProgram analog: classify plans."""
+    from flink_release_1_14_5_comment_spark.streaming.changelog import plan_changelog
+    from flink_release_1_14_5_comment_spark.streaming import sources
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    # batch frame → insert-only
+    p = plan_changelog(ev.groupBy("event_type").count())
+    assert p.output_mode == "append" and not p.emits_updates
+
+    stream, tmpdir = sources.replay_as_stream(spark, ev.limit(50), n_chunks=2)
+    try:
+        # stateless streaming pipeline → append
+        p = plan_changelog(stream.filter("value > 0"))
+        assert p.output_mode == "append"
+        # unbounded agg → update + upsert materializer unless sink has PK
+        p = plan_changelog(stream.groupBy("event_type").count())
+        assert p.output_mode == "update" and p.emits_updates and p.needs_upsert_materializer
+        p = plan_changelog(stream.groupBy("event_type").count(), sink_has_primary_key=True)
+        assert p.drop_update_before_safe and not p.needs_upsert_materializer
+        # watermark + windowed agg → append on window close
+        wm = stream.withWatermark("ts", "1 hour")
+        p = plan_changelog(wm.groupBy(F.window("ts", "1 hour")).count())
+        assert p.output_mode == "append"
+        # streaming dedup → append
+        p = plan_changelog(stream.dropDuplicates(["event_id"]))
+        assert p.output_mode == "append"
+    finally:
+        sources.cleanup(tmpdir)
