@@ -178,11 +178,46 @@ GROUP BY label
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to the
+    same LSH bucket (equi-join — never a cross join), verified by exact
+    cosine ≥ 0.99. The embedding-space flavor of MinHash dedup; at corpus
+    scale the bucket join keeps candidate pairs ~linear."""
+    t = register_views(spark, sf_dir)
+    e = t["embeddings"].withColumn("bucket", _bucket("embedding"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(_cosine("ea", "eb"), 4))
+        .filter(F.col("sim") >= 0.99)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+ORACLE_Q_DEDUP_EMBEDDING = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (embedding[1] > embedding[2])::INT
+       + (embedding[3] > embedding[4])::INT * 2
+       + (embedding[5] > embedding[6])::INT * 4
+       + (embedding[7] > embedding[8])::INT * 8 AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
+FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) >= 0.99
+"""
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_stats": q_embedding_stats,
+    "dedup_embedding": q_dedup_embedding,
 }
 
 ORACLE = {
@@ -190,4 +225,5 @@ ORACLE = {
     "ann_lsh_buckets": ORACLE_Q_ANN_LSH_BUCKETS,
     "ann_lsh_topk": ORACLE_Q_ANN_LSH_TOPK,
     "embedding_stats": ORACLE_Q_EMBEDDING_STATS,
+    "dedup_embedding": ORACLE_Q_DEDUP_EMBEDDING,
 }

@@ -149,14 +149,64 @@ FROM d
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language — the corpus-triage scoring primitive.
+    tf = term occurrences within the language; idf = ln(total docs /
+    docs containing the term). One explode + two bounded-key aggs + a
+    broadcast-sized doc-frequency join."""
+    t = register_views(spark, sf_dir)
+    docs = t["documents"]
+    n_docs = docs.count()
+    tokens = docs.select("doc_id", "lang", F.explode(_toks()).alias("tok")).filter(F.col("tok") != "")
+    df_ = (
+        tokens.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = tokens.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(df_, "tok")
+        .withColumn("score", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "tok", F.col("tf").cast("long").alias("tf"), "score", "rn")
+    )
+
+
+ORACLE_Q_TFIDF_TOP_TERMS = r"""
+WITH tokens AS (
+  SELECT doc_id, lang,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+), tok2 AS (SELECT * FROM tokens WHERE tok <> ''),
+df_ AS (
+  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok2) GROUP BY tok
+), tf AS (
+  SELECT lang, tok, COUNT(*) AS tf FROM tok2 GROUP BY lang, tok
+), scored AS (
+  SELECT tf.lang, tf.tok, tf.tf,
+         ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df_.df), 4) AS score
+  FROM tf JOIN df_ ON tf.tok = df_.tok
+)
+SELECT lang, tok, CAST(tf AS BIGINT) AS tf, score, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLE = {
     "text_stats": ORACLE_Q_TEXT_STATS,
     "lang_id": ORACLE_Q_LANG_ID,
     "doc_fingerprint": ORACLE_Q_DOC_FINGERPRINT,
+    "tfidf_top_terms": ORACLE_Q_TFIDF_TOP_TERMS,
 }
