@@ -32,6 +32,26 @@ ROWKIND = "__rowkind"
 INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
 
 
+def enforce_not_null(df: DataFrame, cols: list[str], mode: str = "error") -> DataFrame:
+    """SinkNotNullEnforcer.java analog: pre-write validation of NOT NULL
+    sink columns. mode='error' fails the job on violation (Flink ERROR
+    behavior) via assert_true; mode='drop' silently filters (Flink DROP)."""
+    if mode == "drop":
+        out = df
+        for c in cols:
+            out = out.filter(F.col(c).isNotNull())
+        return out
+    out = df
+    for c in cols:
+        # assert_true evaluates to NULL on success and raises on violation;
+        # keeping it inside the filter predicate stops Catalyst from pruning
+        # the check as an unused column.
+        out = out.filter(
+            F.assert_true(F.col(c).isNotNull(), F.lit(f"NOT NULL violation: {c}")).isNull()
+        )
+    return out
+
+
 def drop_update_before(df: DataFrame) -> DataFrame:
     """Remove -U rows (sink consumes upserts keyed by PK)."""
     if ROWKIND not in df.columns:

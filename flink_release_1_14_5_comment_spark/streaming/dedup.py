@@ -35,11 +35,16 @@ def dedup_keep_last(
     key_cols: list[str],
     ts_col: str,
     value_cols: list[str],
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Last row per key wins; emits an update whenever the winner changes.
 
     Output schema: key_cols + [ts_col] + value_cols + __rowkind ('+I' first
     emit, '+U' replacement) — the changelog convention from SURVEY §1.1.
+
+    ``ttl_ms`` enables state TTL (StateTtlConfig.java:51 analog): keys idle
+    longer than the TTL have their state cleared via a processing-time
+    timeout, bounding state for evolving key spaces.
     """
     out_fields = (
         [f"{c} {t}" for c, t in df.select(*key_cols).dtypes]
@@ -57,6 +62,9 @@ def dedup_keep_last(
     n_keys = len(key_cols)
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # TTL expiry: forget the key (StateTtlConfig analog)
+            return
         batch = pd.concat(list(pdfs), ignore_index=True)
         if batch.empty:
             return
@@ -68,6 +76,8 @@ def dedup_keep_last(
             if best_micros <= prev[0]:
                 return
         state.update(tuple([best_micros] + [best[c] for c in value_cols]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         row = {key_cols[i]: key[i] for i in range(n_keys)}
         row[ts_col] = best[ts_col]
         for c in value_cols:
@@ -75,7 +85,11 @@ def dedup_keep_last(
         row["__rowkind"] = "+U" if had_state else "+I"
         yield pd.DataFrame([row])
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         df.groupBy(*key_cols)
-        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", timeout)
     )

@@ -192,3 +192,27 @@ def test_plan_changelog_classification(spark, sf_dir):
         assert p.output_mode == "append"
     finally:
         sources.cleanup(tmpdir)
+
+
+def test_enforce_not_null(spark):
+    from flink_release_1_14_5_comment_spark.streaming.changelog import enforce_not_null
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "k int, v string")
+    assert enforce_not_null(df, ["v"], mode="drop").count() == 1
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        enforce_not_null(df, ["v"], mode="error").collect()
+
+
+def test_dedup_keep_last_with_ttl_plumbs(spark, sf_dir):
+    """TTL variant returns the same winners within a no-expiry window."""
+    ev = _events(spark, sf_dir, 200)
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        out = dedup_keep_last(stream, ["user_id"], "ts", ["event_id"], ttl_ms=3_600_000)
+        got = _run_stream(out, mode="update")
+        last_emit = got.groupBy("user_id").agg(F.max_by("event_id", "ts").alias("event_id"))
+        batch_last = ev.groupBy("user_id").agg(F.max_by("event_id", "ts").alias("event_id"))
+        assert last_emit.exceptAll(batch_last).count() == 0
+    finally:
+        sources.cleanup(tmpdir)
