@@ -36,12 +36,49 @@ _SUFFIX_AGGS = {"sum", "avg", "count", "min", "max", "stddev_pop", "stddev_samp"
 _SUFFIX_RE = re.compile(r"^(\w+)\.(" + "|".join(_SUFFIX_AGGS) + r")(?:\s+as\s+(\w+))?$", re.IGNORECASE)
 
 
+# Flink SQL functions with no same-name Spark builtin, registered as
+# SQL-defined functions (pure expressions — codegen'd, no Python). Flink
+# semantics per BuiltInFunctionDefinitions.java / SqlFunctionUtils.
+_FLINK_DIALECT_FUNCTIONS = [
+    "CREATE OR REPLACE TEMPORARY FUNCTION SPLIT_INDEX(s STRING, sep STRING, i INT) "
+    "RETURNS STRING RETURN try_element_at(split(s, sep), i + 1)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION IS_DECIMAL(s STRING) RETURNS BOOLEAN "
+    r"RETURN s RLIKE '^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)$'",
+    "CREATE OR REPLACE TEMPORARY FUNCTION IS_DIGIT(s STRING) RETURNS BOOLEAN "
+    r"RETURN s RLIKE '^\\d+$'",
+    "CREATE OR REPLACE TEMPORARY FUNCTION IS_ALPHA(s STRING) RETURNS BOOLEAN "
+    "RETURN s RLIKE '^[A-Za-z]+$'",
+    "CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE_NUM(x DOUBLE, d INT) RETURNS DOUBLE "
+    "RETURN CASE WHEN x >= 0 THEN floor(x * power(10, d)) ELSE ceil(x * power(10, d)) END "
+    "/ power(10, d)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION HASH_CODE(s STRING) RETURNS INT RETURN hash(s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION TO_BASE64(s STRING) RETURNS STRING "
+    "RETURN base64(encode(s, 'UTF-8'))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION FROM_BASE64(s STRING) RETURNS STRING "
+    "RETURN decode(unbase64(s), 'UTF-8')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION JSON_VALUE(j STRING, p STRING) RETURNS STRING "
+    "RETURN get_json_object(j, p)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION JSON_EXISTS(j STRING, p STRING) RETURNS BOOLEAN "
+    "RETURN get_json_object(j, p) IS NOT NULL",
+    "CREATE OR REPLACE TEMPORARY FUNCTION RAND_INTEGER(n INT) RETURNS INT "
+    "RETURN CAST(floor(rand() * n) AS INT)",
+]
+
+
+def register_flink_dialect(spark: SparkSession) -> None:
+    """Register Flink-only SQL function names as Spark SQL-defined functions
+    so Flink SQL text runs unchanged (§2.8 dialect gap closure)."""
+    for ddl in _FLINK_DIALECT_FUNCTIONS:
+        spark.sql(ddl)
+
+
 class TableEnvironment:
     """In-memory catalog + SQL front door (GenericInMemoryCatalog.java:50)."""
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self._watermarks: dict[str, tuple[str, str]] = {}  # table -> (col, delay)
+        register_flink_dialect(self.spark)
 
     @classmethod
     def create(cls, spark: SparkSession | None = None) -> "TableEnvironment":

@@ -20,7 +20,49 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def window_topn(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    key_cols: list[str],
+    order_col: str,
+    id_col: str,
+    n: int,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Window Top-N (SURVEY §2.6; reference WindowRankProcessor.java:224):
+    top-`n` rows per (tumbling window, key), emitted once when the window
+    closes (append mode + watermark).
+
+    Built entirely from built-in aggregates: collect the window's (order, id)
+    pairs, sort descending, slice `n` — no Python, no custom state; Spark's
+    window-state purge replaces the reference's watermark-triggered cleanup.
+    State per (window, key) is the collected pair list — bounded by window
+    row count; for heavy windows switch to the incremental streaming_topn
+    keyed by (window, key).
+    """
+    pair = F.struct((-F.col(order_col)).alias("neg"), F.col(id_col).alias("id"))
+    agg = (
+        df.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, size).alias("w"), *key_cols)
+        .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, n).alias("top"))
+    )
+    return (
+        agg.select(
+            F.col("w.start").alias("w_start"), *key_cols,
+            F.posexplode("top").alias("pos", "pair"),
+        )
+        .select(
+            "w_start", *key_cols,
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("pair.id").alias(id_col),
+            (-F.col("pair.neg")).alias(order_col),
+        )
+    )
 
 
 def streaming_topn(

@@ -149,3 +149,22 @@ def test_datastream_keyed_process(spark, sf_dir):
         assert got.exceptAll(batch).count() == 0
     finally:
         sources.cleanup(tmpdir)
+
+
+def test_flink_dialect_functions(spark):
+    """Flink SQL function names run unchanged through the TableEnvironment."""
+    env = TableEnvironment.create(spark)
+    row = env.sql_query("""
+        SELECT SPLIT_INDEX('a#b#c', '#', 2) AS si,
+               IS_DECIMAL('-3.25') AS dec_ok, IS_DECIMAL('x') AS dec_no,
+               IS_DIGIT('123') AS dig, IS_ALPHA('abc') AS alp,
+               TRUNCATE_NUM(-1.239, 2) AS tr,
+               TO_BASE64('hi') AS b64, FROM_BASE64(TO_BASE64('hi')) AS rt,
+               JSON_VALUE('{"k": 5}', '$.k') AS jv,
+               JSON_EXISTS('{"k": 5}', '$.x') AS je
+    """).to_data_frame().first()
+    assert row["si"] == "c" and row["dec_ok"] and not row["dec_no"]
+    assert row["dig"] and row["alp"]
+    assert row["tr"] == -1.23
+    assert row["rt"] == "hi"
+    assert row["jv"] == "5" and row["je"] is False
