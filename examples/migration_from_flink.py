@@ -1,0 +1,133 @@
+"""Side-by-side migration guide: Flink 1.14 programs → this engine.
+
+Each section shows the reference API (as a comment, from the Flink docs /
+reference source cited in SURVEY.md) and the equivalent here. Run directly:
+
+    python examples/migration_from_flink.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark import get_spark
+from flink_release_1_14_5_comment_spark.api import (
+    StreamExecutionEnvironment,
+    TableEnvironment,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def sql_migration(spark):
+    """Flink:
+        TableEnvironment tEnv = TableEnvironment.create(settings);
+        tEnv.executeSql("CREATE TABLE orders (...) WITH ('connector'='filesystem',
+                         'path'='...', 'format'='parquet')");
+        tEnv.executeSql("SELECT o_orderstatus, SPLIT_INDEX('a#b','#',0), count(*)
+                         FROM orders GROUP BY o_orderstatus").print();
+    """
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(f"""
+        CREATE TABLE orders (x INT) WITH ('connector' = 'filesystem',
+            'path' = '{SF_DIR}/orders.parquet', 'format' = 'parquet')
+    """)
+    # Flink-dialect functions (SPLIT_INDEX, IS_DECIMAL, JSON_VALUE, …) are
+    # pre-registered — Flink SQL text runs unchanged.
+    tenv.execute_sql("""
+        SELECT o_orderstatus, SPLIT_INDEX('a#b', '#', 0) AS first_part,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """).to_data_frame().show()
+
+
+def table_api_migration(spark):
+    """Flink:
+        tEnv.from("orders")
+            .filter($("o_totalprice").isGreater(100000))
+            .groupBy($("o_orderpriority"))
+            .select($("o_orderpriority"), $("o_totalprice").sum().as("total"));
+    """
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(f"""
+        CREATE TABLE orders (x INT) WITH ('connector' = 'filesystem',
+            'path' = '{SF_DIR}/orders.parquet', 'format' = 'parquet')
+    """)
+    (
+        tenv.from_path("orders")
+        .filter("o_totalprice > 100000")
+        .group_by("o_orderpriority")
+        .select("o_orderpriority, o_totalprice.sum AS total")
+        .to_data_frame()
+        .show()
+    )
+
+
+def datastream_migration(spark):
+    """Flink:
+        env.addSource(...)
+           .filter(e -> e.getType().equals("click"))
+           .keyBy(Event::getUserId)
+           .window(TumblingEventTimeWindows.of(Time.hours(1)))
+           .aggregate(new CountAggregate());
+    """
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load_tables(spark, SF_DIR)["events"]
+    (
+        env.from_data_frame(ev)
+        .filter("event_type = 'click'")
+        .key_by("user_id")
+        .window("ts", "1 hour")
+        .aggregate([F.count(F.lit(1)).alias("n")])
+        .to_data_frame()
+        .show(5)
+    )
+
+
+def cep_migration(spark):
+    """Flink:
+        Pattern<Event, ?> p = Pattern.<Event>begin("v").where(isView)
+            .followedBy("c").where(isClick).oneOrMore()
+            .followedBy("p").where(isPurchase)
+            .within(Time.hours(1));
+        CEP.pattern(stream.keyBy(...), p).select(...);
+
+       SQL equivalent: SELECT * FROM events MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts
+           PATTERN (V C+ P) DEFINE V AS ..., C AS ..., P AS ...)
+    """
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+    from flink_release_1_14_5_comment_spark.streaming import sources
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import match_recognize
+
+    ev = load_tables(spark, SF_DIR)["events"].limit(500)
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        out = match_recognize(
+            stream, ["user_id"], "ts", "V C+ P",
+            define={"V": "event_type = 'view'", "C": "event_type = 'click'",
+                    "P": "event_type = 'purchase'"},
+            id_col="event_id", within_seconds=86400,
+        )
+        q = (out.writeStream.format("memory").queryName("matches")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        spark.table("matches").show(5, truncate=False)
+    finally:
+        sources.cleanup(tmpdir)
+
+
+if __name__ == "__main__":
+    spark = get_spark("migration-examples", cpus=8)
+    sql_migration(spark)
+    table_api_migration(spark)
+    datastream_migration(spark)
+    cep_migration(spark)
+    print("migration examples: all sections ran")

@@ -30,19 +30,31 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 @dataclass
+class Step:
+    name: str
+    where: Callable[[pd.Series], bool]
+    one_or_more: bool = False  # Pattern.oneOrMore() quantifier (greedy)
+
+
+@dataclass
 class Pattern:
     """Fluent pattern builder (reference Pattern.java:50 subset:
-    begin/followedBy/within; quantifiers beyond one-step are future work)."""
+    begin/followedBy/oneOrMore/within)."""
 
-    steps: list[tuple[str, Callable[[pd.Series], bool]]] = field(default_factory=list)
+    steps: list[Step] = field(default_factory=list)
     within_seconds: float | None = None
 
     @classmethod
     def begin(cls, name: str, where: Callable[[pd.Series], bool]) -> "Pattern":
-        return cls(steps=[(name, where)])
+        return cls(steps=[Step(name, where)])
 
     def followed_by(self, name: str, where: Callable[[pd.Series], bool]) -> "Pattern":
-        self.steps.append((name, where))
+        self.steps.append(Step(name, where))
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        """Apply a one-or-more quantifier to the last step (Pattern.oneOrMore)."""
+        self.steps[-1].one_or_more = True
         return self
 
     def within(self, seconds: float) -> "Pattern":
@@ -95,14 +107,26 @@ def cep(
             # priority order), then maybe start a new run
             advanced = False
             for r in runs:
-                if r["step"] < n_steps and pattern.steps[r["step"]][1](row):
+                if r["step"] >= n_steps:
+                    continue
+                # advance to the next step...
+                if pattern.steps[r["step"]].where(row):
                     r["step"] += 1
                     r["ids"].append(int(row[id_col]))
                     advanced = True
                     if r["step"] == n_steps:
                         matches.append((r["start"], t_micros, r["ids"]))
                     break  # one event advances at most one run (no-reuse)
-            if not advanced and pattern.steps[0][1](row):
+                # ...or absorb into the previous step's one-or-more loop
+                if (
+                    r["step"] > 0
+                    and pattern.steps[r["step"] - 1].one_or_more
+                    and pattern.steps[r["step"] - 1].where(row)
+                ):
+                    r["ids"].append(int(row[id_col]))
+                    advanced = True
+                    break
+            if not advanced and pattern.steps[0].where(row):
                 run = {"step": 1, "start": t_micros, "ids": [int(row[id_col])]}
                 if n_steps == 1:
                     matches.append((t_micros, t_micros, run["ids"]))

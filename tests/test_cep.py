@@ -89,3 +89,48 @@ def test_cep_within_expires_runs(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
     got = _run(spark, df, n_chunks=1)
     assert len(got) == 0
+
+
+def test_one_or_more_quantifier(spark):
+    """V C+ P: greedy click absorption between view and purchase."""
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import match_recognize
+
+    rows = [
+        (1, 1, _ts(1), "view"),
+        (2, 1, _ts(2), "click"),
+        (3, 1, _ts(3), "click"),
+        (4, 1, _ts(4), "click"),
+        (5, 1, _ts(5), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=1)
+    try:
+        out = match_recognize(
+            stream, ["user_id"], "ts", "V C+ P",
+            define={"V": "event_type = 'view'", "C": "event_type = 'click'",
+                    "P": "event_type = 'purchase'"},
+            id_col="event_id", within_seconds=3600,
+        )
+        import uuid
+        name = "t" + uuid.uuid4().hex[:10]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.table(name).toPandas()
+        assert len(got) == 1
+        assert list(got.iloc[0]["step_ids"]) == [1, 2, 3, 4, 5]  # all clicks absorbed
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_match_recognize_define_parsing():
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import compile_predicate
+    import pandas as pd
+
+    p = compile_predicate("event_type = 'click' AND value > 10")
+    assert p(pd.Series({"event_type": "click", "value": 11}))
+    assert not p(pd.Series({"event_type": "click", "value": 9}))
+    assert not p(pd.Series({"event_type": "view", "value": 11}))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compile_predicate("event_type IN ('a','b')")
