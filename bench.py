@@ -57,12 +57,14 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # Warm the JVM, codegen, and parquet footers with real actions (not
-    # counted) so the first timed query doesn't absorb session startup.
+    # Warm the JVM, codegen, parquet footers, AND the Python worker pool
+    # (first Pandas-UDF call pays worker fork + Arrow setup) with real
+    # actions (not counted) so no timed query absorbs session startup.
     from flink_release_1_14_5_comment_spark.catalog import load_tables
 
     for df in load_tables(spark, SF_DIR).values():
         df.limit(1).count()
+    spark.range(64).mapInPandas(lambda it: (pdf for pdf in it), "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

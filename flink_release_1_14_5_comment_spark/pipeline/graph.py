@@ -26,11 +26,50 @@ from flink_release_1_14_5_comment_spark.catalog import register_views
 from flink_release_1_14_5_comment_spark.pipeline.dedup import q_dedup_minhash_lsh
 
 
+# Below this many edges, the pair graph is collected and solved with
+# union-find on the driver — the standard hybrid: near-dup pairs after
+# LSH + verification are a tiny fraction of the corpus (they are the
+# *output* of the pruning pipeline), so a single small collect beats
+# O(diameter) distributed rounds. Above it, the distributed loop runs.
+DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iters: int = 30) -> DataFrame:
     """(node, component) for the undirected graph given by `edges`;
-    component = min node id reachable. Driver-side bulk iteration with a
-    delta-style convergence check (stop when no label changed)."""
+    component = min node id reachable. Small graphs: driver union-find.
+    Large graphs: distributed min-label propagation with a delta-style
+    convergence check (stop when no label changed)."""
+    n_edges = edges.count()
+    if n_edges <= DRIVER_UNION_FIND_MAX_EDGES:
+        return _driver_union_find(edges, src, dst)
+    return _distributed_cc(edges, src, dst, max_iters)
+
+
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    pairs = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs:
+        a, b = row[src], row[dst]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the representative is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(rows, "node long, component long")
+
+
+def _distributed_cc(edges: DataFrame, src: str, dst: str, max_iters: int) -> DataFrame:
     undirected = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
