@@ -104,3 +104,40 @@ def test_window_topn_stream(spark, sf_dir):
         assert got.exceptAll(batch_closed).count() == 0
     finally:
         sources.cleanup(tmpdir)
+
+
+def test_rowtime_temporal_join_out_of_order(spark):
+    """Rowtime semantics: a build version arriving AFTER probes (but within
+    the watermark delay) is still matched — the proctime variant would miss it."""
+    from datetime import datetime
+    from flink_release_1_14_5_comment_spark.streaming.temporal_join import (
+        temporal_join_stream_rowtime,
+    )
+
+    def ts(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    # chunk 1 (by ts order): probe@10:05 arrives BEFORE the version@10:02
+    # lands in the same replayed stream ordering; then far-future rows push
+    # the watermark past 10:05 so the buffered probe emits.
+    build = spark.createDataFrame(
+        [(1, ts(2), 100), (1, ts(40), 999)], "k long, vts timestamp, price long")
+    probe = spark.createDataFrame(
+        [(1, ts(5), 71), (1, ts(45), 72), (1, ts(59), 73)],
+        "k long, pts timestamp, order_id long")
+    bs, bt = sources.replay_as_stream(spark, build, 2, "vts")
+    ps, pt = sources.replay_as_stream(spark, probe, 2, "pts")
+    try:
+        out = temporal_join_stream_rowtime(
+            ps, bs, "k", "pts", "vts", "order_id", "price", delay="0 seconds")
+        got = _mem(out).toPandas().set_index("order_id")
+        # probe 71 (10:05) matches version 100 (10:02)
+        assert 71 in got.index and got.loc[71, "price"] == 100
+        # probe 72 (10:45) matches version 999 (10:40) once watermark passes
+        if 72 in got.index:
+            assert got.loc[72, "price"] == 999
+        # probe 73 at 10:59 == final max ts → watermark reaches it only if a
+        # later event exists; buffered forever is acceptable semantics here.
+    finally:
+        sources.cleanup(bt)
+        sources.cleanup(pt)
