@@ -171,8 +171,128 @@ WHERE pos <= len(toks)
 """
 
 
+def q_having_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation with HAVING over a derived aggregate (TPC-DS-ish
+    shape: agg of agg, filter on the outer)."""
+    return _sql(spark, sf_dir, """
+        WITH per_cust AS (
+          SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 SUM(o_totalprice) AS spent
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(spent), 2) AS total_spent
+        FROM per_cust
+        GROUP BY n_orders
+        HAVING COUNT(*) >= 2
+    """)
+
+
+ORACLE_Q_HAVING_TWO_LEVEL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(o_totalprice) AS spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(spent), 2) AS total_spent
+FROM per_cust
+GROUP BY n_orders
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (SUM(CASE WHEN …)) — the
+    portable spelling of PIVOT used across the reference's SQL tests."""
+    return _sql(spark, sf_dir, """
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS open_amt,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS filled_amt,
+               CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+               CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)
+
+
+ORACLE_Q_CONDITIONAL_PIVOT = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS open_amt,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS filled_amt,
+       CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_exists_and_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined EXISTS + NOT EXISTS (semi ∧ anti in one plan) — TPC-H Q21/
+    TPC-DS Q16 shape."""
+    return _sql(spark, sf_dir, """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_totalprice > 450000)
+        GROUP BY c_mktsegment
+    """)
+
+
+ORACLE_Q_EXISTS_AND_NOT_EXISTS = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'O')
+  AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+                  AND o2.o_totalprice > 450000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_window_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function over a join result (rank segments per region by
+    revenue) — mixes broadcast join, agg, and ranking in one plan."""
+    return _sql(spark, sf_dir, """
+        WITH seg_rev AS (
+          SELECT n.n_name, c.c_mktsegment,
+                 ROUND(SUM(o.o_totalprice), 2) AS revenue
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, c.c_mktsegment
+        )
+        SELECT n_name, c_mktsegment, revenue,
+               CAST(RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_mktsegment) AS BIGINT) AS rnk
+        FROM seg_rev
+        WHERE revenue > 0
+    """)
+
+
+ORACLE_Q_WINDOW_OVER_JOIN = """
+WITH seg_rev AS (
+  SELECT n.n_name, c.c_mktsegment,
+         ROUND(SUM(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_mktsegment
+)
+SELECT n_name, c_mktsegment, revenue,
+       CAST(RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_mktsegment) AS BIGINT) AS rnk
+FROM seg_rev
+WHERE revenue > 0
+"""
+
+
 QUERIES = {
     "left_join_nulls": q_left_join_nulls,
+    "having_two_level": q_having_two_level,
+    "conditional_pivot": q_conditional_pivot,
+    "exists_and_not_exists": q_exists_and_not_exists,
+    "window_over_join": q_window_over_join,
     "lateral_topk": q_lateral_topk,
     "over_frames_ext": q_over_frames_ext,
     "null_safe_eq": q_null_safe_eq,
@@ -183,6 +303,10 @@ QUERIES = {
 
 ORACLE = {
     "left_join_nulls": ORACLE_Q_LEFT_JOIN_NULLS,
+    "having_two_level": ORACLE_Q_HAVING_TWO_LEVEL,
+    "conditional_pivot": ORACLE_Q_CONDITIONAL_PIVOT,
+    "exists_and_not_exists": ORACLE_Q_EXISTS_AND_NOT_EXISTS,
+    "window_over_join": ORACLE_Q_WINDOW_OVER_JOIN,
     "lateral_topk": ORACLE_Q_LATERAL_TOPK,
     "over_frames_ext": ORACLE_Q_OVER_FRAMES_EXT,
     "null_safe_eq": ORACLE_Q_NULL_SAFE_EQ,
