@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
+    "corpus_clean",
     "knn_cosine",
     "ann_lsh_topk",
     "text_stats",

@@ -312,11 +312,94 @@ FROM fp
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the canonical LLM-data pipeline in one
+    plan: (1) quality filter (≥20 tokens, stopword ratio < 0.5), (2) exact
+    dedup (keep min doc_id per normalized-text fingerprint), (3) near-dup
+    drop (greedy: for every verified MinHash pair keep the lower doc_id).
+    Output: per-language counts + token volume of the kept corpus.
+
+    Every stage is a map or a key-hashed shuffle (see the component
+    operators); the composition adds no new shuffle beyond its parts.
+    """
+    t = register_views(spark, sf_dir)
+    docs = t["documents"]
+    toks = F.expr(_TOKS)
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.expr(
+            f"filter({_TOKS}, x -> x IN ('the','a','and','of','to','in'))"
+        )).cast("double") / n_tok
+    )
+    quality = docs.filter((n_tok >= 20) & (stop_ratio < 0.5)).select(
+        "doc_id", "lang", n_tok.alias("n_tok"), F.md5(F.expr(_NORM)).alias("fp")
+    )
+    exact_keep = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = quality.join(exact_keep, ["fp", "doc_id"])
+    near_dup_losers = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = survivors.join(near_dup_losers, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+ORACLE_Q_CORPUS_CLEAN = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), quality AS (
+  SELECT doc_id, lang, len(tk) AS n_tok, fp
+  FROM toks
+  WHERE len(tk) >= 20
+    AND len(list_filter(tk, x -> x IN ('the','a','and','of','to','in')))::DOUBLE / len(tk) < 0.5
+), exact_keep AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM quality GROUP BY fp
+), survivors AS (
+  SELECT q.* FROM quality q JOIN exact_keep e ON q.fp = e.fp AND q.doc_id = e.doc_id
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+  FROM toks WHERE len(tk) >= 3
+), sig AS (
+  SELECT doc_id, s.band,
+         list_min(list_transform(shingles,
+             x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
+         list_min(list_transform(shingles,
+             x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+), losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE len(list_intersect(sa.shingles, sb.shingles))
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.4
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM survivors
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_overlap": q_dedup_ngram_overlap,
     "dedup_simhash": q_dedup_simhash,
+    "corpus_clean": q_corpus_clean,
 }
 
 ORACLE = {
@@ -324,4 +407,5 @@ ORACLE = {
     "dedup_minhash_lsh": ORACLE_Q_DEDUP_MINHASH_LSH,
     "dedup_ngram_overlap": ORACLE_Q_DEDUP_NGRAM_OVERLAP,
     "dedup_simhash": ORACLE_Q_DEDUP_SIMHASH,
+    "corpus_clean": ORACLE_Q_CORPUS_CLEAN,
 }
