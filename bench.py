@@ -63,9 +63,12 @@ def main() -> None:
     # actions (not counted) so no timed query absorbs session startup.
     from flink_release_1_14_5_comment_spark.catalog import load_tables
 
-    for df in load_tables(spark, SF_DIR).values():
+    tables = load_tables(spark, SF_DIR)
+    for df in tables.values():
         df.limit(1).count()
     spark.range(64).mapInPandas(lambda it: (pdf for pdf in it), "id long").count()
+    # compile a representative agg pipeline so codegen is warm too
+    tables["lineitem"].limit(1000).groupBy("l_returnflag").count().count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
