@@ -42,8 +42,21 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make the engine correct under ANY caller-provided SparkSession.
+
+    The driver builds its own vanilla session — if these confs only lived in
+    ``session.get_spark`` every read of events.parquet (TIMESTAMP(NANOS))
+    would die with PARQUET_TYPE_ILLEGAL. Both confs are runtime-settable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC so parquet TIMESTAMP values hash-match the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every parquet table under ``sf_dir`` that exists."""
+    _ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -39,3 +39,37 @@ def test_entry_smoke(spark):
 def test_all_queries_have_callables():
     for name in ORACLE:
         assert name in QUERIES, f"oracle without query: {name}"
+
+
+def test_bare_session_conf_recovery(spark, sf_dir):
+    """Round-1 regression: the driver provides its OWN SparkSession without
+    spark.sql.legacy.parquet.nanosAsLong — load_tables must set it at runtime
+    or every query dies on events.parquet (TIMESTAMP NANOS)."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = QUERIES["agg_pricing_summary"](spark, sf_dir)
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_driver_style_subprocess():
+    """Full-fidelity driver emulation: fresh process, vanilla SparkSession
+    (none of session.get_spark's confs), run a query that reads events."""
+    import subprocess
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[4]')"
+        ".config('spark.ui.enabled','false').getOrCreate()\n"
+        "import __spark_entry__ as e\n"
+        "qs = e.queries()\n"
+        "n = qs['agg_pricing_summary'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('BARE_SESSION_OK', n)\n"
+    )
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "BARE_SESSION_OK" in r.stdout
