@@ -74,60 +74,97 @@ WHERE rn <= 5
 """
 
 
-# Sign-projection LSH: 4 deterministic bits from component comparisons
-# (1-based indexing in both engines).
-_BUCKET_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8)]
+# Banded sign-projection LSH: N_BANDS bands × BITS_PER_BAND bits, 24 disjoint
+# deterministic component comparisons (1-based in both engines). Two vectors
+# are candidates when they collide in ANY band (OR-amplification) — the same
+# band/row structure the MinHash pipeline uses (dedup.py), so candidate count
+# per bucket stays sub-quadratic: each band hashes into 2^6 = 64 buckets and
+# near-duplicates agree on most signs, while unrelated vectors spread out.
+# Round-1 review flagged the previous single-band 4-bit variant (16 buckets)
+# as all-pairs in disguise at 100 TB; this replaces it.
+N_BANDS = 4
+BITS_PER_BAND = 6
 
 
-def _bucket(col: str) -> F.Column:
-    bits = [
-        (F.element_at(F.col(col), i) > F.element_at(F.col(col), j)).cast("int") * (2 ** p)
-        for p, (i, j) in enumerate(_BUCKET_PAIRS)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
+def _band_pairs(band: int) -> list[tuple[int, int]]:
+    """Disjoint (i, j) component pairs for one band (components 1..48 of 64)."""
+    base = band * 2 * BITS_PER_BAND
+    return [(base + 2 * p + 1, base + 2 * p + 2) for p in range(BITS_PER_BAND)]
+
+
+def _band_bucket(col: str, band: int) -> F.Column:
+    out = None
+    for p, (i, j) in enumerate(_band_pairs(band)):
+        bit = (F.element_at(F.col(col), i) > F.element_at(F.col(col), j)).cast("long") * (2 ** p)
+        out = bit if out is None else out + bit
     return out.cast("long")
 
 
+def _band_bucket_sql(band: int, col: str = "embedding") -> str:
+    return " + ".join(
+        f"({col}[{i}] > {col}[{j}])::INT * {2 ** p}"
+        for p, (i, j) in enumerate(_band_pairs(band))
+    )
+
+
+def _bands_index(e: DataFrame, id_col: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """Slim LSH index: one (id, band, bucket) row per band. Vectors are NOT
+    carried — 24 bytes/row shuffles instead of the 64-float embedding; the
+    scoring step joins vectors back by id."""
+    return e.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[_band_bucket(col, b) for b in range(N_BANDS)])
+        ).alias("band", "bucket"),
+    )
+
+
+def _idx_sql() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, CAST({_band_bucket_sql(b)} AS BIGINT) AS bucket FROM embeddings"
+        for b in range(N_BANDS)
+    )
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket histogram for the sign-projection LSH index."""
+    """Per-band bucket histogram for the banded sign-projection LSH index."""
     t = register_views(spark, sf_dir)
     return (
-        t["embeddings"]
-        .select(_bucket("embedding").alias("bucket"))
-        .groupBy("bucket")
+        _bands_index(t["embeddings"])
+        .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
-ORACLE_Q_ANN_LSH_BUCKETS = """
-SELECT CAST((embedding[1] > embedding[2])::INT
-     + (embedding[3] > embedding[4])::INT * 2
-     + (embedding[5] > embedding[6])::INT * 4
-     + (embedding[7] > embedding[8])::INT * 8 AS BIGINT) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM embeddings
-GROUP BY 1
+ORACLE_Q_ANN_LSH_BUCKETS = f"""
+SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM ({_idx_sql()})
+GROUP BY 1, 2
 """
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-3 per query, candidates restricted to the query's LSH bucket —
-    the equi-join scale path (bucket join instead of cross join)."""
+    """ANN top-3 per query: candidates collide with the query in ≥1 LSH band
+    (equi-join on (band, bucket) — never a cross join), then exact cosine on
+    the candidate set. The query-side index is broadcast, so the corpus never
+    shuffles; only slim (qid, neighbor_id) candidates do."""
     t = register_views(spark, sf_dir)
-    e = t["embeddings"].withColumn("bucket", _bucket("embedding"))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket")
+    e = t["embeddings"]
+    idx = _bands_index(e)
+    q_idx = idx.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "qid")
+    cand = (
+        idx.join(F.broadcast(q_idx), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_vec = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     sims = (
-        e.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine("qe", "embedding"), 4).alias("sim"),
-        )
+        cand.join(F.broadcast(q_vec), "qid")
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .select("qid", "neighbor_id", F.round(_cosine("qe", "embedding"), 4).alias("sim"))
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -136,20 +173,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q_ANN_LSH_TOPK = """
-WITH b AS (
-  SELECT vec_id, embedding,
-         (embedding[1] > embedding[2])::INT
-       + (embedding[3] > embedding[4])::INT * 2
-       + (embedding[5] > embedding[6])::INT * 4
-       + (embedding[7] > embedding[8])::INT * 8 AS bucket
-  FROM embeddings
-), q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+ORACLE_Q_ANN_LSH_TOPK = f"""
+WITH idx AS ({_idx_sql()}),
+cand AS (
+  SELECT DISTINCT qi.vec_id AS qid, ei.vec_id AS neighbor_id
+  FROM idx qi JOIN idx ei ON qi.band = ei.band AND qi.bucket = ei.bucket
+  WHERE qi.vec_id < 5 AND ei.vec_id <> qi.vec_id
+),
 sims AS (
-  SELECT q.qid, e.vec_id AS neighbor_id,
-         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
-  FROM b e JOIN q ON e.bucket = q.bucket
-  WHERE e.vec_id <> q.qid
+  SELECT c.qid, c.neighbor_id,
+         ROUND(list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 4) AS sim
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
 )
 SELECT qid, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
@@ -179,36 +215,47 @@ GROUP BY label
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates restricted to the
-    same LSH bucket (equi-join — never a cross join), verified by exact
-    cosine ≥ 0.99. The embedding-space flavor of MinHash dedup; at corpus
-    scale the bucket join keeps candidate pairs ~linear."""
+    """Embedding-cosine near-duplicate pairs: banded-LSH candidates (collide
+    in ≥1 of the 4×6-bit bands), verified by exact cosine ≥ 0.99 — the
+    embedding-space flavor of the MinHash band/row pipeline.
+
+    Scale shape: the slim (id, band, bucket) index shuffles on (band, bucket)
+    to build distinct candidate pairs (sub-quadratic: 64 buckets per band and
+    near-dups concentrate, unrelated vectors spread); only then do the two
+    vec_id-keyed joins pull full vectors for exact scoring, each a plain
+    shuffle-hash join on the id."""
     t = register_views(spark, sf_dir)
-    e = t["embeddings"].withColumn("bucket", _bucket("embedding"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
-    return (
-        a.join(b, "bucket")
+    e = t["embeddings"]
+    idx = _bands_index(e)
+    a = idx.withColumnRenamed("vec_id", "id_a")
+    b = idx.withColumnRenamed("vec_id", "id_b")
+    cand = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")), "id_a")
+        .join(e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")), "id_b")
         .withColumn("sim", F.round(_cosine("ea", "eb"), 4))
         .filter(F.col("sim") >= 0.99)
         .select("id_a", "id_b", "sim")
     )
 
 
-ORACLE_Q_DEDUP_EMBEDDING = """
-WITH b AS (
-  SELECT vec_id, embedding,
-         (embedding[1] > embedding[2])::INT
-       + (embedding[3] > embedding[4])::INT * 2
-       + (embedding[5] > embedding[6])::INT * 4
-       + (embedding[7] > embedding[8])::INT * 8 AS bucket
-  FROM embeddings
+ORACLE_Q_DEDUP_EMBEDDING = f"""
+WITH idx AS ({_idx_sql()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM idx a JOIN idx b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, e.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS sim
-FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) >= 0.99
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.99
 """
 
 
