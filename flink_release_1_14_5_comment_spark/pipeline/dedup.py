@@ -109,15 +109,15 @@ GROUP BY 1
 """
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: MinHash-banded candidates verified by exact Jaccard ≥ 0.4.
+def near_dup_pairs(sh: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from an (ideally persisted) shingle frame.
 
     The shingle and signature frames feed four plan branches (both sides of
     the candidate self-join + both verification joins) — persist them so the
     shingling/md5 map runs once, not five times. At cluster scale this is the
-    standard materialize-the-signatures step of every LSH pipeline.
+    standard materialize-the-signatures step of every LSH pipeline. Shared so
+    corpus_clean and the cluster query compose without recomputing shingles.
     """
-    sh = shingle_docs(spark, sf_dir).persist()
     sig = minhash_signatures(sh).persist()
     a = sig.alias("a")
     b = sig.alias("b")
@@ -148,6 +148,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash-banded candidates verified by exact Jaccard ≥ 0.4."""
+    return near_dup_pairs(shingle_docs(spark, sf_dir).persist())
 
 
 ORACLE_Q_DEDUP_MINHASH_LSH = r"""
@@ -336,8 +341,11 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_keep = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     survivors = quality.join(exact_keep, ["fp", "doc_id"])
+    # Reuse the shared shingle→pairs helper on a locally persisted shingle
+    # frame instead of re-invoking the standalone query (which would
+    # re-register views and re-shingle the corpus from scratch).
     near_dup_losers = (
-        q_dedup_minhash_lsh(spark, sf_dir)
+        near_dup_pairs(shingle_frame(docs).persist())
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -31,6 +31,10 @@ from flink_release_1_14_5_comment_spark.pipeline.dedup import q_dedup_minhash_ls
 # LSH + verification are a tiny fraction of the corpus (they are the
 # *output* of the pruning pipeline), so a single small collect beats
 # O(diameter) distributed rounds. Above it, the distributed loop runs.
+# Memory bound, not a tuning knob: 5M edges × 2 longs ≈ 80 MB+ of driver
+# heap as Python rows — well inside this rig's 48 GB driver, but on a
+# shared cluster driver size it down (or set 0 to force the distributed
+# path, which is the safe default when driver memory is unknown).
 DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
 
 
@@ -115,7 +119,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash pair graph → connected components →
     (doc_id, cluster representative, cluster size). The canonical "which
     docs to drop" output of a dedup pipeline."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Persist the pair graph: connected_components consumes it twice (the
+    # edge count that picks the strategy, then the collect/iteration) — one
+    # materialization of the full MinHash pipeline instead of two.
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     cc = connected_components(pairs, "doc_a", "doc_b")
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
