@@ -198,10 +198,18 @@ class Table:
         return Table(self._df.unionByName(other._df), self._env)
 
     def minus(self, other: "Table") -> "Table":
+        # Flink Table.minus has distinct-set semantics (duplicates removed);
+        # bag difference is minus_all (Table.java minus/minusAll contract).
+        return Table(self._df.subtract(other._df), self._env)
+
+    def minus_all(self, other: "Table") -> "Table":
         return Table(self._df.exceptAll(other._df), self._env)
 
     def intersect(self, other: "Table") -> "Table":
         return Table(self._df.intersect(other._df), self._env)
+
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self._df.intersectAll(other._df), self._env)
 
     def distinct(self) -> "Table":
         return Table(self._df.distinct(), self._env)

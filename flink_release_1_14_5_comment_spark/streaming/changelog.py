@@ -74,7 +74,7 @@ def changelog_normalize(df: DataFrame, pk: list[str], order_col: str) -> DataFra
     )
 
 
-def upsert_sink(changelog: DataFrame, pk: list[str], order_col: str, target_path: str) -> None:
+def upsert_sink(changelog: DataFrame, pk: list[str], order_col: str, target_path: str):
     """Materialize a streaming changelog into a keyed table at `target_path`
     via foreachBatch: per micro-batch, normalize the batch, union with the
     current table, and keep the newest row per key (SinkUpsertMaterializer
@@ -82,19 +82,22 @@ def upsert_sink(changelog: DataFrame, pk: list[str], order_col: str, target_path
     spark = changelog.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        normalized = changelog_normalize(batch, pk, order_col)
+        # Normalize ONCE over (current table ∪ raw batch) — never the batch
+        # alone. Pre-normalizing the batch would drop a key whose newest row
+        # in this batch is -D, and the delete could then never shadow an
+        # insert materialized by an earlier batch (SinkUpsertMaterializer
+        # propagates deletes across batches).
         try:
             current = spark.read.parquet(target_path)
-            merged = changelog_normalize(
-                current.unionByName(normalized, allowMissingColumns=True), pk, order_col
-            )
+            unioned = current.unionByName(batch, allowMissingColumns=True)
         except Exception:  # first batch: no table yet
-            merged = normalized
+            unioned = batch
+        merged = changelog_normalize(unioned, pk, order_col)
         merged.write.mode("overwrite").parquet(target_path + "_tmp")
         spark.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(target_path)
 
-    (changelog.writeStream.outputMode("update").foreachBatch(merge)
-     .option("checkpointLocation", target_path + "_ckpt").start())
+    return (changelog.writeStream.outputMode("update").foreachBatch(merge)
+            .option("checkpointLocation", target_path + "_ckpt").start())
 
 
 def infer_output_mode(has_agg: bool, has_watermark: bool, append_only_source: bool = True) -> str:

@@ -73,7 +73,11 @@ def dedup_keep_last(
         had_state = state.exists
         if had_state:
             prev = state.get
-            if best_micros <= prev[0]:
+            # Strict <: an equal-rowtime row arriving later REPLACES the
+            # stored winner — the same keep-last tie rule the within-batch
+            # stable sort applies (latest arrival wins on equal ts), matching
+            # the reference's keep-last deduplication.
+            if best_micros < prev[0]:
                 return
         state.update(tuple([best_micros] + [best[c] for c in value_cols]))
         if ttl_ms is not None:

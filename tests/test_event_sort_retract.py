@@ -51,13 +51,14 @@ def test_rowtime_sort_emits_in_order(spark, sf_dir):
 
 def _changelog(spark):
     rows = [
-        # key 1: +10, +5, retract the 10 (update to 12): net 17, cnt 2
+        # chunk 1 (seq 1-2)    chunk 2 (seq 3-4)      chunk 3 (seq 5-6)
+        # key 1: +10 | +5, -10 (max falls 10→5) | +12 → net 17, cnt 2
         (1, 10.0, "+I", 1),
-        (1, 5.0, "+I", 2),
-        (1, 10.0, "-U", 3),
-        (1, 12.0, "+U", 4),
-        # key 2: insert then delete → net 0, cnt 0
-        (2, 7.0, "+I", 5),
+        (2, 7.0, "+I", 2),
+        (1, 5.0, "+I", 3),
+        (1, 10.0, "-U", 4),
+        (1, 12.0, "+U", 5),
+        # key 2: deleted in a later batch than its insert → -D downstream
         (2, 7.0, "-D", 6),
     ]
     return spark.createDataFrame(rows, "k long, v double, __rowkind string, seq long")
@@ -80,11 +81,27 @@ def test_retract_agg_stream(spark):
     stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=3, order_col="seq")
     try:
         got = _mem(retract_agg_stream(stream, ["k"], "v"), mode="update").toPandas()
-        # final refreshed row per key
         final = got.sort_index().groupby("k").last()
         assert final.loc[1, "sum_value"] == 17.0 and final.loc[1, "cnt"] == 2
-        assert final.loc[2, "sum_value"] == 0.0 and final.loc[2, "cnt"] == 0
+        # fully-retracted group emits DELETE, not a zero-valued +U
+        assert final.loc[2, "__rowkind"] == "-D" and final.loc[2, "cnt"] == 0
         kinds = set(got["__rowkind"])
-        assert kinds <= {"+I", "+U"}
+        assert kinds <= {"+I", "+U", "-D"}
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_retract_agg_stream_minmax(spark):
+    """A retraction of the current MAX must fall back to the next value in
+    the multiset — the MaxWithRetractAggFunction case a plain accumulator
+    cannot answer."""
+    df = _changelog(spark)
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=3, order_col="seq")
+    try:
+        got = _mem(retract_agg_stream(stream, ["k"], "v"), mode="update").toPandas()
+        k1 = got[got["k"] == 1].sort_index()
+        # batch 1: {10}; batch 2: +5 then -10 → {5} (max falls); batch 3: +12
+        assert list(k1["max_value"]) == [10.0, 5.0, 12.0]
+        assert list(k1["min_value"]) == [10.0, 5.0, 5.0]
     finally:
         sources.cleanup(tmpdir)

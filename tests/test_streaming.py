@@ -149,6 +149,30 @@ def test_changelog_normalize_and_drop_update_before(spark):
     assert got == {(1, "b"), (3, "z")}  # key 2 deleted, key 1 upserted to b
 
 
+def test_upsert_sink_cross_batch_delete(spark, tmp_path):
+    """A -D arriving in a LATER micro-batch than its +I must remove the key
+    from the materialized table (SinkUpsertMaterializer propagates deletes;
+    round-2 ADVICE regression)."""
+    from flink_release_1_14_5_comment_spark.streaming.changelog import upsert_sink
+
+    rows = [
+        (1, "a", 1, "+I"), (2, "x", 2, "+I"),   # chunk 1
+        (1, "b", 3, "+U"), (2, "x", 4, "-D"),   # chunk 2: delete key 2
+    ]
+    df = spark.createDataFrame(rows, "k int, v string, seq int, __rowkind string")
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=2, order_col="seq")
+    target = str(tmp_path / "materialized")
+    try:
+        q = upsert_sink(stream, ["k"], "seq", target)
+        q.processAllAvailable()
+        q.stop()
+        final = {(r["k"], r["v"]) for r in
+                 spark.read.parquet(target).select("k", "v").collect()}
+        assert final == {(1, "b")}  # key 2 deleted, not resurrected
+    finally:
+        sources.cleanup(tmpdir)
+
+
 def test_watermark_ddl_translation(spark, sf_dir):
     assert parse_watermark_ddl("WATERMARK FOR ts AS ts - INTERVAL '5' SECOND") == ("ts", "5 second")
     ev = _events(spark, sf_dir, 10)
