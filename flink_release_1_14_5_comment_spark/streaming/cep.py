@@ -1,26 +1,37 @@
 """Streaming CEP: NFA-based pattern matching over keyed streams
 (SURVEY §2.9; reference flink-cep — NFA.java:86, Pattern.java:50,
-CepOperator.java:81; SQL bridge StreamExecMatch.java:89).
+CepOperator.java:81; SQL bridge StreamExecMatch.java:89; skip strategies
+AfterMatchSkipStrategy.java).
 
 A `Pattern` is a sequence of named steps with per-step predicates (pandas
-row → bool), strict contiguity OFF (Flink's `followedBy` relaxed-contiguity
-default for MATCH_RECOGNIZE-style skips), an optional `within` horizon, and
-after-match SKIP_PAST_LAST_EVENT semantics.
+row → bool) and quantifiers — ``one_or_more`` (min 1, unbounded),
+``times(n[, m])`` (bounded repetition), ``optional`` (min 0) — relaxed
+contiguity throughout (Flink's `followedBy`), an optional `within` horizon,
+and a configurable after-match skip strategy.
 
 Runtime: one keyed stateful op (`applyInPandasWithState`). State = the set
-of partial NFA runs per key (step index + first-event timestamp + captured
-event ids). Each micro-batch advances runs event-by-event in timestamp
-order — the same per-element NFA stepping CepOperator does, batched by
-micro-batch. Completed matches are emitted with their captured event ids.
+of partial NFA runs per key (current step, occurrence count at that step,
+first-event timestamp, captured (step, id, ts, values) events), serialized
+as JSON. Each micro-batch advances runs event-by-event in timestamp order —
+the same per-element NFA stepping CepOperator does, batched per micro-batch.
+
+Determinization (documented divergences from the reference's
+non-deterministic shared-buffer NFA, which emits EVERY combination):
+  * an event advances at most one run (earliest-run priority), and a
+    looping step absorbs greedily BEFORE later steps are tried;
+  * a match is emitted as soon as the run can complete (remaining steps all
+    optional) — trailing optional/unbounded steps match their shortest form;
+  * SKIP TO FIRST/LAST prune runs that started before the skip point but do
+    not re-seed runs from already-consumed events.
 
 Scale: runs-per-key is bounded by (pattern length × events inside the
 `within` horizon); expired runs are pruned every batch, so state stays
-O(active windows), matching the reference's NFA state pruning ("within"
-timeout, NFA.java advanceTime).
+O(active windows), matching the reference's NFA pruning (NFA.advanceTime).
 """
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
 
@@ -28,18 +39,32 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# After-match skip strategies (AfterMatchSkipStrategy.java).
+NO_SKIP = "no_skip"
+SKIP_TO_NEXT = "skip_to_next"
+SKIP_PAST_LAST = "skip_past_last"
+SKIP_TO_FIRST = "skip_to_first"   # use ("skip_to_first", "VAR")
+SKIP_TO_LAST = "skip_to_last"     # use ("skip_to_last", "VAR")
+
+# MEASURES aggregates → output Spark type ('@src' = the source column type).
+_MEASURE_TYPES = {
+    "count": "long", "sum": "double", "avg": "double",
+    "first": "@src", "last": "@src", "min": "@src", "max": "@src",
+}
+
 
 @dataclass
 class Step:
     name: str
     where: Callable[[pd.Series], bool]
-    one_or_more: bool = False  # Pattern.oneOrMore() quantifier (greedy)
+    min_occurs: int = 1
+    max_occurs: int | None = 1  # None = unbounded
 
 
 @dataclass
 class Pattern:
-    """Fluent pattern builder (reference Pattern.java:50 subset:
-    begin/followedBy/oneOrMore/within)."""
+    """Fluent pattern builder (reference Pattern.java:50 quantifier surface:
+    begin/followedBy/oneOrMore/times/optional/within)."""
 
     steps: list[Step] = field(default_factory=list)
     within_seconds: float | None = None
@@ -53,13 +78,38 @@ class Pattern:
         return self
 
     def one_or_more(self) -> "Pattern":
-        """Apply a one-or-more quantifier to the last step (Pattern.oneOrMore)."""
-        self.steps[-1].one_or_more = True
+        """One-or-more quantifier on the last step (Pattern.oneOrMore)."""
+        self.steps[-1].min_occurs = 1
+        self.steps[-1].max_occurs = None
+        return self
+
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """Exactly n (or n..m) occurrences of the last step (Pattern.times)."""
+        if n < 1 or (m is not None and m < n):
+            raise ValueError(f"invalid times({n}, {m})")
+        self.steps[-1].min_occurs = n
+        self.steps[-1].max_occurs = m if m is not None else n
+        return self
+
+    def optional(self) -> "Pattern":
+        """The last step may be skipped entirely (Pattern.optional)."""
+        self.steps[-1].min_occurs = 0
         return self
 
     def within(self, seconds: float) -> "Pattern":
         self.within_seconds = seconds
         return self
+
+
+def _parse_skip(after_match) -> tuple[str, str | None]:
+    if isinstance(after_match, tuple):
+        strategy, var = after_match
+        if strategy not in (SKIP_TO_FIRST, SKIP_TO_LAST):
+            raise ValueError(f"unknown skip strategy: {after_match!r}")
+        return strategy, var
+    if after_match not in (NO_SKIP, SKIP_TO_NEXT, SKIP_PAST_LAST):
+        raise ValueError(f"unknown skip strategy: {after_match!r}")
+    return after_match, None
 
 
 def cep(
@@ -68,86 +118,161 @@ def cep(
     key_cols: list[str],
     ts_col: str,
     id_col: str,
+    after_match: str | tuple[str, str] = SKIP_PAST_LAST,
+    measures: dict[str, tuple[str, str, str | None]] | None = None,
 ) -> DataFrame:
     """Match `pattern` per key; emit one row per completed match:
-    key_cols + [match_start ts, match_end ts, step ids as array<long>]."""
+    key_cols + [match_start, match_end, step_ids] + one column per measure.
+
+    ``measures``: {out_name: (agg, var, col)} with agg in
+    first/last/min/max/sum/count/avg computed over the events captured by
+    pattern variable ``var`` (col=None for count) — the MEASURES projection
+    of MATCH_RECOGNIZE, evaluated at match completion from captured values.
+    """
+    strategy, skip_var = _parse_skip(after_match)
+    measures = measures or {}
     dtypes = dict(df.dtypes)
+    step_names = [s.name for s in pattern.steps]
+    if skip_var is not None and skip_var not in step_names:
+        raise ValueError(f"skip variable {skip_var!r} not a pattern step")
+    # columns whose values must be captured in run state for MEASURES
+    need_cols = sorted({col for (_agg, _var, col) in measures.values() if col})
+    measure_fields = []
+    for out_name, (agg, var, col) in measures.items():
+        if agg not in _MEASURE_TYPES:
+            raise ValueError(f"unsupported measure aggregate: {agg!r}")
+        if var not in step_names:
+            raise ValueError(f"measure variable {var!r} not a pattern step")
+        out_t = _MEASURE_TYPES[agg]
+        measure_fields.append(f"{out_name} {dtypes[col] if out_t == '@src' else out_t}")
     out_schema = ", ".join(
         [f"{c} {dtypes[c]}" for c in key_cols]
         + ["match_start " + dtypes[ts_col], "match_end " + dtypes[ts_col],
            "step_ids array<long>"]
+        + measure_fields
     )
-    # Runs serialized as parallel arrays: step index, start micros, captured ids (flattened).
-    state_schema = "steps array<int>, starts array<bigint>, captured array<string>"
-    n_steps = len(pattern.steps)
+    state_schema = "runs array<string>"
+    steps = pattern.steps
+    n_steps = len(steps)
     horizon = pattern.within_seconds
     n_keys = len(key_cols)
+    measure_names = list(measures.keys())
+
+    def consume(run: dict, step_idx: int, row: pd.Series, t_micros: int) -> None:
+        vals = [None if pd.isna(row[c]) else
+                (row[c].item() if hasattr(row[c], "item") else row[c])
+                for c in need_cols]
+        run["ev"].append([step_idx, int(row[id_col]), t_micros, vals])
+
+    def feed(run: dict, row: pd.Series, t_micros: int) -> bool:
+        """Try to let `run` consume the event; True if consumed."""
+        i, c = run["s"], run["c"]
+        st = steps[i]
+        # greedy: a looping step absorbs before later steps are tried
+        if c >= 1 and (st.max_occurs is None or c < st.max_occurs) and st.where(row):
+            run["c"] = c + 1
+            consume(run, i, row, t_micros)
+            return True
+        if c >= 1 and c < st.min_occurs:
+            return False  # current step not yet satisfied; cannot move on
+        j = i + 1 if c >= 1 else i
+        while j < n_steps:
+            sj = steps[j]
+            if sj.where(row):
+                run["s"], run["c"] = j, 1
+                consume(run, j, row, t_micros)
+                return True
+            if sj.min_occurs == 0:
+                j += 1  # optional step skipped over
+                continue
+            break
+        return False
+
+    def is_complete(run: dict) -> bool:
+        i, c = run["s"], run["c"]
+        if c < steps[i].min_occurs:
+            return False
+        return all(s.min_occurs == 0 for s in steps[i + 1:])
+
+    def var_ts(run: dict, var: str, first: bool) -> int:
+        idxs = [e[2] for e in run["ev"] if step_names[e[0]] == var]
+        return (min(idxs) if first else max(idxs)) if idxs else run["t0"]
+
+    def compute_measures(run: dict) -> list:
+        out = []
+        for name in measure_names:
+            agg, var, col = measures[name]
+            ev = [e for e in run["ev"] if step_names[e[0]] == var]
+            if agg == "count":
+                out.append(len(ev))
+                continue
+            vals = [e[3][need_cols.index(col)] for e in ev]
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                out.append(None)
+            elif agg == "first":
+                out.append(vals[0])
+            elif agg == "last":
+                out.append(vals[-1])
+            elif agg == "min":
+                out.append(min(vals))
+            elif agg == "max":
+                out.append(max(vals))
+            elif agg == "sum":
+                out.append(float(sum(vals)))
+            elif agg == "avg":
+                out.append(float(sum(vals)) / len(vals))
+        return out
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(pdfs), ignore_index=True)
         if batch.empty:
             return
         batch = batch.sort_values([ts_col, id_col], kind="stable")
-        if state.exists:
-            steps, starts, captured = state.get
-            runs = [
-                {"step": steps[i], "start": starts[i],
-                 "ids": [int(x) for x in captured[i].split(",") if x != ""]}
-                for i in range(len(steps))
-            ]
-        else:
-            runs = []
-        matches = []
+        runs: list[dict] = [json.loads(r) for r in state.get[0]] if state.exists else []
+        matches: list[tuple[int, int, list, list]] = []
         for _, row in batch.iterrows():
             t_micros = int(pd.Timestamp(row[ts_col]).value // 1000)
-            # prune expired runs (reference: NFA advanceTime pruning)
             if horizon is not None:
-                runs = [r for r in runs if t_micros - r["start"] <= horizon * 1e6]
-            # try to advance existing runs (earliest-first = reference's
-            # priority order), then maybe start a new run
-            advanced = False
+                runs = [r for r in runs if t_micros - r["t0"] <= horizon * 1e6]
+            consumed_by: dict | None = None
             for r in runs:
-                if r["step"] >= n_steps:
-                    continue
-                # advance to the next step...
-                if pattern.steps[r["step"]].where(row):
-                    r["step"] += 1
-                    r["ids"].append(int(row[id_col]))
-                    advanced = True
-                    if r["step"] == n_steps:
-                        matches.append((r["start"], t_micros, r["ids"]))
+                if feed(r, row, t_micros):
+                    consumed_by = r
                     break  # one event advances at most one run (no-reuse)
-                # ...or absorb into the previous step's one-or-more loop
-                if (
-                    r["step"] > 0
-                    and pattern.steps[r["step"] - 1].one_or_more
-                    and pattern.steps[r["step"] - 1].where(row)
-                ):
-                    r["ids"].append(int(row[id_col]))
-                    advanced = True
-                    break
-            if not advanced and pattern.steps[0].where(row):
-                run = {"step": 1, "start": t_micros, "ids": [int(row[id_col])]}
-                if n_steps == 1:
-                    matches.append((t_micros, t_micros, run["ids"]))
-                else:
-                    runs.append(run)
-            # SKIP_PAST_LAST_EVENT: drop runs consumed into a match
-            runs = [r for r in runs if r["step"] < n_steps]
-        state.update((
-            [r["step"] for r in runs],
-            [r["start"] for r in runs],
-            [",".join(str(i) for i in r["ids"]) for r in runs],
-        ))
+            if consumed_by is None and steps[0].where(row):
+                run = {"s": 0, "c": 1, "t0": t_micros, "ev": []}
+                consume(run, 0, row, t_micros)
+                runs.append(run)
+                consumed_by = run
+            if consumed_by is not None and is_complete(consumed_by):
+                m = consumed_by
+                matches.append((m["t0"], t_micros, [e[1] for e in m["ev"]],
+                                compute_measures(m)))
+                runs.remove(m)
+                # after-match skip strategy (AfterMatchSkipStrategy.java)
+                if strategy == SKIP_PAST_LAST:
+                    # prune EVERY run that began at or before the match end —
+                    # overlapping partials must not emit overlapping matches
+                    runs = [r for r in runs if r["t0"] > t_micros]
+                elif strategy == SKIP_TO_NEXT:
+                    runs = [r for r in runs if r["t0"] > m["t0"]]
+                elif strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                    cut = var_ts(m, skip_var, first=(strategy == SKIP_TO_FIRST))
+                    runs = [r for r in runs if r["t0"] >= cut]
+                # NO_SKIP: other partial runs keep going untouched
+        state.update(([json.dumps(r) for r in runs],))
         if matches:
             out = pd.DataFrame({
                 "match_start": [pd.Timestamp(m[0] * 1000) for m in matches],
                 "match_end": [pd.Timestamp(m[1] * 1000) for m in matches],
                 "step_ids": [m[2] for m in matches],
             })
+            for mi, name in enumerate(measure_names):
+                out[name] = [m[3][mi] for m in matches]
             for i in range(n_keys):
                 out[key_cols[i]] = key[i]
-            yield out[key_cols + ["match_start", "match_end", "step_ids"]]
+            yield out[key_cols + ["match_start", "match_end", "step_ids"] + measure_names]
 
     return (
         df.groupBy(*key_cols)

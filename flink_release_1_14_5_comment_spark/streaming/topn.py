@@ -1,17 +1,22 @@
 """Incremental streaming Top-N per key (SURVEY §2.6; reference
-AppendOnlyTopNFunction.java:248 — append-only input, state = sorted top-N
-buffer per key, emit on change).
+AppendOnlyTopNFunction.java:248, UpdatableTopNFunction.java,
+RetractableTopNFunction.java; strategy choice RankProcessStrategy.java:54-110).
 
-Spark has no streaming rank; implemented as a keyed stateful op
-(`applyInPandasWithState`): state keeps the current top-N (sort value +
-payload); each micro-batch merges its rows, and rows that enter the top-N are
-emitted with their (1-based) current rank. Emission policy matches the
-reference's no-retraction "output only improvements" fast path: a row is
-emitted when it joins the top-N; displaced rows are not retracted (use the
-changelog module's conventions if a sink needs -U/-D).
+Spark has no streaming rank; implemented as keyed stateful ops
+(`applyInPandasWithState`):
 
-Scale: state is N rows per key (bounded); shuffle is hash(key); identical to
-the reference's keyed-state layout.
+* ``streaming_topn`` — AppendOnly strategy: insert-only input, state is the
+  bounded top-N buffer, emit on admission, no retractions.
+* ``changelog_topn`` — Updatable + Retractable strategies: input is a
+  changelog (+I/+U upsert by row key, -U/-D delete by row key); state keeps
+  ALL live rows per key (the reference's RetractableTopNFunction keeps the
+  same full TreeMap state — a retraction of a top row must promote the next
+  best from below, which a bounded buffer cannot answer); output is itself a
+  changelog of the top-N region (+I enter, +U rank/value change, -D leave).
+
+Scale: AppendOnly state is N rows per key; changelog state is live-rows per
+key (identical to the reference's retractable state bound). Shuffle is
+hash(key) in both.
 """
 
 from __future__ import annotations
@@ -112,6 +117,86 @@ def streaming_topn(
             out[key_cols[i]] = key[i]
         out["rank"] = out[id_col].map(rank_of).astype("int32")
         yield out[key_cols + [id_col, order_col, "rank"]]
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def changelog_topn(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    id_col: str,
+    n: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-N over a CHANGELOG input (reference UpdatableTopNFunction.java /
+    RetractableTopNFunction.java; RankProcessStrategy picks by input trait).
+
+    Input rows carry ``__rowkind``: '+I'/'+U' upsert the row keyed by
+    ``id_col`` (Updatable path — no -U required), '-U'/'-D' remove it
+    (Retractable path). State holds every live (id, value) per key: when a
+    retraction evicts a top row, the next-best must be promoted from below,
+    which only full state can answer (the reference stores the same).
+
+    Output is a changelog of the top-N region: '+I' when a row enters,
+    '+U' when its rank or value changes, '-D' when it leaves. Ties break to
+    lower id, matching the batch rank operator.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + [f"{id_col} {dtypes[id_col]}", f"{order_col} {dtypes[order_col]}",
+           "rank int", "__rowkind string"]
+    )
+    state_schema = f"ids array<{dtypes[id_col]}>, vals array<{dtypes[order_col]}>"
+    n_keys = len(key_cols)
+
+    def top(live: dict) -> list:
+        """[(id, val)] of the current top-n, rank order."""
+        items = sorted(live.items(),
+                       key=lambda kv: (-kv[1] if descending else kv[1], kv[0]))
+        return items[:n]
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        if state.exists:
+            ids, vals = state.get
+            live = dict(zip(list(ids), list(vals)))
+        else:
+            live = {}
+        old_top = top(live)
+        for _, row in batch.iterrows():
+            rid = row[id_col]
+            if row["__rowkind"] in ("-U", "-D"):
+                live.pop(rid, None)
+            else:
+                live[rid] = row[order_col]
+        new_top = top(live)
+        state.update((list(live.keys()), list(live.values())))
+        old_rank = {i: (r + 1, v) for r, (i, v) in enumerate(old_top)}
+        new_rank = {i: (r + 1, v) for r, (i, v) in enumerate(new_top)}
+        out_rows = []
+        keyd = {key_cols[i]: key[i] for i in range(n_keys)}
+        for rid, (rk, v) in new_rank.items():
+            if rid not in old_rank:
+                out_rows.append({**keyd, id_col: rid, order_col: v,
+                                 "rank": rk, "__rowkind": "+I"})
+            elif old_rank[rid] != (rk, v):
+                out_rows.append({**keyd, id_col: rid, order_col: v,
+                                 "rank": rk, "__rowkind": "+U"})
+        for rid, (rk, v) in old_rank.items():
+            if rid not in new_rank:
+                out_rows.append({**keyd, id_col: rid, order_col: v,
+                                 "rank": rk, "__rowkind": "-D"})
+        if out_rows:
+            out = pd.DataFrame(out_rows)
+            out["rank"] = out["rank"].astype("int32")
+            yield out[key_cols + [id_col, order_col, "rank", "__rowkind"]]
 
     return (
         df.groupBy(*key_cols)

@@ -123,6 +123,172 @@ def test_one_or_more_quantifier(spark):
         sources.cleanup(tmpdir)
 
 
+def _run_pattern(spark, df, pattern, **kw):
+    import uuid
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=1)
+    try:
+        out = cep(stream, pattern, ["user_id"], "ts", "event_id", **kw)
+        name = "t" + uuid.uuid4().hex[:10]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.table(name).toPandas()
+    finally:
+        sources.cleanup(tmpdir)
+
+
+_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+
+def _ev(eid, minute, etype, value=0.0, uid=1):
+    return (eid, uid, _ts(minute), etype, value)
+
+
+def test_times_quantifier(spark):
+    """V C{2} P: exactly two clicks required (Pattern.times)."""
+    pat = (Pattern.begin("v", lambda r: r["event_type"] == "view")
+           .followed_by("c", lambda r: r["event_type"] == "click").times(2)
+           .followed_by("p", lambda r: r["event_type"] == "purchase"))
+    ok = spark.createDataFrame(
+        [_ev(1, 1, "view"), _ev(2, 2, "click"), _ev(3, 3, "click"), _ev(4, 4, "purchase")],
+        _SCHEMA)
+    got = _run_pattern(spark, ok, pat)
+    assert len(got) == 1 and list(got.iloc[0]["step_ids"]) == [1, 2, 3, 4]
+    # only one click → the purchase cannot close the pattern
+    short = spark.createDataFrame(
+        [_ev(1, 1, "view"), _ev(2, 2, "click"), _ev(3, 3, "purchase")], _SCHEMA)
+    assert len(_run_pattern(spark, short, pat)) == 0
+
+
+def test_optional_quantifier(spark):
+    """V C? P: interior optional may be skipped or taken (Pattern.optional)."""
+    pat = (Pattern.begin("v", lambda r: r["event_type"] == "view")
+           .followed_by("c", lambda r: r["event_type"] == "click").optional()
+           .followed_by("p", lambda r: r["event_type"] == "purchase"))
+    skipped = spark.createDataFrame(
+        [_ev(1, 1, "view"), _ev(2, 2, "purchase")], _SCHEMA)
+    got = _run_pattern(spark, skipped, pat)
+    assert len(got) == 1 and list(got.iloc[0]["step_ids"]) == [1, 2]
+    taken = spark.createDataFrame(
+        [_ev(1, 1, "view"), _ev(2, 2, "click"), _ev(3, 3, "purchase")], _SCHEMA)
+    got = _run_pattern(spark, taken, pat)
+    assert len(got) == 1 and list(got.iloc[0]["step_ids"]) == [1, 2, 3]
+
+
+def _overlap_events(spark):
+    return spark.createDataFrame(
+        [_ev(1, 1, "view"), _ev(2, 2, "view"), _ev(3, 3, "click"),
+         _ev(4, 4, "purchase"), _ev(5, 5, "click"), _ev(6, 6, "purchase")],
+        _SCHEMA)
+
+
+def _vcp():
+    return (Pattern.begin("v", lambda r: r["event_type"] == "view")
+            .followed_by("c", lambda r: r["event_type"] == "click")
+            .followed_by("p", lambda r: r["event_type"] == "purchase"))
+
+
+def test_skip_past_last_prunes_overlapping_runs(spark):
+    """After a match, partial runs that began before the match end must not
+    produce overlapping matches (round-2 ADVICE regression)."""
+    got = _run_pattern(spark, _overlap_events(spark), _vcp(), after_match="skip_past_last")
+    assert len(got) == 1 and list(got.iloc[0]["step_ids"]) == [1, 3, 4]
+
+
+def test_no_skip_keeps_overlapping_runs(spark):
+    got = _run_pattern(spark, _overlap_events(spark), _vcp(), after_match="no_skip")
+    ids = sorted(tuple(r) for r in got["step_ids"])
+    assert ids == [(1, 3, 4), (2, 5, 6)]
+
+
+def test_skip_to_first_var(spark):
+    """SKIP TO FIRST c: runs started at/after the first click survive."""
+    rows = [_ev(1, 1, "view"), _ev(2, 2, "click"), _ev(3, 3, "view"),
+            _ev(4, 4, "purchase"), _ev(5, 5, "click"), _ev(6, 6, "purchase")]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    # match 1 = [1,2,4]; the view at ts3 started AFTER first click (ts2) → kept,
+    # completes with click5/purchase6 = [3,5,6]
+    got = _run_pattern(spark, df, _vcp(), after_match=("skip_to_first", "c"))
+    ids = sorted(tuple(r) for r in got["step_ids"])
+    assert ids == [(1, 2, 4), (3, 5, 6)]
+    # under skip_past_last the second view (ts3 <= match end ts4) is pruned
+    got2 = _run_pattern(spark, df, _vcp(), after_match="skip_past_last")
+    assert sorted(tuple(r) for r in got2["step_ids"]) == [(1, 2, 4)]
+
+
+def test_measures_end_to_end(spark):
+    """MATCH_RECOGNIZE with MEASURES + quantifier + AFTER MATCH clause."""
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import match_recognize
+    import uuid
+
+    rows = [_ev(1, 1, "view", 1.0), _ev(2, 2, "click", 10.0),
+            _ev(3, 3, "click", 20.0), _ev(4, 4, "purchase", 99.0)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=1)
+    try:
+        out = match_recognize(
+            stream, ["user_id"], "ts", "V C+ P",
+            define={"V": "event_type = 'view'", "C": "event_type = 'click'",
+                    "P": "event_type = 'purchase'"},
+            measures={"n_clicks": "COUNT(C)", "sum_click_val": "SUM(C.value)",
+                      "first_click_val": "FIRST(C.value)",
+                      "last_click_val": "LAST(C.value)",
+                      "purchase_val": "MAX(P.value)"},
+            after_match="SKIP PAST LAST ROW",
+            id_col="event_id", within_seconds=3600,
+        )
+        name = "t" + uuid.uuid4().hex[:10]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.table(name).toPandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert r["n_clicks"] == 2 and r["sum_click_val"] == 30.0
+        assert r["first_click_val"] == 10.0 and r["last_click_val"] == 20.0
+        assert r["purchase_val"] == 99.0
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_match_recognize_quantifier_parsing(spark):
+    """{n} / {n,m} / ? suffixes reach the Pattern builder."""
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import (
+        match_recognize, parse_after_match, parse_measure,
+    )
+
+    assert parse_measure("SUM(C.value)") == ("sum", "C", "value")
+    assert parse_measure("COUNT(C)") == ("count", "C", None)
+    assert parse_measure("COUNT(C.*)") == ("count", "C", None)
+    assert parse_after_match("SKIP TO LAST C") == ("skip_to_last", "C")
+    assert parse_after_match("NO SKIP") == "no_skip"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_measure("MEDIAN(C.value)")
+
+    rows = [_ev(1, 1, "view"), _ev(2, 2, "click"), _ev(3, 3, "click"),
+            _ev(4, 4, "purchase")]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    import uuid
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=1)
+    try:
+        out = match_recognize(
+            stream, ["user_id"], "ts", "V C{2} P?",
+            define={"V": "event_type = 'view'", "C": "event_type = 'click'",
+                    "P": "event_type = 'purchase'"},
+            id_col="event_id",
+        )
+        name = "t" + uuid.uuid4().hex[:10]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.table(name).toPandas()
+        # trailing optional is reluctant (documented): match closes at C{2}
+        assert len(got) == 1 and list(got.iloc[0]["step_ids"]) == [1, 2, 3]
+    finally:
+        sources.cleanup(tmpdir)
+
+
 def test_match_recognize_define_parsing():
     from flink_release_1_14_5_comment_spark.streaming.match_recognize import compile_predicate
     import pandas as pd

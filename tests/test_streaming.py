@@ -133,6 +133,41 @@ def test_streaming_topn(spark, sf_dir):
         sources.cleanup(tmpdir)
 
 
+def test_changelog_topn_retractable(spark):
+    """Changelog input drives the Updatable/Retractable Top-N: a delete of
+    the current #1 promotes the next-best from below full state, an upsert
+    re-ranks, and the output changelog carries +I/+U/-D."""
+    from flink_release_1_14_5_comment_spark.streaming.topn import changelog_topn
+
+    rows = [
+        # chunk 1: three inserts, top-2 = id2(20), id1(10)
+        (1, 10, 10.0, "+I", 1), (1, 20, 20.0, "+I", 2), (1, 30, 5.0, "+I", 3),
+        # chunk 2: delete the leader → id1 promoted, id30 enters
+        (1, 20, 20.0, "-D", 4), (1, 99, 1.0, "+I", 5),
+        # chunk 3: upsert id30 to 50 → takes rank 1
+        (1, 30, 50.0, "+U", 6),
+    ]
+    df = spark.createDataFrame(rows, "k long, rid long, v double, __rowkind string, seq long")
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=3, order_col="seq")
+    try:
+        out = changelog_topn(stream, ["k"], "v", "rid", n=2)
+        got = _run_stream(out, mode="update").toPandas()
+        # replay the emitted changelog: final top-2 must be id30(50) r1, id10(10) r2
+        final: dict = {}
+        for _, r in got.iterrows():
+            if r["__rowkind"] == "-D":
+                final.pop(r["rid"], None)
+            else:
+                final[r["rid"]] = (r["rank"], r["v"])
+        assert final == {30: (1, 50.0), 10: (2, 10.0)}
+        # the -D for the deleted leader was emitted
+        assert ((got["rid"] == 20) & (got["__rowkind"] == "-D")).any()
+        # id1's promotion to rank 1 after the delete was emitted as +U
+        assert ((got["rid"] == 10) & (got["__rowkind"] == "+U") & (got["rank"] == 1)).any()
+    finally:
+        sources.cleanup(tmpdir)
+
+
 def test_changelog_normalize_and_drop_update_before(spark):
     rows = [
         (1, "a", 1, INSERT),
