@@ -21,6 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from flink_release_1_14_5_comment_spark.operators import (
+        analytic_shapes,
         patterns,
         relational,
         relational_ext,
@@ -40,7 +41,7 @@ def _modules():
     # largest relational family last — its tail overflows the window, not the
     # pipeline queries.
     return [dedup, graph, similarity, text_analysis, multimodal,
-            time_windows, temporal_joins, patterns,
+            time_windows, temporal_joins, patterns, analytic_shapes,
             relational_ext, relational]
 
 

@@ -1,0 +1,151 @@
+"""TPC-DS-breadth analytic query shapes (SURVEY §2; the reference's flagship
+batch gate runs 103 TPC-DS queries — TpcdsTestProgram.java:76-87 — whose
+defining shapes are deep multi-join pipelines, correlated subqueries, and
+multi-level grouping. These queries compose those shapes over the TPC-H-ish
+testdata so the planner surface they exercise is graded by the oracle gate.)
+
+Scale notes (100 TB):
+* Every query joins facts (lineitem/orders) on their natural keys — one
+  hash-shuffle per fact side, dims broadcast (catalog.py threshold).
+* Correlated EXISTS/NOT EXISTS decorrelate to semi/anti hash joins in
+  Catalyst (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery) —
+  the same rewrite the reference's planner does (FlinkSubQueryRemoveRule).
+* The grouping-sets query expands once (Expand) then aggregates partial →
+  final; no per-set re-scan.
+* The market-share query computes the window over the AGGREGATED frame
+  (one row per (region, nation)) — the window never sees fact-table rows.
+
+Determinism: sums rounded to 2dp; averages expressed as round(sum)/count
+(never round(avg)); counts cast to BIGINT; rankings carry a unique
+tiebreaker; share ratios left unrounded (division of bit-identical doubles
+is bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+# {gid} differs: Spark grouping_id(...) vs DuckDB GROUPING(...).
+_ROLLUP_SQL = """
+WITH base AS (
+  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+)
+SELECT n_name, yr, CAST({gid} AS BIGINT) AS gid,
+       round(SUM(rev), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM base
+GROUP BY GROUPING SETS ((n_name, yr), (n_name), ())
+"""
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = c.c_custkey
+          AND l.l_returnflag = 'R'
+          AND l.l_extendedprice > 40000)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = c.c_custkey
+          AND o2.o_orderstatus = 'P')
+"""
+
+_CORRELATED_SCALAR_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT round(SUM(c2.c_acctbal), 2) / COUNT(*)
+        FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+_FACT_FACT_SQL = """
+SELECT o_orderpriority, l_linestatus,
+       round(SUM(l_quantity), 2) AS total_qty,
+       round(SUM(l_extendedprice), 2) AS total_price,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_linestatus
+HAVING COUNT(*) > 10
+"""
+
+_MARKET_SHARE_SQL = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey   = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, revenue,
+       -- denominator summed as DECIMAL: exact and order-independent, so the
+       -- double division is bit-identical across engines (a double window
+       -- SUM differs in the last ulp because partition order differs)
+       revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                      OVER (PARTITION BY r_name) AS DOUBLE) AS share,
+       CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+                               ORDER BY revenue DESC, n_name) AS BIGINT) AS rk
+FROM rev
+"""
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+def q_sales_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table join + GROUPING SETS at three levels with grouping id."""
+    return _sql(spark, sf_dir, _ROLLUP_SQL.format(gid="grouping_id(n_name, yr)"))
+
+
+def q_exists_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (join inside) + correlated NOT EXISTS — Catalyst
+    decorrelates to a semi join plus an anti join on c_custkey."""
+    return _sql(spark, sf_dir, _EXISTS_SQL)
+
+
+def q_above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's mean
+    balance (mean as round(sum)/count for cross-engine bit-equality)."""
+    return _sql(spark, sf_dir, _CORRELATED_SCALAR_SQL)
+
+
+def q_fact_fact_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with composite group-by, COUNT(DISTINCT), HAVING."""
+    return _sql(spark, sf_dir, _FACT_FACT_SQL)
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate then window: each nation's revenue share + rank within its
+    region (TPC-H Q8's market-share shape, window over the agg output)."""
+    return _sql(spark, sf_dir, _MARKET_SHARE_SQL)
+
+
+QUERIES = {
+    "sales_rollup_nation_year": q_sales_rollup_nation_year,
+    "exists_returned_customers": q_exists_returned_customers,
+    "above_nation_avg_balance": q_above_nation_avg_balance,
+    "fact_fact_priority_status": q_fact_fact_priority_status,
+    "nation_market_share": q_nation_market_share,
+}
+
+ORACLE = {
+    "sales_rollup_nation_year": _ROLLUP_SQL.format(gid="GROUPING(n_name, yr)"),
+    "exists_returned_customers": _EXISTS_SQL,
+    "above_nation_avg_balance": _CORRELATED_SCALAR_SQL,
+    "fact_fact_priority_status": _FACT_FACT_SQL,
+    "nation_market_share": _MARKET_SHARE_SQL,
+}
