@@ -23,6 +23,15 @@ from flink_release_1_14_5_comment_spark.catalog import register_views
 N_QUERIES = 5
 TOP_K = 5
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """The embeddings table arrives as one parquet file → one partition; the
+    per-vector expression work (24 sign bits, 64-dim cosine folds) would run
+    single-threaded without an explicit repartition. On a cluster the same
+    spread distributes the scan across executors."""
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    return df.repartition(n)
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
     "cast(0.0 as double), (acc, v) -> acc + v)"
@@ -39,7 +48,7 @@ def _cosine(a: str, b: str) -> F.Column:
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors vec_id < 5."""
     t = register_views(spark, sf_dir)
-    e = t["embeddings"]
+    e = _spread(t["embeddings"])
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -74,22 +83,32 @@ WHERE rn <= 5
 """
 
 
-# Banded sign-projection LSH: N_BANDS bands × BITS_PER_BAND bits, 24 disjoint
-# deterministic component comparisons (1-based in both engines). Two vectors
-# are candidates when they collide in ANY band (OR-amplification) — the same
-# band/row structure the MinHash pipeline uses (dedup.py), so candidate count
-# per bucket stays sub-quadratic: each band hashes into 2^6 = 64 buckets and
-# near-duplicates agree on most signs, while unrelated vectors spread out.
-# Round-1 review flagged the previous single-band 4-bit variant (16 buckets)
-# as all-pairs in disguise at 100 TB; this replaces it.
+# Banded sign-projection LSH: N_BANDS bands × BITS_PER_BAND deterministic
+# component comparisons (1-based in both engines). Two vectors are candidates
+# when they collide in ANY band (OR-amplification) — the same band/row
+# structure the MinHash pipeline uses (dedup.py).
+#
+# Width math (the part that matters at 100 TB): random unrelated vectors
+# collide in a 12-bit band with p ≈ 2^-12, so candidate pairs ≈
+# N_BANDS · n²/4096 — three orders of magnitude under the n²/16 a 4-bit
+# single-band index produced (round-1 review's scale-killer). Near-dups
+# (cosine ≥ 0.99, angle ≈ 8°) flip each sign bit with p ≈ θ/π ≈ 0.045, so a
+# band collides with ≈ 0.955^12 ≈ 0.57 and 4 bands give ≈ 97% recall.
+# The correctness gate is recall-independent: the oracle runs the identical
+# banding, so both engines see the same candidate set.
 N_BANDS = 4
-BITS_PER_BAND = 6
+BITS_PER_BAND = 12
+_DIM = 64  # embedding dimension of the testdata corpus
 
 
 def _band_pairs(band: int) -> list[tuple[int, int]]:
-    """Disjoint (i, j) component pairs for one band (components 1..48 of 64)."""
-    base = band * 2 * BITS_PER_BAND
-    return [(base + 2 * p + 1, base + 2 * p + 2) for p in range(BITS_PER_BAND)]
+    """(i, j) component pairs for one band: a band-specific walk through a
+    permutation of all 64 components (stride 7 is coprime with 64, so the 24
+    components within a band are distinct → bits within a band independent);
+    bands reuse components under different pairings, which keeps cross-band
+    correlation weak without needing 2·bands·bits distinct components."""
+    comps = [((band * 17 + k * 7) % _DIM) + 1 for k in range(2 * BITS_PER_BAND)]
+    return [(comps[2 * p], comps[2 * p + 1]) for p in range(BITS_PER_BAND)]
 
 
 def _band_bucket(col: str, band: int) -> F.Column:
@@ -130,7 +149,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band bucket histogram for the banded sign-projection LSH index."""
     t = register_views(spark, sf_dir)
     return (
-        _bands_index(t["embeddings"])
+        _bands_index(_spread(t["embeddings"]))
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -149,7 +168,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set. The query-side index is broadcast, so the corpus never
     shuffles; only slim (qid, neighbor_id) candidates do."""
     t = register_views(spark, sf_dir)
-    e = t["embeddings"]
+    e = _spread(t["embeddings"])
     idx = _bands_index(e)
     q_idx = idx.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "qid")
     cand = (
@@ -199,7 +218,7 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     norm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     return (
-        t["embeddings"]
+        _spread(t["embeddings"])
         .select("label", norm.alias("nrm"))
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
@@ -225,7 +244,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id-keyed joins pull full vectors for exact scoring, each a plain
     shuffle-hash join on the id."""
     t = register_views(spark, sf_dir)
-    e = t["embeddings"]
+    e = _spread(t["embeddings"])
     idx = _bands_index(e)
     a = idx.withColumnRenamed("vec_id", "id_a")
     b = idx.withColumnRenamed("vec_id", "id_b")

@@ -74,6 +74,89 @@ def changelog_normalize(df: DataFrame, pk: list[str], order_col: str) -> DataFra
     )
 
 
+def changelog_normalize_stream(df: DataFrame, pk: list[str], order_col: str) -> DataFrame:
+    """STREAMING ChangelogNormalize (StreamExecChangelogNormalize.java:61 /
+    ProcTimeMiniBatchDeduplicateKeepLastRowFunction): turn an UPSERT stream
+    (+I/+U and -D only, the upsert-kafka contract — no -U ever arrives) into
+    a full changelog by remembering the last row per key and emitting the
+    missing UPDATE_BEFORE:
+
+        first value for a key          → +I(new)
+        new value for a known key      → -U(old), +U(new)
+        -D for a known key             → -D(old); unknown key → dropped
+
+    Downstream retract-consuming operators (retract_agg_stream, the
+    changelog Top-N) need exactly this completion. State = one row per key,
+    the same bound the reference's normalize keeps. Out-of-order rows within
+    a batch are ordered by ``order_col``; a stale row (older than state) is
+    ignored.
+    """
+    from typing import Iterator  # local: keep module import surface stable
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    dtypes = dict(df.dtypes)
+    data_cols = [c for c in df.columns if c not in (*pk, ROWKIND)]
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in pk]
+        + [f"{c} {dtypes[c]}" for c in data_cols]
+        + [f"{ROWKIND} string"]
+    )
+    # order value kept as micros if timestamp-typed, else raw
+    order_is_ts = dtypes[order_col].startswith("timestamp")
+    state_order_t = "bigint" if order_is_ts else dtypes[order_col]
+    state_schema = ", ".join(
+        [f"__ord {state_order_t}"] + [f"{c} {dtypes[c]}" for c in data_cols]
+    )
+    n_pk = len(pk)
+
+    def to_ord(v):
+        return int(pd.Timestamp(v).value // 1000) if order_is_ts else v
+
+    def fn(key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState) -> "Iterator[pd.DataFrame]":
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(order_col, kind="stable")
+        prev = list(state.get) if state.exists else None  # [__ord, *data_cols]
+        out = []
+        keyd = {pk[i]: key[i] for i in range(n_pk)}
+        for _, row in batch.iterrows():
+            kind = row[ROWKIND] if ROWKIND in batch.columns else INSERT
+            ordv = to_ord(row[order_col])
+            if prev is not None and ordv < prev[0]:
+                continue  # stale: older than the materialized row
+            if kind == DELETE:
+                if prev is not None:
+                    out.append({**keyd, **{c: prev[1 + i] for i, c in enumerate(data_cols)},
+                                ROWKIND: DELETE})
+                    prev = None
+                continue
+            if kind == UPDATE_BEFORE:
+                continue  # upsert contract: -U never arrives; drop defensively
+            new_vals = [row[c] for c in data_cols]
+            if prev is None:
+                out.append({**keyd, **dict(zip(data_cols, new_vals)), ROWKIND: INSERT})
+            else:
+                out.append({**keyd, **{c: prev[1 + i] for i, c in enumerate(data_cols)},
+                            ROWKIND: UPDATE_BEFORE})
+                out.append({**keyd, **dict(zip(data_cols, new_vals)), ROWKIND: UPDATE_AFTER})
+            prev = [ordv, *new_vals]
+        if prev is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(tuple(prev))
+        if out:
+            yield pd.DataFrame(out)[list(keyd) + data_cols + [ROWKIND]]
+
+    return (
+        df.groupBy(*pk)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
 def upsert_sink(changelog: DataFrame, pk: list[str], order_col: str, target_path: str):
     """Materialize a streaming changelog into a keyed table at `target_path`
     via foreachBatch: per micro-batch, normalize the batch, union with the

@@ -168,6 +168,46 @@ def test_changelog_topn_retractable(spark):
         sources.cleanup(tmpdir)
 
 
+def test_upsert_kafka_standin_normalize_chain(spark):
+    """The upsert-kafka → ChangelogNormalize chain with a file-backed topic
+    stand-in (no broker in this environment): an upsert stream (+U/-D only,
+    keyed, offset-ordered) is completed into a full -U/+U changelog by the
+    streaming normalize, and the completed changelog drives a retracting
+    SUM to the correct result (the reason the planner inserts the operator)."""
+    from flink_release_1_14_5_comment_spark.streaming.changelog import (
+        changelog_normalize_stream,
+    )
+    from flink_release_1_14_5_comment_spark.streaming.retract_agg import (
+        retract_count_expr, retract_sum_expr,
+    )
+
+    rows = [
+        (1, 10.0, 1, "+U"), (2, 7.0, 2, "+U"),   # chunk 1: first values
+        (1, 12.0, 3, "+U"), (2, 7.0, 4, "-D"),   # chunk 2: update + delete
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, offset long, __rowkind string")
+    stream, tmpdir = sources.replay_as_stream(spark, df, n_chunks=2, order_col="offset")
+    try:
+        out = changelog_normalize_stream(stream, ["k"], "offset")
+        got = _run_stream(out, mode="update").toPandas()
+        per_key = {k: list(g["__rowkind"]) for k, g in got.groupby("k")}
+        assert per_key[1] == ["+I", "-U", "+U"]   # missing UPDATE_BEFORE emitted
+        assert per_key[2] == ["+I", "-D"]
+        # the -U row carries the OLD value (10), the +U the new one (12)
+        k1 = got[got["k"] == 1]
+        assert list(k1[k1["__rowkind"] == "-U"]["v"]) == [10.0]
+        assert list(k1[k1["__rowkind"] == "+U"]["v"]) == [12.0]
+        # completed changelog → retracting agg lands on the true final state
+        agg = {r["k"]: (r["s"], r["c"]) for r in
+               spark.createDataFrame(got).groupBy("k").agg(
+                   retract_sum_expr("v").alias("s"),
+                   retract_count_expr().alias("c")).collect()}
+        assert agg[1] == (12.0, 1)
+        assert agg[2] == (0.0, 0)
+    finally:
+        sources.cleanup(tmpdir)
+
+
 def test_changelog_normalize_and_drop_update_before(spark):
     rows = [
         (1, "a", 1, INSERT),
