@@ -25,6 +25,7 @@ def _modules():
         patterns,
         relational,
         relational_ext,
+        scale,
         temporal_joins,
         time_windows,
     )
@@ -41,7 +42,7 @@ def _modules():
     # largest relational family last — its tail overflows the window, not the
     # pipeline queries.
     return [dedup, graph, similarity, text_analysis, multimodal,
-            time_windows, temporal_joins, patterns, analytic_shapes,
+            time_windows, temporal_joins, patterns, analytic_shapes, scale,
             relational_ext, relational]
 
 

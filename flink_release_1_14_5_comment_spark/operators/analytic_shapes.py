@@ -101,6 +101,44 @@ FROM rev
 """
 
 
+_DEEP_CHAIN_SQL = """
+SELECT r.r_name AS cust_region, ns.n_name AS supp_nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+JOIN orders    ON l_orderkey   = o_orderkey
+JOIN customer  ON o_custkey    = c_custkey
+JOIN nation nc ON c_nationkey  = nc.n_nationkey
+JOIN region r  ON nc.n_regionkey = r.r_regionkey
+JOIN supplier  ON l_suppkey    = s_suppkey
+JOIN nation ns ON s_nationkey  = ns.n_nationkey
+JOIN part      ON l_partkey    = p_partkey
+WHERE p_size > 20 AND o_orderstatus <> 'P'
+GROUP BY r.r_name, ns.n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+"""
+
+# Correlated aggregate in HAVING (TPC-DS q23/q24 shape): keep the
+# (nation, year) cells whose revenue beats 1.1x that NATION's own average
+# yearly revenue — the subquery re-aggregates the same derived table
+# correlated on the outer group key.
+_HAVING_CORR_SQL = """
+WITH nat_year AS (
+  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT a.n_name, a.yr, round(a.rev, 2) AS revenue
+FROM nat_year a
+WHERE a.rev > (SELECT 1.1 * SUM(b.rev) / COUNT(*) FROM nat_year b
+               WHERE b.n_name = a.n_name)
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
@@ -134,8 +172,26 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _MARKET_SHARE_SQL)
 
 
+def q_deep_chain_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-table join chain (both fact keys + two dim snowflakes): lineitem ⋈
+    orders ⋈ customer ⋈ nation ⋈ region on the customer path, supplier ⋈
+    nation and part on the supply path — the deep-pipeline shape that
+    dominates TPC-DS plans. Facts shuffle once per fact key; every dim side
+    broadcasts."""
+    return _sql(spark, sf_dir, _DEEP_CHAIN_SQL)
+
+
+def q_having_corr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate-in-HAVING: (nation, year) cells beating 1.1x the
+    nation's own mean yearly revenue (mean as sum/count for cross-engine
+    bit-equality; the 1.1 factor multiplies before division)."""
+    return _sql(spark, sf_dir, _HAVING_CORR_SQL)
+
+
 QUERIES = {
     "sales_rollup_nation_year": q_sales_rollup_nation_year,
+    "deep_chain_regions": q_deep_chain_regions,
+    "having_corr_revenue": q_having_corr_revenue,
     "exists_returned_customers": q_exists_returned_customers,
     "above_nation_avg_balance": q_above_nation_avg_balance,
     "fact_fact_priority_status": q_fact_fact_priority_status,
@@ -144,6 +200,8 @@ QUERIES = {
 
 ORACLE = {
     "sales_rollup_nation_year": _ROLLUP_SQL.format(gid="GROUPING(n_name, yr)"),
+    "deep_chain_regions": _DEEP_CHAIN_SQL,
+    "having_corr_revenue": _HAVING_CORR_SQL,
     "exists_returned_customers": _EXISTS_SQL,
     "above_nation_avg_balance": _CORRELATED_SCALAR_SQL,
     "fact_fact_priority_status": _FACT_FACT_SQL,

@@ -1,0 +1,146 @@
+"""Skew & co-location strategies for 100 TB plans (SURVEY §3 "Partitioning,
+shuffle, skew"; reference: the distinct-agg skew split the Flink planner
+performs under ``table.optimizer.distinct-agg.split.enabled``
+(SplitAggregateRule.java) and the two-phase local/global aggregation
+(TwoStageOptimizedAggregateRule.java) — both re-expressed here as explicit
+DataFrame rewrites, plus the salting pattern Flink users hand-roll for hot
+join keys and Spark bucket-pruned co-located joins).
+
+Everything here is a *semantics-preserving rewrite*: the salted join and the
+split distinct agg are registered as oracle-gated queries whose oracle is the
+PLAIN (unrewritten) SQL — the gate proves the rewrite changes the shuffle
+topology, not the answer.
+
+Scale notes (100 TB):
+* ``salted_join``: a hot build key (one customer with 10^9 orders) sinks a
+  hash join — every row of the key lands on one task. Salting splits the
+  probe side into ``salt`` shards (deterministic hash of the probe row's
+  unique id, NOT rand(): retries re-route identically) and replicates the
+  build side ``salt``× — state per task drops by 1/salt at the cost of a
+  salt× duplication of the (small) build side. AQE's skew-join split
+  (``spark.sql.adaptive.skewJoin``) handles moderate skew automatically;
+  explicit salting is for the single-key pathologies AQE can't split
+  further. Used when the build side is too big to broadcast outright.
+* ``split_distinct_agg``: COUNT(DISTINCT x) over a skewed group key
+  shuffles every (key, x) pair to one reducer per key. The split inserts a
+  bucket = hash(x) % n stage: partial distinct per (key, bucket) — n-way
+  parallel per hot key — then a final SUM per key. Identical to the
+  reference's SplitAggregateRule output shape.
+* ``write_bucketed`` / co-located join: both fact tables bucketed by the
+  join key at write time join WITHOUT any Exchange — the per-round bench
+  can't show this (parquet inputs are unbucketed) but the plan test locks
+  the property: zero shuffles in the joined plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt: int,
+    probe_uid: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the probe side salted ``salt`` ways and the build side
+    replicated once per shard. ``probe_uid`` is any column unique per probe
+    row — the shard assignment hashes it so retries route identically."""
+    p = probe.withColumn("__salt", F.pmod(F.xxhash64(F.col(probe_uid)), F.lit(salt)))
+    b = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    return p.join(b, [key, "__salt"], how).drop("__salt")
+
+
+def split_distinct_agg(
+    df: DataFrame, group_cols: list[str], distinct_col: str, buckets: int = 16
+) -> DataFrame:
+    """COUNT(DISTINCT distinct_col) per group via the two-level skew split
+    (SplitAggregateRule.java): partial distinct per (group, hash bucket),
+    final SUM per group. Output column: ``n_distinct``."""
+    bucket = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets)).alias("__bkt")
+    partial = df.groupBy(*group_cols, bucket).agg(
+        F.count_distinct(F.col(distinct_col)).alias("__pd")
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("__pd").alias("n_distinct"))
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int = 8
+) -> None:
+    """Persist ``df`` bucketed+sorted by ``key`` (saveAsTable — parquet files
+    whose bucket spec the catalog remembers). Two tables bucketed the same
+    way join with zero Exchange."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line)
+
+
+# --- oracle-gated rewrite queries -----------------------------------------
+
+_SALTED_JOIN_PLAIN_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+       l_linenumber, round(l_extendedprice, 2) AS price
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND l_quantity > 45
+"""
+
+_SPLIT_DISTINCT_PLAIN_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted orders⋈lineitem (8 shards) — oracle is the PLAIN join: the gate
+    proves salting preserves semantics exactly."""
+    t = register_views(spark, sf_dir)
+    probe = t["lineitem"].filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey"), "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+    ).withColumn("__uid", F.concat_ws("#", "l_orderkey", "l_linenumber"))
+    build = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    return (
+        salted_join(probe, build, "l_orderkey", salt=8, probe_uid="__uid")
+        .select("o_orderkey", "o_custkey", "total", "l_linenumber", "price")
+    )
+
+
+def q_split_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct split over lineitem — oracle is plain
+    COUNT(DISTINCT): the bucketed partial/final pair must sum to it."""
+    t = register_views(spark, sf_dir)
+    return split_distinct_agg(
+        t["lineitem"], ["l_returnflag", "l_linestatus"], "l_partkey", buckets=16
+    )
+
+
+QUERIES = {
+    "skew_salted_join": q_skew_salted_join,
+    "split_distinct_agg": q_split_distinct_agg,
+}
+
+ORACLE = {
+    "skew_salted_join": _SALTED_JOIN_PLAIN_SQL,
+    "split_distinct_agg": _SPLIT_DISTINCT_PLAIN_SQL,
+}

@@ -70,6 +70,94 @@ def window_topn(
     )
 
 
+def _duration_seconds(size: str) -> int:
+    """'N seconds|minutes|hours|days' → seconds (whole seconds only)."""
+    qty, unit = size.strip().split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit.rstrip("s")]
+    return int(qty) * mult
+
+
+def window_topn_incremental(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    key_cols: list[str],
+    order_col: str,
+    id_col: str,
+    n: int,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Window Top-N for HEAVY windows (reference WindowRankProcessor.java:224
+    pairs a bounded in-window top-N buffer with watermark-triggered emission;
+    ``window_topn``'s collect_list state instead grows with the window's full
+    row count — fine for small windows, a state bomb when one window holds
+    millions of rows).
+
+    State per (window, key) is exactly ``n`` (order, id) pairs: each batch
+    merges into the bounded buffer and re-arms an event-time timeout at the
+    window end; when the watermark passes it, the final ranked top-n is
+    emitted once (append semantics) and state is dropped. Shuffle is
+    hash(window, key) — same as the agg it replaces.
+
+    Note: timeouts fire only when a later batch advances the watermark, so in
+    a finite replay the last window(s) need a subsequent event past
+    ``w_end + delay`` to flush; a continuous stream advances naturally.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        ["w_start timestamp"]
+        + [f"{c} {dtypes[c]}" for c in key_cols]
+        + ["rank long", f"{id_col} {dtypes[id_col]}", f"{order_col} {dtypes[order_col]}"]
+    )
+    state_schema = f"vals array<{dtypes[order_col]}>, ids array<{dtypes[id_col]}>"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        w_start, w_end = key[0], key[1]
+        if state.hasTimedOut:
+            vals, ids = state.get
+            state.remove()
+            out = pd.DataFrame({order_col: list(vals), id_col: list(ids)})
+            out = out.sort_values([order_col, id_col], ascending=[False, True],
+                                  kind="stable").reset_index(drop=True)
+            out["rank"] = out.index + 1
+            out["w_start"] = w_start
+            for i in range(n_keys):
+                out[key_cols[i]] = key[2 + i]
+            yield out[["w_start"] + key_cols + ["rank", id_col, order_col]]
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        if state.exists:
+            vals, ids = state.get
+            cur = pd.DataFrame({order_col: list(vals), id_col: list(ids)})
+            merged = pd.concat([cur, batch[[order_col, id_col]]], ignore_index=True)
+        else:
+            merged = batch[[order_col, id_col]]
+        merged = merged.sort_values([order_col, id_col], ascending=[False, True],
+                                    kind="stable").head(n)
+        state.update((merged[order_col].tolist(), merged[id_col].tolist()))
+        # Fire when the watermark passes the window end; the engine requires a
+        # timeout strictly ahead of the current watermark.
+        w_end_ms = int(pd.Timestamp(w_end).value // 1_000_000)
+        state.setTimeoutTimestamp(max(w_end_ms, state.getCurrentWatermarkMs() + 1))
+
+    # F.window() only expands inside an Aggregate; for a stateful groupBy the
+    # tumble assignment is plain epoch arithmetic (whole-second sizes).
+    secs = _duration_seconds(size)
+    start_s = F.floor(F.col(ts_col).cast("long") / secs) * secs
+    return (
+        df.withWatermark(ts_col, delay)
+        .withColumn("__w_start", F.timestamp_seconds(start_s))
+        .withColumn("__w_end", F.timestamp_seconds(start_s + secs))
+        .groupBy("__w_start", "__w_end", *key_cols)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def streaming_topn(
     df: DataFrame,
     key_cols: list[str],

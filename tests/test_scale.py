@@ -1,0 +1,87 @@
+"""Plan-property tests for the scale strategies (operators/scale.py): the
+oracle gate proves the rewrites preserve semantics; these tests lock the
+*topology* claims — shard counts, zero-Exchange co-located joins."""
+
+from __future__ import annotations
+
+import sys
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_14_5_comment_spark.catalog import load_tables
+from flink_release_1_14_5_comment_spark.operators.scale import (
+    count_exchanges,
+    salted_join,
+    split_distinct_agg,
+    write_bucketed,
+)
+
+
+def test_salted_join_matches_plain_and_shards(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    probe = t["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity").withColumn(
+        "__uid", F.concat_ws("#", "l_orderkey", "l_linenumber")
+    )
+    build = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = salted_join(probe, build, "l_orderkey", salt=8, probe_uid="__uid").drop("__uid")
+    plain = probe.drop("__uid").join(build, "l_orderkey")
+    assert salted.count() == plain.count() > 0
+    assert salted.exceptAll(plain).count() == 0
+    # every probe row got exactly one shard; shards spread (not all in one)
+    shards = (
+        probe.withColumn("__salt", F.pmod(F.xxhash64("__uid"), F.lit(8)))
+        .agg(F.count_distinct("__salt"))
+        .first()[0]
+    )
+    assert shards == 8
+
+
+def test_split_distinct_agg_matches_plain(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    got = split_distinct_agg(t["lineitem"], ["l_returnflag"], "l_partkey", buckets=8)
+    want = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_distinct")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides bucketed by the join key at write time -> the sort-merge
+    join reads co-located buckets with ZERO Exchange in the plan (the
+    property that makes repeated fact-fact joins affordable at 100 TB)."""
+    t = load_tables(spark, sf_dir)
+    sfx = uuid.uuid4().hex[:8]
+    t_orders, t_line = f"b_orders_{sfx}", f"b_lineitem_{sfx}"
+    try:
+        write_bucketed(t["orders"].select("o_orderkey", "o_totalprice"),
+                       t_orders, "o_orderkey", num_buckets=8)
+        write_bucketed(
+            t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            t_line, "o_orderkey", num_buckets=8,
+        )
+        a, b = spark.table(t_orders), spark.table(t_line)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, "o_orderkey")
+            assert count_exchanges(j) == 0
+            # and an unbucketed equivalent DOES shuffle, so the assert means something
+            ub = (
+                t["orders"].select("o_orderkey", "o_totalprice")
+                .join(t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"),
+                                           "l_quantity"), "o_orderkey")
+            )
+            assert count_exchanges(ub) > 0
+            assert j.count() == ub.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_line}")

@@ -14,7 +14,10 @@ sys.path.insert(0, "/root/repo")
 from flink_release_1_14_5_comment_spark.catalog import load_tables
 from flink_release_1_14_5_comment_spark.streaming import sources
 from flink_release_1_14_5_comment_spark.streaming.temporal_join import temporal_join_stream
-from flink_release_1_14_5_comment_spark.streaming.topn import window_topn
+from flink_release_1_14_5_comment_spark.streaming.topn import (
+    window_topn,
+    window_topn_incremental,
+)
 
 
 def _mem(sdf, mode="append"):
@@ -91,6 +94,31 @@ def test_window_topn_stream(spark, sf_dir):
                           n=2, delay="0 seconds")
         got = _mem(out, mode="append")
         # append mode with watermark 0: all but the final window emit
+        w = W.partitionBy(F.window("ts", "1 hour"), "event_type").orderBy(
+            F.col("value").desc(), F.col("event_id"))
+        batch = (
+            ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+            .select(F.window("ts", "1 hour").start.alias("w_start"), "event_type",
+                    F.col("rn").cast("long").alias("rank"), "event_id", "value")
+        )
+        max_w = got.agg(F.max("w_start")).first()[0]
+        batch_closed = batch.filter(F.col("w_start") <= max_w)
+        assert got.count() == batch_closed.count() > 0
+        assert got.exceptAll(batch_closed).count() == 0
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_window_topn_incremental_matches_collect_variant(spark, sf_dir):
+    """The heavy-window Top-N (bounded n-row state + event-time timeout) must
+    emit exactly what the collect_list variant emits for every window the
+    watermark closed — same rows, ranks, and append-once semantics."""
+    ev = load_tables(spark, sf_dir)["events"]
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=3, order_col="ts")
+    try:
+        out = window_topn_incremental(stream, "ts", "1 hour", ["event_type"],
+                                      "value", "event_id", n=2, delay="0 seconds")
+        got = _mem(out, mode="append")
         w = W.partitionBy(F.window("ts", "1 hour"), "event_type").orderBy(
             F.col("value").desc(), F.col("event_id"))
         batch = (
