@@ -15,18 +15,31 @@ first-event timestamp, captured (step, id, ts, values) events), serialized
 as JSON. Each micro-batch advances runs event-by-event in timestamp order —
 the same per-element NFA stepping CepOperator does, batched per micro-batch.
 
-Determinization (documented divergences from the reference's
-non-deterministic shared-buffer NFA, which emits EVERY combination):
-  * an event advances at most one run (earliest-run priority), and a
-    looping step absorbs greedily BEFORE later steps are tried;
-  * a match is emitted as soon as the run can complete (remaining steps all
-    optional) — trailing optional/unbounded steps match their shortest form;
-  * SKIP TO FIRST/LAST prune runs that started before the skip point but do
-    not re-seed runs from already-consumed events.
+Branching semantics match the reference's shared-buffer NFA
+(NFA.java:86 computeNextStates — TAKE / PROCEED / IGNORE edges under
+relaxed contiguity):
+  * an event matching a run's current take-condition MUST be taken (the
+    IGNORE edge carries ¬take — `followedBy` skips only non-matching
+    events), so one physical event CAN advance several runs;
+  * when an event matches both a loop's take-condition and a later step,
+    the run BRANCHES into both (every combination is explored); ``greedy``
+    on a step suppresses the proceed-branch while the loop can still
+    absorb (Pattern.greedy());
+  * a run whose loop cannot take the event but whose next step can keeps
+    an ignore-copy alive alongside the proceed-branch (the loop may absorb
+    later events);
+  * every event matching the begin step (or an optional-prefix step) seeds
+    a new run, regardless of what other runs consumed;
+  * a branch reaching a completable configuration (count ≥ min and all
+    later steps optional) emits immediately and stays alive if it can
+    still extend — `a b+` emits every prefix under NO SKIP, exactly the
+    reference's combination semantics.
 
-Scale: runs-per-key is bounded by (pattern length × events inside the
-`within` horizon); expired runs are pruned every batch, so state stays
+Scale: live runs per key are bounded by (branching factor × events inside
+the `within` horizon); expired runs are pruned every batch, so state stays
 O(active windows), matching the reference's NFA pruning (NFA.advanceTime).
+The skip strategies prune aggressively (SKIP PAST LAST keeps state near
+one run per key); NO_SKIP is the expensive mode in both engines.
 """
 
 from __future__ import annotations
@@ -59,6 +72,7 @@ class Step:
     where: Callable[[pd.Series], bool]
     min_occurs: int = 1
     max_occurs: int | None = 1  # None = unbounded
+    greedy: bool = False  # prefer the loop over proceeding (Pattern.greedy)
 
 
 @dataclass
@@ -94,6 +108,14 @@ class Pattern:
     def optional(self) -> "Pattern":
         """The last step may be skipped entirely (Pattern.optional)."""
         self.steps[-1].min_occurs = 0
+        return self
+
+    def greedy(self) -> "Pattern":
+        """Make the last (quantified) step greedy: while it can still absorb,
+        the proceed-branch to later steps is suppressed (Pattern.greedy();
+        like the reference, greedy on the FINAL step is meaningless — there
+        is nothing to proceed to)."""
+        self.steps[-1].greedy = True
         return self
 
     def within(self, seconds: float) -> "Pattern":
@@ -164,29 +186,51 @@ def cep(
                 for c in need_cols]
         run["ev"].append([step_idx, int(row[id_col]), t_micros, vals])
 
-    def feed(run: dict, row: pd.Series, t_micros: int) -> bool:
-        """Try to let `run` consume the event; True if consumed."""
+    def clone(run: dict) -> dict:
+        return {"s": run["s"], "c": run["c"], "t0": run["t0"], "ev": list(run["ev"])}
+
+    def successors(run: dict, row: pd.Series, t_micros: int) -> tuple[list[dict], bool]:
+        """Shared-buffer branching (NFA.computeNextStates): return the
+        TAKE/PROCEED successor runs for this event plus whether the original
+        run survives unchanged (the IGNORE edge). Empty successors + survive
+        = relaxed-contiguity skip of a non-matching event."""
         i, c = run["s"], run["c"]
         st = steps[i]
-        # greedy: a looping step absorbs before later steps are tried
-        if c >= 1 and (st.max_occurs is None or c < st.max_occurs) and st.where(row):
-            run["c"] = c + 1
-            consume(run, i, row, t_micros)
-            return True
-        if c >= 1 and c < st.min_occurs:
-            return False  # current step not yet satisfied; cannot move on
-        j = i + 1 if c >= 1 else i
-        while j < n_steps:
-            sj = steps[j]
-            if sj.where(row):
-                run["s"], run["c"] = j, 1
-                consume(run, j, row, t_micros)
-                return True
-            if sj.min_occurs == 0:
-                j += 1  # optional step skipped over
-                continue
-            break
-        return False
+        branches: list[dict] = []
+        can_take = (st.max_occurs is None or c < st.max_occurs) and st.where(row)
+        if can_take:
+            nr = clone(run)
+            nr["c"] = c + 1
+            consume(nr, i, row, t_micros)
+            branches.append(nr)
+            if st.greedy:
+                return branches, False  # greedy loop: no proceed while absorbing
+        if c >= st.min_occurs:
+            j = i + 1
+            while j < n_steps:
+                sj = steps[j]
+                if sj.where(row):
+                    nr = clone(run)
+                    nr["s"], nr["c"] = j, 1
+                    consume(nr, j, row, t_micros)
+                    branches.append(nr)
+                if sj.min_occurs == 0:
+                    j += 1  # optional: branch above AND keep walking past it
+                    continue
+                break
+        if can_take:
+            return branches, False  # matching the take-condition forbids IGNORE
+        if branches and (st.max_occurs is not None and c >= st.max_occurs):
+            # saturated singleton/loop: the proceed IS this run's only edge —
+            # `a followedBy b` matches the FIRST b, not every later one
+            return branches, False
+        # loop still absorbable (event didn't match it): ignore-copy survives
+        return branches, True
+
+    def has_future(run: dict) -> bool:
+        """Can this run still change (absorb or proceed on a later event)?"""
+        i, c = run["s"], run["c"]
+        return (steps[i].max_occurs is None or c < steps[i].max_occurs) or i < n_steps - 1
 
     def is_complete(run: dict) -> bool:
         i, c = run["s"], run["c"]
@@ -235,32 +279,51 @@ def cep(
             t_micros = int(pd.Timestamp(row[ts_col]).value // 1000)
             if horizon is not None:
                 runs = [r for r in runs if t_micros - r["t0"] <= horizon * 1e6]
-            consumed_by: dict | None = None
+            next_runs: list[dict] = []
+            fresh: list[dict] = []  # branches created by THIS event
             for r in runs:
-                if feed(r, row, t_micros):
-                    consumed_by = r
-                    break  # one event advances at most one run (no-reuse)
-            if consumed_by is None and steps[0].where(row):
-                run = {"s": 0, "c": 1, "t0": t_micros, "ev": []}
-                consume(run, 0, row, t_micros)
-                runs.append(run)
-                consumed_by = run
-            if consumed_by is not None and is_complete(consumed_by):
-                m = consumed_by
+                branches, survive = successors(r, row, t_micros)
+                if survive:
+                    next_runs.append(r)
+                next_runs.extend(branches)
+                fresh.extend(branches)
+            # unconditional seeding: every event matching the begin step (or
+            # an optional-prefix step) starts a new run — shared-buffer
+            # semantics explore every start position
+            j = 0
+            while j < n_steps:
+                if steps[j].where(row):
+                    seed = {"s": j, "c": 1, "t0": t_micros, "ev": []}
+                    consume(seed, j, row, t_micros)
+                    next_runs.append(seed)
+                    fresh.append(seed)
+                if steps[j].min_occurs == 0:
+                    j += 1
+                    continue
+                break
+            runs = next_runs
+            # emit completed branches (creation order = earliest start first),
+            # applying the after-match skip strategy between emissions
+            # (AfterMatchSkipStrategy.java)
+            completed = [r for r in fresh if is_complete(r)]
+            while completed:
+                m = completed.pop(0)
                 matches.append((m["t0"], t_micros, [e[1] for e in m["ev"]],
                                 compute_measures(m)))
-                runs.remove(m)
-                # after-match skip strategy (AfterMatchSkipStrategy.java)
+                if not has_future(m):
+                    runs = [r for r in runs if r is not m]
                 if strategy == SKIP_PAST_LAST:
-                    # prune EVERY run that began at or before the match end —
-                    # overlapping partials must not emit overlapping matches
+                    # discard every run/pending match overlapping the emission
                     runs = [r for r in runs if r["t0"] > t_micros]
+                    completed = [r for r in completed if r["t0"] > t_micros]
                 elif strategy == SKIP_TO_NEXT:
                     runs = [r for r in runs if r["t0"] > m["t0"]]
+                    completed = [r for r in completed if r["t0"] > m["t0"]]
                 elif strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
                     cut = var_ts(m, skip_var, first=(strategy == SKIP_TO_FIRST))
                     runs = [r for r in runs if r["t0"] >= cut]
-                # NO_SKIP: other partial runs keep going untouched
+                    completed = [r for r in completed if r["t0"] >= cut]
+                # NO_SKIP: everything keeps going — every combination emits
         state.update(([json.dumps(r) for r in runs],))
         if matches:
             out = pd.DataFrame({

@@ -153,6 +153,12 @@ def match_recognize(
             built = built.optional()
         elif quant:  # {n} or {n,m}
             built = built.times(int(n), int(mx) if mx else None)
+    # SQL MATCH_RECOGNIZE quantifiers are greedy by default (the Pattern API
+    # default is branching/non-greedy); like the reference, greediness cannot
+    # apply to the final pattern element, so the trailing step stays reluctant.
+    for st in built.steps[:-1]:
+        if st.max_occurs is None or st.max_occurs > st.min_occurs or st.min_occurs == 0:
+            st.greedy = True
     if within_seconds is not None:
         built = built.within(within_seconds)
     parsed_measures = {k: parse_measure(v) for k, v in (measures or {}).items()}

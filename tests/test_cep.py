@@ -195,10 +195,29 @@ def test_skip_past_last_prunes_overlapping_runs(spark):
     assert len(got) == 1 and list(got.iloc[0]["step_ids"]) == [1, 3, 4]
 
 
-def test_no_skip_keeps_overlapping_runs(spark):
+def test_no_skip_emits_every_combination(spark):
+    """Shared-buffer semantics (NFA.java computeNextStates): both view-runs
+    independently take click3/purchase4 — NO SKIP emits BOTH combinations,
+    exactly what the reference's CEP produces for this input."""
     got = _run_pattern(spark, _overlap_events(spark), _vcp(), after_match="no_skip")
     ids = sorted(tuple(r) for r in got["step_ids"])
-    assert ids == [(1, 3, 4), (2, 5, 6)]
+    assert ids == [(1, 3, 4), (2, 3, 4)]
+
+
+def test_no_skip_one_or_more_emits_prefixes(spark):
+    """`a+ b` under NO SKIP: every start position matches maximally (relaxed
+    contiguity cannot skip a matching event), giving the reference's
+    a1a2b / a2b set; the run also keeps absorbing after an emission."""
+    pat = (Pattern.begin("a", lambda r: r["event_type"] == "click").one_or_more()
+           .followed_by("b", lambda r: r["event_type"] == "purchase"))
+    df = spark.createDataFrame(
+        [_ev(1, 1, "click"), _ev(2, 2, "click"), _ev(3, 3, "purchase")], _SCHEMA)
+    got = _run_pattern(spark, df, pat, after_match="no_skip")
+    ids = sorted(tuple(r) for r in got["step_ids"])
+    assert ids == [(1, 2, 3), (2, 3)]
+    # and SKIP PAST LAST keeps only the earliest-start maximal match
+    got2 = _run_pattern(spark, df, pat, after_match="skip_past_last")
+    assert sorted(tuple(r) for r in got2["step_ids"]) == [(1, 2, 3)]
 
 
 def test_skip_to_first_var(spark):
