@@ -213,6 +213,113 @@ WHERE rn <= 3
 """
 
 
+# IVF (inverted-file) ANN: the scale path FAISS-style systems use — a coarse
+# quantizer partitions the corpus into cells; queries probe only the NPROBE
+# nearest cells and re-rank exactly inside them. Centroids here are the
+# per-label mean vectors (deterministic + oracle-reproducible, where Lloyd's
+# k-means iterations would not be); a vector is indexed under its NEAREST
+# centroid, which need not be its own label. 100 TB: training shuffles slim
+# (label, pos, v) rows with map-side partial aggregation into 64×|cells|
+# groups; centroids broadcast everywhere after; the probe join touches
+# NPROBE/|cells| of the corpus instead of all of it.
+N_PROBE = 2
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Per-label centroid; component = round(sum, 6)/count so the float-sum
+    reassociation noise between engines cancels (memory: never compare raw
+    distributed double sums)."""
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cent")
+        )
+        .select(F.col("label").alias("cell"), "cent")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3: nearest-centroid cell assignment, queries probe the
+    N_PROBE best cells, exact cosine re-rank on cell members only."""
+    t = register_views(spark, sf_dir)
+    e = _spread(t["embeddings"])
+    cent = _centroids(e)
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", F.round(_cosine("embedding", "cent"), 6).alias("csim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    qcells = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    cand = (
+        assign.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_vec = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    sims = (
+        cand.join(F.broadcast(q_vec), "qid")
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .select("qid", "neighbor_id", F.round(_cosine("qe", "embedding"), 4).alias("sim"))
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+ORACLE_Q_ANN_IVF_TOPK = f"""
+WITH comp AS (
+  SELECT label, pos - 1 AS pos, embedding[pos] AS v
+  FROM embeddings, generate_series(1, 64) AS t(pos)
+),
+cent AS (
+  SELECT label AS cell, list(cv ORDER BY pos) AS cent
+  FROM (SELECT label, pos, ROUND(SUM(v), 6) / COUNT(*) AS cv
+        FROM comp GROUP BY label, pos)
+  GROUP BY label
+),
+ranked AS (
+  SELECT vec_id, cell, csim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+  FROM (SELECT e.vec_id, c.cell,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) AS csim
+        FROM embeddings e CROSS JOIN cent c)
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+qcells AS (SELECT vec_id AS qid, cell FROM ranked
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+cand AS (
+  SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
+  FROM qcells q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id <> q.qid
+),
+sims AS (
+  SELECT c.qid, c.neighbor_id,
+         ROUND(list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 4) AS sim
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+)
+SELECT qid, neighbor_id, sim, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims)
+WHERE rn <= 3
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (count, mean L2 norm)."""
     t = register_views(spark, sf_dir)
@@ -282,6 +389,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_stats": q_embedding_stats,
     "dedup_embedding": q_dedup_embedding,
 }
@@ -290,6 +398,7 @@ ORACLE = {
     "knn_cosine": ORACLE_Q_KNN_COSINE,
     "ann_lsh_buckets": ORACLE_Q_ANN_LSH_BUCKETS,
     "ann_lsh_topk": ORACLE_Q_ANN_LSH_TOPK,
+    "ann_ivf_topk": ORACLE_Q_ANN_IVF_TOPK,
     "embedding_stats": ORACLE_Q_EMBEDDING_STATS,
     "dedup_embedding": ORACLE_Q_DEDUP_EMBEDDING,
 }

@@ -75,3 +75,69 @@ def rows_bounded_over(
         df.groupBy(*key_cols)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def range_bounded_over(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    range_seconds: float,
+) -> DataFrame:
+    """SUM/AVG/COUNT OVER (PARTITION BY key ORDER BY ts RANGE INTERVAL
+    `range_seconds` PRECEDING AND CURRENT ROW) — reference
+    RowTimeRangeBoundedPrecedingFunction.java:63.
+
+    State per key = only the (ts, value) pairs inside the trailing time
+    range (evicted as the frame slides — the reference keeps the same
+    retract-list state). RANGE frames are PEER-INCLUSIVE: every row sharing
+    a timestamp sees a frame containing ALL its peers, so rows are stepped
+    per distinct timestamp, peers added before any of them emits — the
+    batch window's RANGE semantics exactly."""
+    rng = int(range_seconds * 1_000_000)
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join([
+        *[f"{c} {dtypes[c]}" for c in key_cols],
+        f"{id_col} {dtypes[id_col]}",
+        f"{ts_col} {dtypes[ts_col]}",
+        f"{value_col} {dtypes[value_col]}",
+        "running_sum double", "running_avg double", "running_count int",
+    ])
+    state_schema = "ts_micros array<bigint>, vals array<double>"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values([ts_col, id_col], kind="stable")
+        if state.exists:
+            ts_buf, val_buf = [list(x) for x in state.get]
+        else:
+            ts_buf, val_buf = [], []
+        out_rows = []
+        keyd = {key_cols[i]: key[i] for i in range(n_keys)}
+        for ts_val, grp in batch.groupby(ts_col, sort=True):
+            t = int(pd.Timestamp(ts_val).value // 1000)
+            for _, row in grp.iterrows():  # all peers enter the frame first
+                ts_buf.append(t)
+                val_buf.append(float(row[value_col]))
+            while ts_buf and ts_buf[0] < t - rng:
+                ts_buf.pop(0)
+                val_buf.pop(0)
+            s, c = sum(val_buf), len(val_buf)
+            for _, row in grp.iterrows():
+                out_rows.append({
+                    **keyd,
+                    id_col: row[id_col], ts_col: row[ts_col],
+                    value_col: row[value_col],
+                    "running_sum": s, "running_avg": s / c, "running_count": c,
+                })
+        state.update((ts_buf, val_buf))
+        yield pd.DataFrame(out_rows)
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )

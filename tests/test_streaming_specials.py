@@ -17,7 +17,10 @@ from flink_release_1_14_5_comment_spark.streaming.lookup import (
     lookup_join,
     lookup_join_foreach_batch,
 )
-from flink_release_1_14_5_comment_spark.streaming.over_agg import rows_bounded_over
+from flink_release_1_14_5_comment_spark.streaming.over_agg import (
+    range_bounded_over,
+    rows_bounded_over,
+)
 
 
 def _mem(sdf, mode="append"):
@@ -85,6 +88,32 @@ def test_rows_bounded_over_matches_batch_window(spark, sf_dir):
             F.count(F.lit(1)).over(w).cast("int").alias("running_count"),
         )
         # float-tolerant compare via rounding both to 6 dp
+        g = got.withColumn("running_sum", F.round("running_sum", 6))
+        e = expected.withColumn("running_sum", F.round("running_sum", 6))
+        assert g.count() == e.count() == 600
+        assert g.exceptAll(e).count() == 0
+    finally:
+        sources.cleanup(tmpdir)
+
+
+def test_range_bounded_over_matches_batch_window(spark, sf_dir):
+    """RANGE 10-minute-PRECEDING frame vs the batch window — including the
+    peer-inclusive rule: equal-ts rows share a frame containing all peers."""
+    ev = load_tables(spark, sf_dir)["events"].limit(600).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=4, order_col="ts")
+    try:
+        out = range_bounded_over(stream, ["user_id"], "ts", "event_id", "value",
+                                 range_seconds=600)
+        got = _mem(out).select("user_id", "event_id", "running_sum", "running_count")
+        w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+             .rangeBetween(-600 * 1_000_000, 0))
+        expected = ev.select(
+            "user_id", "event_id",
+            F.sum("value").over(w).alias("running_sum"),
+            F.count(F.lit(1)).over(w).cast("int").alias("running_count"),
+        )
         g = got.withColumn("running_sum", F.round("running_sum", 6))
         e = expected.withColumn("running_sum", F.round("running_sum", 6))
         assert g.count() == e.count() == 600
