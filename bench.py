@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_embedding",
     "corpus_clean",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_stats",
     "funnel_match",
     "sessionize_paths",
@@ -86,7 +87,7 @@ def main() -> None:
         "window_cumulate",       # end of time-window family
         "asof_join",             # end of temporal-join family
         "corpus_clean",          # end of dedup family (shares signatures)
-        "ann_lsh_topk",          # end of similarity family
+        "ann_ivf_topk",          # end of similarity family
         "text_stats", "sessionize_paths", "multimodal_features",
     }
     timings: dict[str, float] = {}

@@ -19,6 +19,8 @@ last step of a MinHash dedup pipeline: keep min doc_id per cluster).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,8 +36,11 @@ from flink_release_1_14_5_comment_spark.pipeline.dedup import q_dedup_minhash_ls
 # Memory bound, not a tuning knob: 5M edges × 2 longs ≈ 80 MB+ of driver
 # heap as Python rows — well inside this rig's 48 GB driver, but on a
 # shared cluster driver size it down (or set 0 to force the distributed
-# path, which is the safe default when driver memory is unknown).
-DRIVER_UNION_FIND_MAX_EDGES = 5_000_000
+# path, which is the safe default when driver memory is unknown) — both via
+# SPARK_GRAFT_CC_MAX_DRIVER_EDGES, so cluster deploys flip it without a
+# code change.
+DRIVER_UNION_FIND_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_MAX_DRIVER_EDGES", 5_000_000))
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",

@@ -308,6 +308,107 @@ def test_match_recognize_quantifier_parsing(spark):
         sources.cleanup(tmpdir)
 
 
+def _enumerate_matches(steps, events):
+    """Independent brute-force enumeration of every match the shared-buffer
+    NFA semantics admit (NO SKIP): capture sequences where gap events never
+    match the run's take-condition (mandatory take), saturated runs die when
+    a gap event matches a proceed-reachable step, and every completable
+    capture prefix emits. `events` = list of event-type strings; returns the
+    multiset of matched index tuples."""
+    n_steps, n = len(steps), len(events)
+    out: list[tuple] = []
+
+    def completable(i, c):
+        return c >= steps[i].min_occurs and all(
+            s.min_occurs == 0 for s in steps[i + 1:])
+
+    def proceed_targets(i):
+        ts = []
+        for j in range(i + 1, n_steps):
+            ts.append(j)
+            if steps[j].min_occurs > 0:
+                break
+        return ts
+
+    def matches(j, pos):
+        return steps[j].where(pd.Series({"event_type": events[pos]}))
+
+    def rec(pos, i, c, captured, just_captured):
+        if just_captured and completable(i, c):
+            out.append(tuple(captured))
+        if pos >= n:
+            return
+        st = steps[i]
+        saturated = st.max_occurs is not None and c >= st.max_occurs
+        can_take = not saturated and matches(i, pos)
+        if can_take:
+            rec(pos + 1, i, c + 1, captured + [pos], True)
+        proceed_hit = False
+        if c >= st.min_occurs:
+            for j in proceed_targets(i):
+                if matches(j, pos):
+                    proceed_hit = True
+                    rec(pos + 1, j, 1, captured + [pos], True)
+        if not can_take and not (saturated and proceed_hit):
+            rec(pos + 1, i, c, captured, False)  # IGNORE edge survives
+
+    for p in range(n):
+        j = 0
+        while j < n_steps:
+            if matches(j, p):
+                rec(p + 1, j, 1, [p], True)
+            if steps[j].min_occurs == 0:
+                j += 1
+                continue
+            break
+    return sorted(out)
+
+
+def test_nfa_matches_brute_force_enumeration(spark):
+    """Differential test of the branching NFA: 40 random event sequences per
+    pattern (one per key, single Spark run) must produce EXACTLY the match
+    multiset an independent brute-force enumerator derives from the
+    shared-buffer rules."""
+    import random
+
+    def mk(t):
+        return lambda r, t=t: r["event_type"] == t
+
+    patterns = {
+        "abc": Pattern.begin("A", mk("a")).followed_by("B", mk("b")).followed_by("C", mk("c")),
+        "ab+c": (Pattern.begin("A", mk("a"))
+                 .followed_by("B", mk("b")).one_or_more()
+                 .followed_by("C", mk("c"))),
+        "ab?c": (Pattern.begin("A", mk("a"))
+                 .followed_by("B", mk("b")).optional()
+                 .followed_by("C", mk("c"))),
+        "a+b": Pattern.begin("A", mk("a")).one_or_more().followed_by("B", mk("b")),
+        "ab23c": (Pattern.begin("A", mk("a"))
+                  .followed_by("B", mk("b")).times(2, 3)
+                  .followed_by("C", mk("c"))),
+    }
+    rng = random.Random(20260813)
+    cases = ["".join(rng.choice("abcd") for _ in range(rng.randint(3, 7)))
+             for _ in range(40)]
+    rows = []
+    for key, seq in enumerate(cases):
+        for i, t in enumerate(seq):
+            # ids encode (key, position) so expected tuples are reconstructable
+            rows.append((key * 100 + i, key, _ts(i), t))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    for pname, pat in patterns.items():
+        got = _run_pattern(spark, df, pat, after_match="no_skip")
+        got_per_key: dict[int, list[tuple]] = {k: [] for k in range(len(cases))}
+        for _, r in got.iterrows():
+            got_per_key[r["user_id"]].append(tuple(int(i) % 100 for i in r["step_ids"]))
+        for key, seq in enumerate(cases):
+            want = _enumerate_matches(pat.steps, list(seq))
+            assert sorted(got_per_key[key]) == want, (
+                f"pattern {pname} seq {seq!r}: NFA {sorted(got_per_key[key])} "
+                f"!= brute force {want}")
+
+
 def test_match_recognize_define_parsing():
     from flink_release_1_14_5_comment_spark.streaming.match_recognize import compile_predicate
     import pandas as pd
