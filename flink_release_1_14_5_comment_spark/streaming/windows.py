@@ -46,3 +46,40 @@ def session_agg(df: DataFrame, ts_col: str, gap: str, keys: list[str],
                 aggs: list[Column], delay: str = "0 seconds") -> DataFrame:
     """SESSION windowed aggregate with watermark (merging windows)."""
     return _windowed_agg(df.withWatermark(ts_col, delay), F.session_window(ts_col, gap), keys, aggs)
+
+
+def cascade_tumble_agg(
+    df: DataFrame,
+    ts_col: str,
+    inner_size: str,
+    outer_size: str,
+    keys: list[str],
+    inner_aggs: list[Column],
+    outer_aggs: list[Column],
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Hierarchical (cascading) window rollup: a fine tumble aggregate feeds
+    a coarse one IN THE SAME streaming query — the standard Flink topology
+    for multi-resolution dashboards (1-min panel rolled into 1-h panel),
+    where the coarse level aggregates pre-aggregated rows instead of raw
+    events (state and shuffle shrink by the fine-window fan-in).
+
+    Flink chains these through retracting window operators; Spark supports
+    chained stateful window aggregations in append mode when the outer
+    groups on the inner's window STRUCT column (the event-time watermark
+    propagates through it). Both levels emit once on window close.
+
+    ``outer_aggs`` aggregate the inner's output columns (e.g. sum of the
+    inner sums, sum of the inner counts)."""
+    inner = (
+        df.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, inner_size).alias("w"), *keys)
+        .agg(*inner_aggs)
+    )
+    outer = inner.groupBy(F.window(F.col("w"), outer_size).alias("w2"), *keys).agg(
+        *outer_aggs
+    )
+    rest = [c for c in outer.columns if c != "w2"]
+    return outer.select(
+        F.col("w2.start").alias("w_start"), F.col("w2.end").alias("w_end"), *rest
+    )

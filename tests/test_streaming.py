@@ -208,6 +208,36 @@ def test_upsert_kafka_standin_normalize_chain(spark):
         sources.cleanup(tmpdir)
 
 
+def test_cascading_window_rollup(spark, sf_dir):
+    """Two chained stateful window aggs in ONE streaming query (append mode):
+    10-minute tumble sums rolled into 1-hour sums. Emitted (closed) 1-hour
+    windows must equal the direct batch 1-hour aggregate."""
+    from flink_release_1_14_5_comment_spark.streaming.windows import cascade_tumble_agg
+
+    ev = load_tables(spark, sf_dir)["events"]
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=3, order_col="ts")
+    try:
+        out = cascade_tumble_agg(
+            stream, "ts", "10 minutes", "1 hour", ["event_type"],
+            inner_aggs=[F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")],
+            outer_aggs=[F.round(F.sum("s"), 2).alias("sum_value"),
+                        F.sum("n").alias("n")],
+        )
+        got = _run_stream(out, mode="append")
+        batch = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "sum_value", "n")
+        )
+        max_w = got.agg(F.max("w_start")).first()[0]
+        closed = batch.filter(F.col("w_start") <= max_w)
+        assert got.count() == closed.count() > 0
+        assert got.select("w_start", "event_type", "sum_value", "n").exceptAll(closed).count() == 0
+    finally:
+        sources.cleanup(tmpdir)
+
+
 def test_changelog_normalize_and_drop_update_before(spark):
     rows = [
         (1, "a", 1, INSERT),
