@@ -325,6 +325,62 @@ WHERE rn <= 3
 """
 
 
+# Per-vector int8 scalar quantization (the compression step vector stores
+# apply before ANN serving: 4x smaller than float32, ~1e-5 MSE at 8 bits).
+# Codes are round((v - min) / scale) with scale = (max - min)/255; the query
+# reports per-label reconstruction MSE — entirely codegen'd array lambdas,
+# no Python. Determinism: the per-row fold is array-ordered in both engines
+# but rounded to 9dp to kill accumulation-order ulps; the group mean uses
+# round(sum,6)/count (memory: oracle-determinism-rules).
+_QUANTIZE_SPARK_SQL = """
+WITH base AS (
+  SELECT label, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings
+),
+q AS (
+  SELECT label, e, array_min(e) AS mn,
+         (array_max(e) - array_min(e)) / 255.0 AS scale
+  FROM base
+),
+r AS (
+  SELECT label,
+         ROUND(aggregate(
+             transform(e, v -> pow(v - (mn + round((v - mn) / scale) * scale), 2)),
+             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / 64, 9) AS mse
+  FROM q WHERE scale > 0
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(mse), 6) / COUNT(*) AS avg_mse
+FROM r GROUP BY label
+"""
+
+ORACLE_Q_EMBEDDING_QUANTIZE = """
+WITH base AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+),
+q AS (
+  SELECT label, e, list_min(e) AS mn,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM base
+),
+r AS (
+  SELECT label,
+         ROUND(list_sum(
+             list_transform(e, v -> pow(v - (mn + round((v - mn) / scale) * scale), 2))
+           ) / 64, 9) AS mse
+  FROM q WHERE scale > 0
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(mse), 6) / COUNT(*) AS avg_mse
+FROM r GROUP BY label
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization quality: per-label reconstruction MSE."""
+    register_views(spark, sf_dir)
+    return spark.sql(_QUANTIZE_SPARK_SQL)
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (count, mean L2 norm)."""
     t = register_views(spark, sf_dir)
@@ -395,6 +451,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
     "dedup_embedding": q_dedup_embedding,
 }
@@ -404,6 +461,7 @@ ORACLE = {
     "ann_lsh_buckets": ORACLE_Q_ANN_LSH_BUCKETS,
     "ann_lsh_topk": ORACLE_Q_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_Q_ANN_IVF_TOPK,
+    "embedding_quantize": ORACLE_Q_EMBEDDING_QUANTIZE,
     "embedding_stats": ORACLE_Q_EMBEDDING_STATS,
     "dedup_embedding": ORACLE_Q_DEDUP_EMBEDDING,
 }
