@@ -197,8 +197,47 @@ WHERE rn <= 5
 """
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for dataset mixing: each (lang,
+    source) stratum keeps a per-source target fraction of documents
+    (even-numbered sources 25%, odd 60% — the knob a training-mix config
+    would set). Membership = md5-hash bucket of doc_id, so the sample is
+    reproducible across engines, runs, AND cluster sizes — no rand(), no
+    sampleBy seed coupling to partitioning. One pure map + one count
+    aggregate; at 100 TB the sample materializes with zero shuffle of the
+    kept rows (the filter pushes into the scan's output)."""
+    t = register_views(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substr(md5(concat('sample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+    )
+    rate = F.when(F.expr("cast(substr(source, 4) as int)") % 2 == 0, 25).otherwise(60)
+    return (
+        t["documents"]
+        .select("lang", "source", bucket.alias("bkt"), rate.alias("rate"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("bkt") < F.col("rate")).cast("long")).alias("n_sampled"),
+        )
+    )
+
+
+ORACLE_Q_CORPUS_SAMPLE = """
+WITH d AS (
+  SELECT lang, source,
+         ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 25 ELSE 60 END AS rate
+  FROM documents
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bkt < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM d GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "corpus_sample": q_corpus_sample,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -206,6 +245,7 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": ORACLE_Q_TEXT_STATS,
+    "corpus_sample": ORACLE_Q_CORPUS_SAMPLE,
     "lang_id": ORACLE_Q_LANG_ID,
     "doc_fingerprint": ORACLE_Q_DOC_FINGERPRINT,
     "tfidf_top_terms": ORACLE_Q_TFIDF_TOP_TERMS,
