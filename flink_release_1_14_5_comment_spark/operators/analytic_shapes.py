@@ -139,6 +139,66 @@ WHERE a.rev > (SELECT 1.1 * SUM(b.rev) / COUNT(*) FROM nat_year b
 """
 
 
+# Exact interpolated percentiles: Spark `percentile` and DuckDB
+# `quantile_cont` implement the same linear-interpolation definition over
+# the same sorted multiset, so rounded results match bit-for-bit.
+# {pctl} = percentile (Spark) / quantile_cont (DuckDB).
+_PERCENTILE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round({pctl}(l_extendedprice, 0.25), 4) AS p25_price,
+       round({pctl}(l_extendedprice, 0.50), 4) AS median_price,
+       round({pctl}(l_extendedprice, 0.90), 4) AS p90_price,
+       round({pctl}(l_quantity, 0.50), 4) AS median_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# TPC-DS q47 shape: aggregate to (nation, year), then LAG within nation to
+# compute year-over-year growth — the window runs over the aggregated frame
+# (one row per nation-year), never over fact rows.
+_YOY_GROWTH_SQL = """
+WITH nat_year AS (
+  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         round(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT n_name, yr, rev,
+       LAG(rev) OVER (PARTITION BY n_name ORDER BY yr) AS prev_rev,
+       CASE WHEN LAG(rev) OVER (PARTITION BY n_name ORDER BY yr) > 0
+            THEN round(rev / LAG(rev) OVER (PARTITION BY n_name ORDER BY yr), 4)
+       END AS growth
+FROM nat_year
+"""
+
+# TPC-DS channel-union shape (store/web/catalog → UNION ALL → ROLLUP):
+# three quantity-band "channels" of lineitem unioned with a channel tag,
+# then a two-level rollup. Catalyst collapses the union into one scan pass
+# per branch and expands once for the rollup.
+_CHANNEL_ROLLUP_SQL = """
+WITH sales AS (
+  SELECT 'small' AS channel, l_returnflag AS rf,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem WHERE l_quantity < 10
+  UNION ALL
+  SELECT 'mid', l_returnflag, l_extendedprice * (1 - l_discount)
+  FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 25
+  UNION ALL
+  SELECT 'large', l_returnflag, l_extendedprice * (1 - l_discount)
+  FROM lineitem WHERE l_quantity >= 25
+)
+SELECT channel, rf, CAST({gid} AS BIGINT) AS gid,
+       round(SUM(rev), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM sales
+GROUP BY ROLLUP (channel, rf)
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
@@ -188,6 +248,26 @@ def q_having_corr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _HAVING_CORR_SQL)
 
 
+def q_pricing_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile aggregates (p25/median/p90) per
+    (returnflag, linestatus) — the reference's PERCENTILE/quantile agg
+    family over a sort-based aggregation."""
+    return _sql(spark, sf_dir, _PERCENTILE_SQL.format(pctl="percentile"))
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: LAG over the aggregated
+    (nation, year) frame (TPC-DS q47's moving-comparison shape)."""
+    return _sql(spark, sf_dir, _YOY_GROWTH_SQL)
+
+
+def q_channel_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of three tagged fact slices followed by ROLLUP — the
+    TPC-DS multi-channel reporting shape."""
+    return _sql(spark, sf_dir,
+                _CHANNEL_ROLLUP_SQL.format(gid="grouping_id(channel, rf)"))
+
+
 QUERIES = {
     "sales_rollup_nation_year": q_sales_rollup_nation_year,
     "deep_chain_regions": q_deep_chain_regions,
@@ -196,6 +276,9 @@ QUERIES = {
     "above_nation_avg_balance": q_above_nation_avg_balance,
     "fact_fact_priority_status": q_fact_fact_priority_status,
     "nation_market_share": q_nation_market_share,
+    "pricing_percentiles": q_pricing_percentiles,
+    "yoy_growth": q_yoy_growth,
+    "channel_union_rollup": q_channel_union_rollup,
 }
 
 ORACLE = {
@@ -206,4 +289,7 @@ ORACLE = {
     "above_nation_avg_balance": _CORRELATED_SCALAR_SQL,
     "fact_fact_priority_status": _FACT_FACT_SQL,
     "nation_market_share": _MARKET_SHARE_SQL,
+    "pricing_percentiles": _PERCENTILE_SQL.format(pctl="quantile_cont"),
+    "yoy_growth": _YOY_GROWTH_SQL,
+    "channel_union_rollup": _CHANNEL_ROLLUP_SQL.format(gid="GROUPING(channel, rf)"),
 }

@@ -27,18 +27,34 @@ BAND_ROWS = 2  # minhashes per band (b=4, r=2 → P(candidate) = 1-(1-J²)⁴:
                # verify join ~linear instead of flooded with false positives)
 JACCARD_THRESHOLD = 0.4
 
+# Affine minhash family over the base shingle hash: h_i(x) = (A_i·x+B_i) mod P.
+# ONE md5 per shingle (the base hash) instead of one per (shingle × hash fn)
+# — an 8× cut in the pipeline's dominant CPU cost — and the shingle cache
+# stores int arrays (~8 B/element) instead of 3-gram strings (~25 B).
+# Standard universal-hashing minhash (Broder); DuckDB mirrors the arithmetic
+# bit-for-bit so every oracle reproduces the signatures exactly.
+_MINHASH_P = 4_294_967_311  # prime > 2^32; A·x + B < 2^40 ≪ bigint range
+
+
+def _affine(h: int) -> tuple[int, int]:
+    return 2 * h + 1, (h * 1_000_003) % _MINHASH_P
+
+
 _NORM = r"regexp_replace(lower(trim(text)), '\\s+', ' ')"
 _TOKS = f"split({_NORM}, ' ')"
 
 
 def shingle_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, …) → (doc_id, shingles: array<string>), docs with ≥3 tokens.
+    """(doc_id, text, …) → (doc_id, sh: array<bigint>) — the distinct 3-gram
+    shingle set as md5-derived 32-bit hashes, docs with ≥3 tokens.
 
     Tokenizes once into a `toks` column so the per-shingle lambda reads the
     array instead of re-splitting the text 3× per element, and repartitions
     first: the documents table often arrives as one file → one partition, and
     shingling+md5 is the CPU-heavy map of this pipeline — spread it across
     all cores (on a cluster: across executors) before doing the work.
+    Hash collisions (~n²/2³² per doc pair) merge shingles identically in both
+    engines, so the oracle gate is unaffected.
     """
     n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 8)
     return (
@@ -49,31 +65,32 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
             "doc_id",
             F.expr(
                 "array_distinct(transform(sequence(0, size(toks) - 3), "
-                "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
-            ).alias("shingles"),
+                "i -> cast(conv(substr(md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])), 1, 8), 16, 10) as bigint)))"
+            ).alias("sh"),
         )
     )
 
 
 def shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents table → shingle sets."""
+    """documents table → shingle-hash sets."""
     t = register_views(spark, sf_dir)
     return shingle_frame(t["documents"])
 
 
 def minhash_signatures(shingled: DataFrame, n_bands: int = N_BANDS,
                        band_rows: int = BAND_ROWS) -> DataFrame:
-    """(doc_id, band, s0..s{r-1}): per-band minhash rows = min over shingles
-    of seeded md5-derived 32-bit integers (seed h = band*r + row). Pure
-    codegen'd array exprs — no Python."""
+    """(doc_id, band, s0..s{r-1}): per-band minhash rows = min over the
+    shingle-hash set of the affine permutation h_i (see _affine). Pure
+    codegen'd array exprs — no Python, no further md5."""
     n_hashes = n_bands * band_rows
-    sigs = [
-        F.expr(
-            "array_min(transform(shingles, x -> "
-            f"cast(conv(substr(md5(concat('{h}', ':', x)), 1, 8), 16, 10) as bigint)))"
-        ).alias(f"sig_{h}")
-        for h in range(n_hashes)
-    ]
+    sigs = []
+    for h in range(n_hashes):
+        a, b = _affine(h)
+        sigs.append(
+            F.expr(
+                f"array_min(transform(sh, x -> ({a} * x + {b}) % {_MINHASH_P}))"
+            ).alias(f"sig_{h}")
+        )
     wide = shingled.select("doc_id", *sigs)
     bands = F.array(*[
         F.struct(
@@ -132,8 +149,8 @@ def near_dup_pairs(sh: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -155,36 +172,44 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(shingle_docs(spark, sf_dir).persist())
 
 
-ORACLE_Q_DEDUP_MINHASH_LSH = r"""
-WITH docs AS (
+# Shared oracle fragments — single source of truth for the DuckDB mirror of
+# the shingle-hash → affine-minhash pipeline (kept in lockstep with
+# shingle_frame / minhash_signatures above).
+ORACLE_DOCS_CTE = r"""
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
   FROM documents
-), sh AS (
+"""
+ORACLE_SH_CTE = r"""
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+             i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT)) AS sh
   FROM docs WHERE len(toks) >= 3
-), sig AS (
+"""
+# band b holds hash fns h=2b (s0) and h=2b+1 (s1): A=2h+1, B=(h*1000003)%P
+ORACLE_SIG_CTE = f"""
   SELECT doc_id, s.band,
-         list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
-         list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
+         list_min(list_transform(sh, x -> ((4 * s.band + 1) * x + s.band * 2000006) % {_MINHASH_P})) AS s0,
+         list_min(list_transform(sh, x -> ((4 * s.band + 3) * x + s.band * 2000006 + 1000003) % {_MINHASH_P})) AS s1
   FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
-), cand AS (
+"""
+ORACLE_CAND_CTE = """
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b
     ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
-)
+"""
+
+ORACLE_Q_DEDUP_MINHASH_LSH = f"""
+WITH docs AS ({ORACLE_DOCS_CTE}), sh AS ({ORACLE_SH_CTE}),
+sig AS ({ORACLE_SIG_CTE}), cand AS ({ORACLE_CAND_CTE})
 SELECT doc_a, doc_b,
-       ROUND(len(list_intersect(sa.shingles, sb.shingles))
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+       ROUND(len(list_intersect(sa.sh, sb.sh))
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
 FROM cand
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
-WHERE len(list_intersect(sa.shingles, sb.shingles))
-      / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.4
+WHERE len(list_intersect(sa.sh, sb.sh))
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4
 """
 
 
@@ -210,24 +235,8 @@ def q_dedup_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbors
 
 
-ORACLE_Q_DEDUP_NGRAM_OVERLAP = r"""
-WITH docs AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-  FROM docs WHERE len(toks) >= 3
-), sig AS (
-  SELECT doc_id, s.band,
-         list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
-         list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
-  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
-)
+ORACLE_Q_DEDUP_NGRAM_OVERLAP = f"""
+WITH docs AS ({ORACLE_DOCS_CTE}), sh AS ({ORACLE_SH_CTE}), sig AS ({ORACLE_SIG_CTE})
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
 FROM (
   SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nbr
@@ -356,7 +365,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_Q_CORPUS_CLEAN = r"""
+ORACLE_Q_CORPUS_CLEAN = rf"""
 WITH toks AS (
   SELECT doc_id, lang,
          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk,
@@ -371,28 +380,15 @@ WITH toks AS (
   SELECT fp, MIN(doc_id) AS doc_id FROM quality GROUP BY fp
 ), survivors AS (
   SELECT q.* FROM quality q JOIN exact_keep e ON q.fp = e.fp AND q.doc_id = e.doc_id
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(tk) - 1),
-             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
-  FROM toks WHERE len(tk) >= 3
-), sig AS (
-  SELECT doc_id, s.band,
-         list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
-         list_min(list_transform(shingles,
-             x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
-  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b
-    ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
-), losers AS (
+), docs AS (
+  SELECT doc_id, toks FROM (SELECT doc_id, tk AS toks FROM toks)
+), sh AS ({ORACLE_SH_CTE}), sig AS ({ORACLE_SIG_CTE}), cand AS ({ORACLE_CAND_CTE}),
+losers AS (
   SELECT DISTINCT doc_b AS doc_id FROM cand
   JOIN sh sa ON sa.doc_id = doc_a
   JOIN sh sb ON sb.doc_id = doc_b
-  WHERE len(list_intersect(sa.shingles, sb.shingles))
-        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.4
+  WHERE len(list_intersect(sa.sh, sb.sh))
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens

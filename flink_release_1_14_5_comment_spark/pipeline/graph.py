@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
-from flink_release_1_14_5_comment_spark.pipeline.dedup import q_dedup_minhash_lsh
+from flink_release_1_14_5_comment_spark.pipeline.dedup import (
+    ORACLE_CAND_CTE,
+    ORACLE_DOCS_CTE,
+    ORACLE_SH_CTE,
+    ORACLE_SIG_CTE,
+    q_dedup_minhash_lsh,
+)
 
 
 # Below this many edges, the pair graph is collected and solved with
@@ -139,35 +145,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Recursive-CTE transitive closure; min reachable node = component. The doc
 # pair graph is tiny relative to the corpus, so closure is cheap for the
 # oracle even though the Spark side uses iteration.
-ORACLE_Q_DEDUP_CLUSTERS = r"""
+ORACLE_Q_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS (
   -- inline near-dup pairs: same pipeline as the dedup_minhash_lsh oracle
-  WITH docs AS (
-    SELECT doc_id,
-           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-    FROM documents
-  ), sh AS (
-    SELECT doc_id,
-           list_distinct(list_transform(range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-    FROM docs WHERE len(toks) >= 3
-  ), sig AS (
-    SELECT doc_id, s.band,
-           list_min(list_transform(shingles,
-               x -> ('0x' || substr(md5((s.band * 2)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s0,
-           list_min(list_transform(shingles,
-               x -> ('0x' || substr(md5((s.band * 2 + 1)::VARCHAR || ':' || x), 1, 8))::BIGINT)) AS s1
-    FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) s
-  ), cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sig a JOIN sig b
-      ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
-  )
+  WITH docs AS ({ORACLE_DOCS_CTE}), sh AS ({ORACLE_SH_CTE}),
+  sig AS ({ORACLE_SIG_CTE}), cand AS ({ORACLE_CAND_CTE})
   SELECT doc_a, doc_b FROM cand
   JOIN sh sa ON sa.doc_id = doc_a
   JOIN sh sb ON sb.doc_id = doc_b
-  WHERE len(list_intersect(sa.shingles, sb.shingles))
-        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.4
+  WHERE len(list_intersect(sa.sh, sb.sh))
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION

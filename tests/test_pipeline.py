@@ -59,8 +59,10 @@ def test_minhash_signature_shape(spark, sf_dir):
     assert set(pdf["band"]) == {0, 1, 2, 3}
     # one signature row per (doc, band)
     assert not pdf.duplicated(["doc_id", "band"]).any()
+    from flink_release_1_14_5_comment_spark.pipeline.dedup import _MINHASH_P
+
     for c in ("s0", "s1"):
-        assert (pdf[c] >= 0).all() and (pdf[c] < 2**32).all()
+        assert (pdf[c] >= 0).all() and (pdf[c] < _MINHASH_P).all()
 
 
 def test_identical_docs_are_minhash_candidates(spark, sf_dir):
