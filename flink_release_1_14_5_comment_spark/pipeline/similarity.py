@@ -45,12 +45,25 @@ def _cosine(a: str, b: str) -> F.Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def _norm(col: str) -> F.Column:
+    return F.sqrt(F.expr(_DOT.format(a=col, b=col)))
+
+
+def _cosine_pre(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
+    """Cosine with PRE-COMPUTED norms: higher-order array folds are
+    interpreted (not codegen'd), so hoisting each vector's norm out of the
+    pair loop cuts 2/3 of the fold work in pair-dominated plans. Bit-identical
+    to _cosine: same sqrt operands, and IEEE multiplication is commutative."""
+    return F.expr(_DOT.format(a=a, b=b)) / (F.col(norm_a) * F.col(norm_b))
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors vec_id < 5."""
     t = register_views(spark, sf_dir)
-    e = _spread(t["embeddings"])
+    e = _spread(t["embeddings"]).withColumn("nrm", _norm("embedding"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     sims = (
         e.crossJoin(F.broadcast(q))
@@ -58,7 +71,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine("qe", "embedding"), 4).alias("sim"),
+            F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -180,13 +193,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    q_vec = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    en = e.withColumn("nrm", _norm("embedding"))
+    q_vec = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     sims = (
         cand.join(F.broadcast(q_vec), "qid")
-        .join(e.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
-        .select("qid", "neighbor_id", F.round(_cosine("qe", "embedding"), 4).alias("sim"))
+        .join(en.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"),
+              "neighbor_id")
+        .select("qid", "neighbor_id",
+                F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"))
     )
     w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -251,9 +268,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE best cells, exact cosine re-rank on cell members only."""
     t = register_views(spark, sf_dir)
     e = _spread(t["embeddings"])
-    cent = _centroids(e)
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cell", F.round(_cosine("embedding", "cent"), 6).alias("csim")
+    cent = _centroids(e).withColumn("cnorm", _norm("cent"))
+    e_n = e.withColumn("nrm", _norm("embedding"))
+    scored = e_n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell",
+        F.round(_cosine_pre("embedding", "cent", "nrm", "cnorm"), 6).alias("csim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
     # ranked feeds both the corpus assignment and the query probe — persist
@@ -270,13 +289,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    q_vec = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    q_vec = e_n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     sims = (
         cand.join(F.broadcast(q_vec), "qid")
-        .join(e.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
-        .select("qid", "neighbor_id", F.round(_cosine("qe", "embedding"), 4).alias("sim"))
+        .join(e_n.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"),
+              "neighbor_id")
+        .select("qid", "neighbor_id",
+                F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"))
     )
     wk = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -422,10 +444,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    e_n = e.withColumn("nrm", _norm("embedding"))
     return (
-        cand.join(e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")), "id_a")
-        .join(e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")), "id_b")
-        .withColumn("sim", F.round(_cosine("ea", "eb"), 4))
+        cand.join(e_n.select(F.col("vec_id").alias("id_a"),
+                             F.col("embedding").alias("ea"),
+                             F.col("nrm").alias("na_")), "id_a")
+        .join(e_n.select(F.col("vec_id").alias("id_b"),
+                         F.col("embedding").alias("eb"),
+                         F.col("nrm").alias("nb_")), "id_b")
+        .withColumn("sim", F.round(_cosine_pre("ea", "eb", "na_", "nb_"), 4))
         .filter(F.col("sim") >= 0.99)
         .select("id_a", "id_b", "sim")
     )
