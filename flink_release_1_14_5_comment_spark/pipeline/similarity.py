@@ -423,10 +423,17 @@ GROUP BY label
 """
 
 
+# Production near-dup threshold is ~0.99; the synthetic corpus's maximum
+# pairwise cosine is 0.51 (measured at sf0.01), so 0.99 would make the
+# verify stage dead code at every test SF. 0.4 sits at the top of the
+# actual distribution so banding + exact verification both run non-trivially.
+EMB_DUP_THRESHOLD = 0.4
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded-LSH candidates (collide
-    in ≥1 of the 4×6-bit bands), verified by exact cosine ≥ 0.99 — the
-    embedding-space flavor of the MinHash band/row pipeline.
+    in ≥1 of the 4×12-bit bands), verified by exact cosine ≥ EMB_DUP_THRESHOLD
+    — the embedding-space flavor of the MinHash band/row pipeline.
 
     Scale shape: the slim (id, band, bucket) index shuffles on (band, bucket)
     to build distinct candidate pairs (sub-quadratic: 64 buckets per band and
@@ -453,7 +460,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("embedding").alias("eb"),
                          F.col("nrm").alias("nb_")), "id_b")
         .withColumn("sim", F.round(_cosine_pre("ea", "eb", "na_", "nb_"), 4))
-        .filter(F.col("sim") >= 0.99)
+        .filter(F.col("sim") >= EMB_DUP_THRESHOLD)
         .select("id_a", "id_b", "sim")
     )
 
@@ -469,7 +476,7 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN embeddings ea ON ea.vec_id = c.id_a
 JOIN embeddings eb ON eb.vec_id = c.id_b
-WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.99
+WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= {EMB_DUP_THRESHOLD}
 """
 
 
