@@ -53,12 +53,12 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_overlap",
     "corpus_clean", "dedup_clusters", "knn_cosine", "ann_lsh_topk",
     "ann_ivf_topk", "dedup_embedding", "text_stats", "lang_id",
-    "multimodal_features",
+    "multimodal_features", "pack_sequences", "contamination_overlap",
     # relational core
     "agg_pricing_summary", "agg_distinct", "agg_stats", "agg_minmax_by",
     "agg_listagg", "join_multiway", "join_large", "join_semi", "join_anti",
     "join_theta", "join_outer_full", "subquery_correlated", "over_windows",
-    "topn", "dedup_keeplast", "sort_limit", "grouping_sets", "cube", "rollup",
+    "topn", "dedup_keeplast", "sort_limit", "grouping_sets",
     "set_union_intersect",
     # event-time windows / temporal joins / CEP
     "window_tumble", "window_hop", "window_session", "window_cumulate",

@@ -62,3 +62,56 @@ def tumbling_count_window(
         df.groupBy(*key_cols)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def sliding_count_window(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    size: int,
+    slide: int,
+) -> DataFrame:
+    """countWindow(size, slide): every `slide`-th element per key emits an
+    aggregate over the LAST `size` elements (reference: GlobalWindows +
+    CountTrigger(slide) + CountEvictor(size), KeyedStream.java:706).
+
+    State = ring buffer of the last `size` values + element counter —
+    O(size) per key, independent of stream length. Fires at elements
+    slide, 2*slide, …; early windows aggregate fewer than `size` elements
+    (CountEvictor keeps what exists), matching the reference.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + ["fire_seq long", "n int", "sum_value double"]
+    )
+    state_schema = "buf array<double>, seen long"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values(id_col, kind="stable")
+        buf, seen = (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+        out = []
+        for v in batch[value_col]:
+            buf.append(float(v))
+            if len(buf) > size:
+                buf.pop(0)
+            seen += 1
+            if seen % slide == 0:
+                out.append({
+                    **{key_cols[i]: key[i] for i in range(n_keys)},
+                    "fire_seq": seen // slide - 1,
+                    "n": len(buf), "sum_value": sum(buf),
+                })
+        state.update((buf, seen))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )

@@ -96,3 +96,33 @@ def test_tumbling_count_window(spark, sf_dir):
             assert sorted(grp["window_seq"]) == list(range(len(grp)))
     finally:
         sources.cleanup(tmpdir)
+
+
+def test_sliding_count_window(spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.streaming.count_windows import (
+        sliding_count_window,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].limit(300).select("user_id", "event_id", "value")
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=3, order_col="event_id")
+    try:
+        got = _mem(sliding_count_window(
+            stream, ["user_id"], "value", "event_id", size=4, slide=2))
+        pdf = got.toPandas()
+        # batch-side reference: replay each key's values in event_id order
+        ref = {}
+        for r in ev.orderBy("event_id").collect():
+            vals = ref.setdefault(r["user_id"], [])
+            vals.append(r["value"])
+        for uid, grp in pdf.groupby("user_id"):
+            vals = ref[uid]
+            fires = len(vals) // 2
+            assert len(grp) == fires
+            g = grp.sort_values("fire_seq").reset_index(drop=True)
+            for k in range(fires):
+                upto = (k + 1) * 2
+                window = vals[max(0, upto - 4):upto]
+                assert g.loc[k, "n"] == len(window)
+                assert abs(g.loc[k, "sum_value"] - sum(window)) < 1e-6
+    finally:
+        sources.cleanup(tmpdir)
