@@ -67,8 +67,8 @@ _PRIORITY = [
     "sales_rollup_nation_year", "deep_chain_regions", "having_corr_revenue",
     "nation_market_share", "fact_fact_priority_status", "skew_salted_join",
     "split_distinct_agg",
-    # over-window frames / lateral
-    "first_last_value", "lateral_topk",
+    # brief-explicit text ops: BPE-ish token counting, rolling-hash winnowing
+    "token_counts", "doc_winnow",
 ]
 
 

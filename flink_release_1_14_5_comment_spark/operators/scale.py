@@ -135,12 +135,44 @@ def q_split_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Numeric range join: lineitem rows land in the quantity tier whose
+# [lo, hi) interval contains them. The tier table is tiny and the predicate
+# non-equi, so the right plan is a broadcast nested-loop join — Catalyst
+# picks exactly that (the reference's NestedLoopJoin with a broadcast build,
+# BatchExecNestedLoopJoin.java). At scale with a LARGE range table the
+# rewrite is binning: precompute bucket = which tier(lo grid) each row hits
+# and equi-join on the bucket — that rewrite is what interval_join does for
+# time ranges (operators/temporal_joins.py).
+_RANGE_JOIN_BODY = """
+SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_items,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+JOIN {tiers}
+  ON l_quantity >= t.lo AND l_quantity < t.hi
+GROUP BY t.tier
+"""
+_TIER_ROWS = "('small', 0, 10), ('mid', 10, 25), ('large', 25, 60)"
+
+
+def q_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi interval) join of a fact table against tier bounds."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RANGE_JOIN_BODY.format(
+        tiers=f"(SELECT * FROM VALUES {_TIER_ROWS} AS v(tier, lo, hi)) AS t"
+    ))
+
+
 QUERIES = {
     "skew_salted_join": q_skew_salted_join,
     "split_distinct_agg": q_split_distinct_agg,
+    "range_join_tiers": q_range_join_tiers,
 }
 
 ORACLE = {
     "skew_salted_join": _SALTED_JOIN_PLAIN_SQL,
     "split_distinct_agg": _SPLIT_DISTINCT_PLAIN_SQL,
+    "range_join_tiers": _RANGE_JOIN_BODY.format(
+        tiers=f"(VALUES {_TIER_ROWS}) AS t(tier, lo, hi)"
+    ),
 }

@@ -170,11 +170,41 @@ GROUP BY w_start, w_end, event_type
 """
 
 
+# Hypertable-style continuous-aggregate rollup: the same event stream
+# aggregated at multiple granularities in one statement (the materialized
+# rollup tree a timeseries store maintains). Each granularity is one
+# scan+agg branch; Catalyst reuses the scan across the UNION ALL branches
+# (exchange reuse), and at 100 TB each branch is a plain partial+final agg
+# whose coarser levels could equally fold from the finer one.
+_HYPER_ROLLUP_SQL = """
+SELECT gran, w_start, event_type, n, sum_value
+FROM (
+  SELECT 'hour' AS gran, date_trunc('hour', ts) AS w_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type,
+         CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 2)
+  FROM events GROUP BY date_trunc('day', ts), event_type
+)
+"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity (hour + day) rollup of the events stream in one
+    statement — the batch face of the cascading streaming window rollup
+    (streaming/windows.py cascade_tumble_agg)."""
+    t = register_views(spark, sf_dir)
+    t["events"].createOrReplaceTempView("events")
+    return spark.sql(_HYPER_ROLLUP_SQL)
+
+
 QUERIES = {
     "window_tumble": q_window_tumble,
     "window_hop": q_window_hop,
     "window_session": q_window_session,
     "window_cumulate": q_window_cumulate,
+    "hypertable_rollup": q_hypertable_rollup,
 }
 
 ORACLE = {
@@ -182,4 +212,5 @@ ORACLE = {
     "window_hop": ORACLE_Q_WINDOW_HOP,
     "window_session": ORACLE_Q_WINDOW_SESSION,
     "window_cumulate": ORACLE_Q_WINDOW_CUMULATE,
+    "hypertable_rollup": _HYPER_ROLLUP_SQL,
 }

@@ -235,8 +235,122 @@ FROM d GROUP BY lang, source
 """
 
 
+# BPE-ish tokenizer proxy: letter runs, digit runs, single punctuation marks
+# (regexp_extract_all is RE2-safe in both engines — no lookaround), plus a
+# subword-unit estimate of ceil(len/4) per token, the budget a ~4-char/token
+# BPE vocabulary would spend. Pure map + bounded-key agg.
+_BPE_PAT_SPARK = r"[a-z]+|[0-9]+|[^a-z0-9\\s]"
+_BPE_PAT_DUCK = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per language: whitespace tokens, BPE-ish regex
+    tokens, and estimated subword units — the budget numbers a training-mix
+    planner reads before packing sequences."""
+    t = register_views(spark, sf_dir)
+    ws = F.size(_toks()).cast("long")
+    rex = F.expr(f"regexp_extract_all(lower(text), '{_BPE_PAT_SPARK}', 0)")
+    n_rex = F.size(rex).cast("long")
+    subword = F.expr(
+        f"aggregate(transform(regexp_extract_all(lower(text), '{_BPE_PAT_SPARK}', 0), "
+        "t -> cast(ceil(length(t) / 4.0) as bigint)), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        t["documents"]
+        .select("lang", ws.alias("ws"), n_rex.alias("rex"), subword.alias("sw"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("rex").alias("regex_tokens"),
+            F.sum("sw").alias("subword_units"),
+        )
+    )
+
+
+ORACLE_Q_TOKEN_COUNTS = rf"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(lower(text), '{_BPE_PAT_DUCK}', 0)) AS BIGINT) AS rex,
+         CAST(list_sum(list_transform(regexp_extract_all(lower(text), '{_BPE_PAT_DUCK}', 0),
+                                      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS sw
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(rex) AS BIGINT) AS regex_tokens,
+       CAST(SUM(sw) AS BIGINT) AS subword_units
+FROM d GROUP BY lang
+"""
+
+
+# Rabin-Karp-style polynomial rolling hash (base 131, 50-bit modulus so
+# acc*131 + h stays far inside BIGINT in both engines) + winnowing-lite:
+# the document fingerprint is the MIN hash over all 8-token windows, the
+# standard near-dup-robust fingerprint (winnowing selects window minima so
+# local edits only perturb nearby windows).
+_ROLL_B = 131
+_ROLL_P = 1_000_000_000_000_037
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints: whole-doc polynomial hash plus a
+    winnowing fingerprint (min over 8-token rolling windows) with its
+    duplicate-group size."""
+    t = register_views(spark, sf_dir)
+    fold = f"(acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_P}"
+    base = (
+        t["documents"]
+        .select("doc_id", _toks().alias("toks"))
+        .withColumn("th", F.expr(
+            "transform(toks, x -> cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint))"
+        ))
+    )
+    full = F.expr(f"aggregate(th, cast(0 as bigint), {fold})")
+    winnow = F.expr(
+        "CASE WHEN size(th) >= 8 THEN "
+        f"array_min(transform(sequence(1, size(th) - 7), "
+        f"i -> aggregate(slice(th, i, 8), cast(0 as bigint), {fold}))) "
+        "ELSE aggregate(th, cast(0 as bigint), " + fold + ") END"
+    )
+    out = base.select(
+        "doc_id", F.size("th").cast("long").alias("n_tokens"),
+        full.alias("roll_fp"), winnow.alias("winnow_fp"),
+    )
+    return out.withColumn(
+        "group_n", F.count(F.lit(1)).over(W.partitionBy("winnow_fp"))
+    )
+
+
+ORACLE_Q_DOC_WINNOW = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                        x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS th
+  FROM documents
+), fp AS (
+  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(0::BIGINT, th),
+                     (acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_P}) AS roll_fp,
+         CASE WHEN len(th) >= 8 THEN
+           list_min(list_transform(range(1, len(th) - 6),
+             i -> list_reduce(list_prepend(0::BIGINT, th[i:i+7]),
+                              (acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_P})))
+         ELSE list_reduce(list_prepend(0::BIGINT, th),
+                          (acc, h) -> (acc * {_ROLL_B} + h) % {_ROLL_P}) END AS winnow_fp
+  FROM d
+)
+SELECT doc_id, n_tokens, roll_fp, winnow_fp,
+       CAST(COUNT(*) OVER (PARTITION BY winnow_fp) AS BIGINT) AS group_n
+FROM fp
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "token_counts": q_token_counts,
+    "doc_winnow": q_doc_winnow,
     "corpus_sample": q_corpus_sample,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -245,6 +359,8 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": ORACLE_Q_TEXT_STATS,
+    "token_counts": ORACLE_Q_TOKEN_COUNTS,
+    "doc_winnow": ORACLE_Q_DOC_WINNOW,
     "corpus_sample": ORACLE_Q_CORPUS_SAMPLE,
     "lang_id": ORACLE_Q_LANG_ID,
     "doc_fingerprint": ORACLE_Q_DOC_FINGERPRINT,
