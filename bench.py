@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "corpus_clean",
+    "pack_sequences",
+    "contamination_overlap",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_stats",
@@ -86,7 +88,7 @@ def main() -> None:
         "nation_market_share",   # end of relational family
         "window_cumulate",       # end of time-window family
         "asof_join",             # end of temporal-join family
-        "corpus_clean",          # end of dedup family (shares signatures)
+        "contamination_overlap", # end of dedup/assembly family (shares signatures)
         "ann_ivf_topk",          # end of similarity family
         "text_stats", "sessionize_paths", "multimodal_features",
     }

@@ -85,3 +85,15 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_line}")
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    """The tier range join must broadcast the tiny bounds table into a
+    nested-loop join — no Exchange on the fact side for a non-equi
+    predicate against a VALUES relation."""
+    from flink_release_1_14_5_comment_spark.operators.scale import q_range_join_tiers
+
+    df = q_range_join_tiers(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert df.count() == 3
