@@ -141,3 +141,57 @@ def range_bounded_over(
         df.groupBy(*key_cols)
         .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def unbounded_preceding_over(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """SUM/AVG/COUNT/MIN/MAX OVER (PARTITION BY key ORDER BY ts ROWS
+    UNBOUNDED PRECEDING) — reference RowTimeRowsUnboundedPrecedingFunction
+    (flink-table-runtime operators/over/): per-key running aggregates since
+    stream start. State is O(1) per key (count/sum/min/max scalars), the
+    same accumulator layout the reference keeps in ValueState — no buffer,
+    so this is the cheapest streaming over-agg at any scale."""
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join([
+        *[f"{c} {dtypes[c]}" for c in key_cols],
+        f"{id_col} {dtypes[id_col]}",
+        f"{ts_col} {dtypes[ts_col]}",
+        f"{value_col} {dtypes[value_col]}",
+        "running_sum double", "running_avg double",
+        "running_count long", "running_min double", "running_max double",
+    ])
+    state_schema = "cnt long, acc double, mn double, mx double"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values([ts_col, id_col], kind="stable")
+        cnt, acc, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+        keyd = {key_cols[i]: key[i] for i in range(n_keys)}
+        out_rows = []
+        for _, row in batch.iterrows():
+            v = float(row[value_col])
+            cnt += 1
+            acc += v
+            mn = v if mn is None or v < mn else mn
+            mx = v if mx is None or v > mx else mx
+            out_rows.append({
+                **keyd,
+                id_col: row[id_col], ts_col: row[ts_col], value_col: row[value_col],
+                "running_sum": acc, "running_avg": acc / cnt,
+                "running_count": cnt, "running_min": mn, "running_max": mx,
+            })
+        state.update((cnt, acc, mn, mx))
+        yield pd.DataFrame(out_rows)
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
+    )

@@ -120,3 +120,34 @@ def test_range_bounded_over_matches_batch_window(spark, sf_dir):
         assert g.exceptAll(e).count() == 0
     finally:
         sources.cleanup(tmpdir)
+
+
+def test_unbounded_preceding_over_matches_batch_window(spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.streaming.over_agg import (
+        unbounded_preceding_over,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].limit(500).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=4, order_col="ts")
+    try:
+        out = unbounded_preceding_over(stream, ["user_id"], "ts", "event_id", "value")
+        got = _mem(out).select(
+            "user_id", "event_id", "running_sum", "running_count",
+            "running_min", "running_max")
+        w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, 0))
+        expected = ev.select(
+            "user_id", "event_id",
+            F.sum("value").over(w).alias("running_sum"),
+            F.count(F.lit(1)).over(w).alias("running_count"),
+            F.min("value").over(w).alias("running_min"),
+            F.max("value").over(w).alias("running_max"),
+        )
+        g = got.withColumn("running_sum", F.round("running_sum", 6))
+        e = expected.withColumn("running_sum", F.round("running_sum", 6))
+        assert g.count() == e.count() == 500
+        assert g.exceptAll(e).count() == 0
+    finally:
+        sources.cleanup(tmpdir)
