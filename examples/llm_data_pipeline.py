@@ -1,0 +1,74 @@
+"""End-to-end LLM training-data pipeline on this engine — the workflow a
+data-curation team runs before every pretraining job, composed entirely
+from the package's operators. Run directly:
+
+    python examples/llm_data_pipeline.py
+
+Stages (each is an oracle-gated operator — see pipeline/*.py):
+  1. quality triage        — text_stats / lang_id / token_counts
+  2. exact dedup           — md5 fingerprint groupBy
+  3. near-dup dedup        — MinHash+LSH banding → verified Jaccard pairs
+  4. duplicate clusters    — connected components over the pair graph
+  5. embedding near-dup    — banded sign-LSH + exact cosine verify
+  6. contamination audit   — train/eval 5-gram overlap
+  7. sequence packing      — token-budget bins for batch assembly
+  8. mixing                — deterministic stratified sampling
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from flink_release_1_14_5_comment_spark import get_spark
+from flink_release_1_14_5_comment_spark.pipeline import (
+    dedup,
+    graph,
+    packing,
+    similarity,
+    text_analysis,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("llm-pipeline-example")
+
+    print("== 1. quality triage ==")
+    text_analysis.q_text_stats(spark, SF_DIR).show(5, truncate=False)
+    text_analysis.q_token_counts(spark, SF_DIR).show(5)
+
+    print("== 2. exact dedup (dup groups >1) ==")
+    dedup.q_dedup_exact(spark, SF_DIR).filter("n_dups > 1").show(5)
+
+    print("== 3. near-dup pairs (MinHash b=4 r=2, Jaccard >= 0.4) ==")
+    pairs = dedup.q_dedup_minhash_lsh(spark, SF_DIR)
+    pairs.show(5)
+
+    print("== 4. duplicate clusters (keep min doc_id per cluster) ==")
+    graph.q_dedup_clusters(spark, SF_DIR).filter("cluster_size > 1").show(5)
+
+    print("== 5. embedding near-dups (banded sign-LSH + cosine verify) ==")
+    similarity.q_dedup_embedding(spark, SF_DIR).show(5)
+
+    print("== 6. contamination audit (eval 5-grams seen in train) ==")
+    packing.q_contamination_overlap(spark, SF_DIR) \
+        .orderBy("hit_ratio", ascending=False).show(5)
+
+    print("== 7. sequence packing (2048-token bins) ==")
+    packing.q_pack_sequences(spark, SF_DIR).orderBy("shard", "bin").show(5)
+
+    print("== 8. deterministic stratified sampling for the final mix ==")
+    text_analysis.q_corpus_sample(spark, SF_DIR).show(5)
+
+    print("== cleaned-corpus summary (quality + exact + near-dup composed) ==")
+    dedup.q_corpus_clean(spark, SF_DIR).show()
+
+    print("PIPELINE OK")
+
+
+if __name__ == "__main__":
+    main()

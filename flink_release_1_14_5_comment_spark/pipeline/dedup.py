@@ -326,6 +326,51 @@ FROM fp
 """
 
 
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at hamming distance ≤ 1: candidates share at
+    least one 8-bit fingerprint half (pigeonhole: a single flipped bit lives
+    in one half, so the other half still collides — the standard
+    multi-index hamming search), verified by exact popcount on the XOR.
+
+    Scale: two slim equi-joins on 8-bit bucket keys (union'd, deduped) —
+    never an all-pairs comparison; the popcount verify touches only
+    candidates. Same band/verify topology as the MinHash and embedding-LSH
+    pipelines."""
+    sim = q_dedup_simhash(spark, sf_dir).select(
+        "doc_id", "simhash", "half_hi", "half_lo"
+    ).persist()
+    pairs = None
+    for half in ("half_hi", "half_lo"):
+        a = sim.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                       F.col(half).alias("bkt"))
+        b = sim.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                       F.col(half).alias("bkt"))
+        p = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b")) \
+             .select("id_a", "id_b", "sh_a", "sh_b")
+        pairs = p if pairs is None else pairs.union(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .filter(F.col("hamming") <= 1)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+ORACLE_Q_DEDUP_SIMHASH_HAMMING = f"""
+WITH s AS ({ORACLE_Q_DEDUP_SIMHASH}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM s a JOIN s b
+    ON (a.half_hi = b.half_hi OR a.half_lo = b.half_lo)
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 1
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning — the canonical LLM-data pipeline in one
     plan: (1) quality filter (≥20 tokens, stopword ratio < 0.5), (2) exact
@@ -403,6 +448,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_overlap": q_dedup_ngram_overlap,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "corpus_clean": q_corpus_clean,
 }
 
@@ -411,5 +457,6 @@ ORACLE = {
     "dedup_minhash_lsh": ORACLE_Q_DEDUP_MINHASH_LSH,
     "dedup_ngram_overlap": ORACLE_Q_DEDUP_NGRAM_OVERLAP,
     "dedup_simhash": ORACLE_Q_DEDUP_SIMHASH,
+    "dedup_simhash_hamming": ORACLE_Q_DEDUP_SIMHASH_HAMMING,
     "corpus_clean": ORACLE_Q_CORPUS_CLEAN,
 }
