@@ -287,7 +287,52 @@ WHERE revenue > 0
 """
 
 
+# URL / key-value parsing surface (reference BuiltInFunctionDefinitions
+# PARSE_URL + STR_TO_MAP, FlinkSqlOperatorTable string families): Spark uses
+# the built-ins; the DuckDB oracle mirrors them with RE2 extracts. Inputs
+# are deterministic URLs/kv-strings derived from document columns so the
+# functions run over real distributed data, not literals.
+_URL_EXPR = (
+    "concat('https://', source, '.example.com/', lang, '/', cast(doc_id as string), "
+    "'?k=', lang, '&x=', cast(doc_id % 7 as string))"
+)
+_KV_EXPR = "concat('a=', cast(n_chars as string), ',b=', cast(doc_id as string), ',c=', lang)"
+
+
+def q_scalar_url_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARSE_URL (HOST/PATH/QUERY-param) + STR_TO_MAP lookups over derived
+    per-document URLs and kv-strings."""
+    t = register_views(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.expr(f"parse_url({_URL_EXPR}, 'HOST')").alias("host"),
+        F.expr(f"parse_url({_URL_EXPR}, 'PATH')").alias("path"),
+        F.expr(f"parse_url({_URL_EXPR}, 'QUERY', 'x')").alias("xval"),
+        F.expr(f"str_to_map({_KV_EXPR}, ',', '=')['b']").alias("bval"),
+        F.expr(f"str_to_map({_KV_EXPR}, ',', '=')['c']").alias("cval"),
+    )
+
+
+ORACLE_Q_SCALAR_URL_MAP = """
+WITH d AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/' || doc_id::VARCHAR
+           || '?k=' || lang || '&x=' || (doc_id % 7)::VARCHAR AS url,
+         'a=' || n_chars::VARCHAR || ',b=' || doc_id::VARCHAR || ',c=' || lang AS kv
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]x=([^&#]*)', 1) AS xval,
+       regexp_extract(kv, 'b=([^,]*)', 1) AS bval,
+       regexp_extract(kv, 'c=([^,]*)', 1) AS cval
+FROM d
+"""
+
+
 QUERIES = {
+    "scalar_url_map": q_scalar_url_map,
     "left_join_nulls": q_left_join_nulls,
     "having_two_level": q_having_two_level,
     "conditional_pivot": q_conditional_pivot,
@@ -313,4 +358,5 @@ ORACLE = {
     "min_subquery_join": ORACLE_Q_MIN_SUBQUERY_JOIN,
     "distinct_not_in": ORACLE_Q_DISTINCT_NOT_IN,
     "posexplode_tokens": ORACLE_Q_POSEXPLODE_TOKENS,
+    "scalar_url_map": ORACLE_Q_SCALAR_URL_MAP,
 }
