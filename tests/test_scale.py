@@ -97,3 +97,19 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert df.count() == 3
+
+
+def test_packing_plans_prune_and_avoid_cartesian(spark, sf_dir):
+    """pack_sequences must scan only (doc_id, text) — column pruning reaches
+    the parquet scan — and neither batch-assembly query may degenerate into
+    a cartesian product."""
+    from flink_release_1_14_5_comment_spark.pipeline import packing
+
+    p1 = packing.q_pack_sequences(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in p1.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id:bigint,text:string" in scan.replace(" ", "")
+    assert "Cartesian" not in p1
+    p2 = packing.q_contamination_overlap(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in p2
