@@ -5,8 +5,9 @@ Reference surface → Spark built-ins:
   * JSON  (flink-json JsonRowDataDeserializationSchema) → .json
   * Parquet (flink-parquet, vectorized)                 → .parquet (vectorized)
   * ORC   (flink-orc)                                   → .orc
-  * Avro  (flink-avro) — requires the spark-avro package; gated, raises a
-    clear error when absent (not bundled in this environment).
+  * Avro  (flink-avro) — pure-Python Object Container File codec in
+    avro_format.py (spark-avro isn't bundled here); read = binaryFile scan +
+    mapInPandas decode, write = per-partition executor-side encode.
   * FileSink (FileSink.java:111 — bucketed rolling files, exactly-once) →
     `write.partitionBy(...)` for bucketed layout; exactly-once comes from
     Spark's commit protocol; streaming variant via
@@ -20,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "csv", "json", "orc")
+FORMATS = ("parquet", "csv", "json", "orc", "avro")
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
@@ -29,7 +30,12 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     (BucketAssigner) via directory partitioning — which also enables
     partition pruning on read."""
     if fmt == "avro":
-        _require_avro(df.sparkSession)
+        from flink_release_1_14_5_comment_spark.avro_format import write_avro
+
+        if partition_by:
+            raise NotImplementedError("avro sink: directory partitioning TBD")
+        write_avro(df, path)
+        return
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -42,7 +48,11 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
                schema: StructType | str | None = None) -> DataFrame:
     """Schema-explicit batch file source."""
     if fmt == "avro":
-        _require_avro(spark)
+        from flink_release_1_14_5_comment_spark.avro_format import read_avro
+
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        return read_avro(spark, path, schema)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -51,12 +61,3 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     return getattr(reader, fmt)(path)
 
 
-def _require_avro(spark: SparkSession) -> None:
-    try:
-        spark.read.format("avro")
-        # triggering load needs a path; probe the class directly
-        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: SLF001
-    except Exception as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Avro needs the spark-avro package (--packages org.apache.spark:spark-avro)"
-        ) from exc

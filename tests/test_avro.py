@@ -1,0 +1,115 @@
+"""Avro Object Container File format (avro_format.py) — codec unit tests +
+distributed Spark round-trips on the testdata tables. Mirrors the reference's
+flink-avro row-serialization tests (AvroRowDataDeSerializationSchemaTest)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import zlib
+
+import pandas as pd
+import pytest
+
+from flink_release_1_14_5_comment_spark.avro_format import (
+    MAGIC,
+    decode_container,
+    encode_container,
+    read_avro,
+    spark_to_avro_schema,
+    write_avro,
+)
+from flink_release_1_14_5_comment_spark.catalog import load_tables
+from flink_release_1_14_5_comment_spark.io_formats import read_table, write_table
+
+SCHEMA = {
+    "type": "record", "name": "row", "fields": [
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "price", "type": ["null", "double"]},
+        {"name": "d", "type": ["null", {"type": "int", "logicalType": "date"}]},
+        {"name": "vec", "type": ["null", {"type": "array", "items": "double"}]},
+    ],
+}
+ROWS = [
+    (1, "alpha", 3.25, datetime.date(2020, 5, 17), [1.0, 2.5]),
+    (None, None, None, None, None),
+    (-7, "éè", -0.5, datetime.date(1969, 12, 31), []),
+]
+
+
+def test_container_roundtrip_both_codecs():
+    for codec in ("null", "deflate"):
+        schema, back = decode_container(encode_container(ROWS, SCHEMA, codec=codec))
+        assert schema == SCHEMA
+        assert back == ROWS
+
+
+def test_container_wire_format_pinned():
+    """The header must be spec-shaped: magic, metadata map with avro.schema
+    (valid JSON) + avro.codec, then a 16-byte sync marker — so files are
+    readable by ANY Avro implementation, not just ours."""
+    data = encode_container(ROWS, SCHEMA, codec="deflate")
+    assert data[:4] == MAGIC
+    # metadata map: long count, then key/value bytes pairs
+    pos = 4
+    # hand-decode the varint map count (2 entries → zigzag(2)=4 → one byte)
+    assert data[pos] == 4
+    meta, rows = decode_container(data)
+    assert json.loads(json.dumps(meta)) == SCHEMA
+    assert rows == ROWS
+    # deflate payload is raw RFC-1951 (no zlib header)
+    payload_rows = encode_container(ROWS, SCHEMA, codec="null")
+    assert len(data) < len(payload_rows) + 200  # compressed, same structure
+
+
+def test_block_splitting():
+    rows = [(i, f"n{i}", float(i), None, None) for i in range(10_000)]
+    data = encode_container(rows, SCHEMA, codec="deflate", block_rows=1000)
+    _, back = decode_container(data)
+    assert back == rows
+    # 10 blocks → 10 sync markers beyond the header one
+    sync = bytes(range(16))
+    assert data.count(sync) >= 11
+
+
+def test_spark_roundtrip_lineitem(spark, sf_dir, tmp_path):
+    src = load_tables(spark, sf_dir)["lineitem"]
+    path = str(tmp_path / "lineitem_avro")
+    files = write_avro(src, path)
+    assert files and all(f.endswith(".avro") for f in files)
+    back = read_avro(spark, path)
+    assert [f.name for f in back.schema.fields] == src.columns
+    assert back.count() == src.count()
+    a = src.orderBy("l_orderkey", "l_linenumber").limit(50).toPandas()
+    b = back.orderBy("l_orderkey", "l_linenumber").limit(50).toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_spark_roundtrip_embeddings_arrays(spark, sf_dir, tmp_path):
+    src = load_tables(spark, sf_dir)["embeddings"]
+    path = str(tmp_path / "emb_avro")
+    write_avro(src, path, codec="null")
+    back = read_avro(spark, path)
+    assert back.count() == src.count()
+    a = src.orderBy("vec_id").limit(5).collect()
+    b = back.orderBy("vec_id").limit(5).collect()
+    for ra, rb in zip(a, b):
+        assert ra.vec_id == rb.vec_id
+        assert list(ra.embedding) == pytest.approx(list(rb.embedding))
+
+
+def test_io_formats_facade_avro(spark, sf_dir, tmp_path):
+    src = load_tables(spark, sf_dir)["nation"]
+    path = str(tmp_path / "nation_avro")
+    write_table(src, path, fmt="avro")
+    back = read_table(spark, path, fmt="avro")
+    assert sorted(r.n_name for r in back.collect()) == \
+        sorted(r.n_name for r in src.collect())
+
+
+def test_schema_mapping_covers_testdata(spark, sf_dir):
+    for name, df in load_tables(spark, sf_dir).items():
+        avro = spark_to_avro_schema(df.schema)
+        assert len(avro["fields"]) == len(df.schema.fields), name
