@@ -199,6 +199,66 @@ GROUP BY ROLLUP (channel, rf)
 """
 
 
+# TPC-DS q38/q87 shape: customers present in ALL three behavior slices —
+# INTERSECT of fact-derived key sets (distinct-set semantics), then a
+# dimension join on the survivors. Catalyst plans INTERSECT as a semi join
+# per branch over pre-aggregated (distinct) keys.
+_CHANNEL_INTERSECT_SQL = """
+WITH buyers AS (
+  SELECT o_custkey AS ck FROM orders
+  JOIN lineitem ON l_orderkey = o_orderkey WHERE l_returnflag = 'R'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(SUM(c_acctbal), 2) AS total_balance
+FROM customer JOIN buyers ON c_custkey = ck
+GROUP BY c_mktsegment
+"""
+
+# TPC-DS q66 shape: conditional-aggregation pivot — one scan, one shuffle,
+# the per-month columns folded as SUM(CASE ...) (never 12 self-joins).
+_PIVOT_MONTHLY_SQL = """
+SELECT n_name,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       round(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= 3
+                      THEN o_totalprice ELSE 0 END), 2) AS q1_rev,
+       round(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) BETWEEN 4 AND 6
+                      THEN o_totalprice ELSE 0 END), 2) AS q2_rev,
+       round(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) BETWEEN 7 AND 9
+                      THEN o_totalprice ELSE 0 END), 2) AS q3_rev,
+       round(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) >= 10
+                      THEN o_totalprice ELSE 0 END), 2) AS q4_rev,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+"""
+
+# TPC-DS q44 shape: rank the same aggregated frame twice (best and worst
+# performers) and join the two rankings position-to-position. Both windows
+# run over the one-row-per-part agg output; the join is tiny (k rows).
+_BEST_WORST_SQL = """
+WITH perf AS (
+  SELECT p_brand, round(SUM(l_quantity), 2) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), ranked AS (
+  SELECT p_brand, qty,
+         CAST(ROW_NUMBER() OVER (ORDER BY qty DESC, p_brand) AS BIGINT) AS best_rk,
+         CAST(ROW_NUMBER() OVER (ORDER BY qty ASC,  p_brand) AS BIGINT) AS worst_rk
+  FROM perf
+)
+SELECT b.best_rk AS position, b.p_brand AS best_brand, b.qty AS best_qty,
+       w.p_brand AS worst_brand, w.qty AS worst_qty
+FROM ranked b JOIN ranked w ON b.best_rk = w.worst_rk
+WHERE b.best_rk <= 10
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
@@ -268,6 +328,24 @@ def q_channel_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _CHANNEL_ROLLUP_SQL.format(gid="grouping_id(channel, rf)"))
 
 
+def q_channel_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way INTERSECT of fact-derived customer sets, then a dim join +
+    agg over the survivors (TPC-DS q38/q87 cross-channel shape)."""
+    return _sql(spark, sf_dir, _CHANNEL_INTERSECT_SQL)
+
+
+def q_pivot_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot: quarterly revenue columns via
+    SUM(CASE ...) in a single pass (TPC-DS q66 shape)."""
+    return _sql(spark, sf_dir, _PIVOT_MONTHLY_SQL)
+
+
+def q_best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double ranking of one aggregated frame joined position-to-position
+    (TPC-DS q44 best/worst shape)."""
+    return _sql(spark, sf_dir, _BEST_WORST_SQL)
+
+
 QUERIES = {
     "sales_rollup_nation_year": q_sales_rollup_nation_year,
     "deep_chain_regions": q_deep_chain_regions,
@@ -279,6 +357,9 @@ QUERIES = {
     "pricing_percentiles": q_pricing_percentiles,
     "yoy_growth": q_yoy_growth,
     "channel_union_rollup": q_channel_union_rollup,
+    "channel_intersect_customers": q_channel_intersect_customers,
+    "pivot_monthly_revenue": q_pivot_monthly_revenue,
+    "best_worst_rank_join": q_best_worst_rank_join,
 }
 
 ORACLE = {
@@ -292,4 +373,7 @@ ORACLE = {
     "pricing_percentiles": _PERCENTILE_SQL.format(pctl="quantile_cont"),
     "yoy_growth": _YOY_GROWTH_SQL,
     "channel_union_rollup": _CHANNEL_ROLLUP_SQL.format(gid="GROUPING(channel, rf)"),
+    "channel_intersect_customers": _CHANNEL_INTERSECT_SQL,
+    "pivot_monthly_revenue": _PIVOT_MONTHLY_SQL,
+    "best_worst_rank_join": _BEST_WORST_SQL,
 }
