@@ -347,6 +347,158 @@ FROM fp
 """
 
 
+# Gopher-style repetition/quality rules (Rae et al. 2021, "Scaling Language
+# Models", appendix A1.1 — public filtering lore also used by C4/RefinedWeb):
+# reject docs that are too short, dominated by one word, or low-diversity.
+# Thresholds tuned so the synthetic corpus splits non-trivially into both
+# classes; the operator under test is the two-shuffle distributed shape:
+# explode → (doc, word) counts → per-doc profile → per-(lang, keep) rollup.
+# Both shuffles key on doc_id/word — uniform, no skew, linear at 100 TB.
+_GOPHER_MIN_TOKENS = 30
+_GOPHER_MAX_TOP_FRAC = 0.10
+_GOPHER_MIN_DISTINCT_FRAC = 0.30
+
+_GOPHER_SPARK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         explode(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, lang, w, COUNT(*) AS c FROM toks GROUP BY doc_id, lang, w
+), prof AS (
+  SELECT doc_id, lang,
+         SUM(c) AS ntok, COUNT(*) AS ndistinct, MAX(c) AS top_c,
+         ROUND(SUM(length(w) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
+  FROM wc GROUP BY doc_id, lang
+), flagged AS (
+  SELECT lang, ntok, ndistinct, top_c, mean_word_len,
+         (ntok >= {_GOPHER_MIN_TOKENS}
+          AND top_c / CAST(ntok AS DOUBLE) <= {_GOPHER_MAX_TOP_FRAC}
+          AND ndistinct / CAST(ntok AS DOUBLE) >= {_GOPHER_MIN_DISTINCT_FRAC}) AS keep
+  FROM prof
+)
+SELECT lang, keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(SUM(top_c / CAST(ntok AS DOUBLE)), 6) / COUNT(*) AS avg_top_frac,
+       ROUND(SUM(ndistinct / CAST(ntok AS DOUBLE)), 6) / COUNT(*) AS avg_distinct_frac,
+       ROUND(SUM(mean_word_len), 6) / COUNT(*) AS avg_word_len
+FROM flagged
+GROUP BY lang, keep
+"""
+
+ORACLE_Q_GOPHER_QUALITY = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, lang, w, COUNT(*) AS c FROM toks GROUP BY doc_id, lang, w
+), prof AS (
+  SELECT doc_id, lang,
+         SUM(c) AS ntok, COUNT(*) AS ndistinct, MAX(c) AS top_c,
+         ROUND(SUM(length(w) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
+  FROM wc GROUP BY doc_id, lang
+), flagged AS (
+  SELECT lang, ntok, ndistinct, top_c, mean_word_len,
+         (ntok >= {_GOPHER_MIN_TOKENS}
+          AND top_c / CAST(ntok AS DOUBLE) <= {_GOPHER_MAX_TOP_FRAC}
+          AND ndistinct / CAST(ntok AS DOUBLE) >= {_GOPHER_MIN_DISTINCT_FRAC}) AS keep
+  FROM prof
+)
+SELECT lang, keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       ROUND(SUM(top_c / CAST(ntok AS DOUBLE)), 6) / COUNT(*) AS avg_top_frac,
+       ROUND(SUM(ndistinct / CAST(ntok AS DOUBLE)), 6) / COUNT(*) AS avg_distinct_frac,
+       ROUND(SUM(mean_word_len), 6) / COUNT(*) AS avg_word_len
+FROM flagged
+GROUP BY lang, keep
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter profile: per-(lang, keep-decision) doc
+    counts and repetition metrics (top-word fraction, distinct-word
+    fraction, mean word length)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GOPHER_SPARK_SQL)
+
+
+# PII scrubbing: the pre-training redaction pass (emails/phones → tags).
+# The synthetic corpus carries no real PII, so PII-bearing text is DERIVED
+# deterministically per doc (same device as the parse_url query): docs with
+# doc_id%3=0 get an email, doc_id%5=0 a phone. The operator under test is the
+# codegen'd regexp_replace/regexp_count scrub — a pure map, zero shuffle
+# beyond the final bounded-key rollup; text never shuffles.
+# Spark SQL literals process backslash escapes ('\+' → '+'); DuckDB's don't.
+_EMAIL_PAT = "[a-z0-9._]+@[a-z0-9.-]+[a-z]"
+_PHONE_PAT_SPARK = "\\\\+1-555-[0-9]{4}"
+_PHONE_PAT_DUCK = "\\+1-555-[0-9]{4}"
+
+_PII_SPARK_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id, source,
+         concat(substr(text, 1, 40),
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(' contact ', source, doc_id, '@example.com') ELSE '' END,
+                CASE WHEN doc_id % 5 = 0
+                     THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END
+         ) AS text_pii
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, source,
+         CAST(regexp_count(text_pii, '{_EMAIL_PAT}') AS BIGINT) AS n_email,
+         CAST(regexp_count(text_pii, '{_PHONE_PAT_SPARK}') AS BIGINT) AS n_phone,
+         regexp_replace(regexp_replace(text_pii, '{_EMAIL_PAT}', '<EMAIL>'),
+                        '{_PHONE_PAT_SPARK}', '<PHONE>') AS clean
+  FROM seeded
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' OR clean LIKE '%<PHONE>%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+       CAST(COUNT(DISTINCT md5(clean)) AS BIGINT) AS distinct_clean
+FROM scrubbed
+GROUP BY source
+"""
+
+ORACLE_Q_PII_SCRUB = f"""
+WITH seeded AS (
+  SELECT doc_id, source,
+         concat(substr(text, 1, 40),
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(' contact ', source, doc_id, '@example.com') ELSE '' END,
+                CASE WHEN doc_id % 5 = 0
+                     THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END
+         ) AS text_pii
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text_pii, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text_pii, '{_PHONE_PAT_DUCK}')) AS BIGINT) AS n_phone,
+         regexp_replace(regexp_replace(text_pii, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                        '{_PHONE_PAT_DUCK}', '<PHONE>', 'g') AS clean
+  FROM seeded
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(CASE WHEN clean LIKE '%<EMAIL>%' OR clean LIKE '%<PHONE>%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+       CAST(COUNT(DISTINCT md5(clean)) AS BIGINT) AS distinct_clean
+FROM scrubbed
+GROUP BY source
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: emails/phones scrubbed per source with
+    post-scrub distinct-document accounting."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PII_SPARK_SQL)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -355,6 +507,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "gopher_quality": q_gopher_quality,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLE = {
@@ -365,4 +519,6 @@ ORACLE = {
     "lang_id": ORACLE_Q_LANG_ID,
     "doc_fingerprint": ORACLE_Q_DOC_FINGERPRINT,
     "tfidf_top_terms": ORACLE_Q_TFIDF_TOP_TERMS,
+    "gopher_quality": ORACLE_Q_GOPHER_QUALITY,
+    "pii_scrub": ORACLE_Q_PII_SCRUB,
 }
