@@ -92,6 +92,20 @@ class DataStream:
     def assign_timestamps_and_watermarks(self, ts_col: str, delay: str) -> "DataStream":
         return DataStream(self._df.withWatermark(ts_col, delay), self.env)
 
+    def co_group(self, other: "DataStream", key_cols: list[str],
+                 left_ts: str, right_ts: str, size: str,
+                 fn, extra_schema: str, delay: str = "0 seconds") -> "DataStream":
+        """`a.coGroup(b).where(k).equalTo(k).window(tumble)` (reference
+        CoGroupedStreams.java; DataStream.java:730): per (key, window) the
+        fn sees all rows of BOTH sides — including windows one side missed."""
+        from flink_release_1_14_5_comment_spark.streaming.stream_joins import co_group_stream
+
+        return DataStream(
+            co_group_stream(self._df, other._df, key_cols, left_ts, right_ts,
+                            size, fn, extra_schema, delay),
+            self.env,
+        )
+
     def side_output(self, tag_predicate: str) -> tuple["DataStream", "DataStream"]:
         """Side-output emulation: (main, side) filter splits."""
         return (

@@ -61,3 +61,38 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     return getattr(reader, fmt)(path)
 
 
+# --- JDBC connector (reference flink-connector-jdbc: JdbcDynamicTableSource /
+# JdbcDynamicTableSink, JdbcRowDataInputFormat parallel reads). Spark's
+# built-in jdbc source covers both directions; the options below mirror the
+# reference's scan.partition.{column,num,lower-bound,upper-bound} knobs,
+# which are THE scale lever: without partitionColumn the whole table comes
+# through one connection/task. Tested against the Derby jar Spark bundles
+# (embedded, no server) — any served JDBC URL works identically.
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "overwrite",
+               driver: str | None = None) -> None:
+    """JDBC batch sink (JdbcDynamicTableSink analog)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    w.mode(mode).save()
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int = 1, driver: str | None = None) -> DataFrame:
+    """JDBC source with optional partitioned parallel scan
+    (JdbcRowDataInputFormat's scan.partition.* contract)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (r.option("partitionColumn", partition_column)
+             .option("lowerBound", str(lower_bound))
+             .option("upperBound", str(upper_bound))
+             .option("numPartitions", str(num_partitions)))
+    return r.load()
+
+

@@ -35,3 +35,20 @@ def test_partitioned_file_sink_enables_pruning(spark, sf_dir, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert one.count() == src.filter("o_orderstatus = 'O'").count()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus%3DO" not in plan
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
+    """JDBC source/sink (flink-connector-jdbc analog) against the Derby jar
+    Spark bundles — embedded, serverless. The partitioned read exercises the
+    scan.partition.* contract: 4 parallel range-partitioned scans."""
+    from flink_release_1_14_5_comment_spark.io_formats import read_jdbc, write_jdbc
+
+    src = load_tables(spark, sf_dir)["nation"]
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    write_jdbc(src, url, "nation", driver=drv)
+    back = read_jdbc(spark, url, "nation", partition_column="n_nationkey",
+                     lower_bound=0, upper_bound=25, num_partitions=4, driver=drv)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == src.count()
+    assert back.exceptAll(src.select(*back.columns)).count() == 0

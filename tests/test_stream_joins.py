@@ -126,3 +126,44 @@ def test_sliding_count_window(spark, sf_dir):
                 assert abs(g.loc[k, "sum_value"] - sum(window)) < 1e-6
     finally:
         sources.cleanup(tmpdir)
+
+
+def test_co_group_stream(spark, sf_dir):
+    """coGroup: per (user, 1h window) the fn sees BOTH sides' rows — and
+    fires for windows where one side is empty (the semantics window join
+    cannot give). Verified against a batch full-outer window aggregate."""
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import co_group_stream
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    cs, ctmp = sources.replay_as_stream(spark, clicks, n_chunks=2, order_col="ts")
+    bs, btmp = sources.replay_as_stream(spark, buys, n_chunks=2, order_col="ts")
+    try:
+        out = co_group_stream(
+            cs, bs, ["user_id"], "ts", "ts", "1 hour",
+            fn=lambda l, r: {"n_clicks": len(l), "n_buys": len(r)},
+            extra_schema="n_clicks long, n_buys long",
+        )
+        got = _mem(out)
+        # batch expectation: full outer of per-window counts per side
+        w = F.window("ts", "1 hour").getField("start").alias("w_start")
+        bc = clicks.groupBy("user_id", w).agg(F.count("*").alias("n_clicks"))
+        bb = buys.groupBy("user_id", w).agg(F.count("*").alias("n_buys"))
+        exp = (bc.join(bb, ["user_id", "w_start"], "full")
+               .fillna(0, ["n_clicks", "n_buys"]))
+        # the stream can't fire windows past the final watermark; compare on
+        # the windows that did fire — they must match the batch counts exactly
+        assert got.count() > 0
+        exp2 = exp.select("user_id", "w_start",
+                          F.col("n_clicks").alias("e_clicks"),
+                          F.col("n_buys").alias("e_buys"))
+        j = got.join(exp2, ["user_id", "w_start"], "left")
+        assert j.filter(F.col("e_clicks").isNull()).count() == 0  # no phantom windows
+        assert j.filter((F.col("n_clicks") != F.col("e_clicks"))
+                        | (F.col("n_buys") != F.col("e_buys"))).count() == 0
+        # one-side-empty windows DID fire
+        assert got.filter((F.col("n_clicks") == 0) | (F.col("n_buys") == 0)).count() > 0
+    finally:
+        sources.cleanup(ctmp)
+        sources.cleanup(btmp)
