@@ -113,3 +113,30 @@ def test_packing_plans_prune_and_avoid_cartesian(spark, sf_dir):
     p2 = packing.q_contamination_overlap(spark, sf_dir) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in p2
+
+
+def test_analytic_shapes_plans(spark, sf_dir):
+    """Plan audit for the TPC-DS-shape family: dims broadcast (no shuffle on
+    the fact side for dim joins), correlated EXISTS/INTERSECT decorrelate to
+    semi joins (never cartesian), and the pivot stays one aggregate pass."""
+    from flink_release_1_14_5_comment_spark.operators import analytic_shapes as a
+
+    deep = a.q_deep_chain_regions(spark, sf_dir)
+    p = deep._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") >= 4  # nation x2, region, part, supplier...
+    assert "Cartesian" not in p
+
+    ex = a.q_channel_intersect_customers(spark, sf_dir)
+    p = ex._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in p
+    assert "LeftSemi" in p  # INTERSECT branches become semi joins
+
+    piv = a.q_pivot_monthly_revenue(spark, sf_dir)
+    p = piv._jdf.queryExecution().executedPlan().toString()
+    # one base aggregate pass over orders (partial+final pair), not 4 scans
+    assert p.count("Scan parquet") <= 3  # orders + customer + nation
+    assert "Cartesian" not in p
+
+    bw = a.q_best_worst_rank_join(spark, sf_dir)
+    p = bw._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in p
