@@ -122,6 +122,30 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(sample, out_schema)
 
 
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: (media_id, width, height, resized binary).
+
+    Decode/re-encode is stubbed (no codec in this container): the fake
+    "resized" payload is the source bytes truncated/cycled to a
+    width*height-proportional length — deterministic, so tests can assert
+    batch shape and size math. The Spark contract is the real part: pure
+    map over scan partitions (media bytes never shuffle), Arrow-batched,
+    output schema carries the typed target geometry."""
+    out_schema = "media_id long, width int, height int, resized binary"
+    target = max(1, (width * height) // 64)  # fake: 1 byte per 64 px
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                fake = (data * (target // max(1, len(data)) + 1))[:target]
+                rows.append((int(mid), width, height, fake))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "resized"])
+
+    return media.mapInPandas(resize, out_schema)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction pipeline over the synthetic media table, reduced to
     oracle-checkable columns (the md5-derived fake features are reproducible

@@ -79,3 +79,19 @@ def test_identical_docs_are_minhash_candidates(spark, sf_dir):
         assert len(twin_sig) == 1
         assert twin_sig["s0"].iloc[0] == grp["s0"].iloc[0]
         assert twin_sig["s1"].iloc[0] == grp["s1"].iloc[0]
+
+
+def test_multimodal_resize(spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.pipeline.multimodal import (
+        resize_image, synthetic_media,
+    )
+
+    media = synthetic_media(spark, sf_dir).limit(20)
+    out = resize_image(media, 128, 64)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 128 and r.height == 64 for r in rows)
+    assert all(len(r.resized) == (128 * 64) // 64 for r in rows)
+    # deterministic fake: same input -> same bytes
+    again = {r.media_id: bytes(r.resized) for r in resize_image(media, 128, 64).collect()}
+    assert all(bytes(r.resized) == again[r.media_id] for r in rows)
