@@ -124,10 +124,68 @@ def cep_migration(spark):
         sources.cleanup(tmpdir)
 
 
+def connectors_migration(spark):
+    """Flink:
+        tEnv.executeSql("CREATE TABLE n (...) WITH ('connector'='jdbc', 'url'=..., 'table-name'='nation')");
+        env.fromSource(FileSource.forRecordStreamFormat(AvroFormat...), ...);
+        a.coGroup(b).where(k).equalTo(k)
+         .window(TumblingEventTimeWindows.of(Time.hours(1)))
+         .apply(new CoGroupFunction() {...});
+    """
+    import tempfile
+
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+    from flink_release_1_14_5_comment_spark.io_formats import (
+        read_jdbc, read_table, write_jdbc, write_table,
+    )
+
+    t = load_tables(spark, SF_DIR)
+    tmp = tempfile.mkdtemp(prefix="mig_")
+
+    # Avro round-trip (pure-Python container codec; distributed both ways)
+    write_table(t["nation"], f"{tmp}/nation_avro", fmt="avro")
+    print("avro rows:", read_table(spark, f"{tmp}/nation_avro", fmt="avro").count())
+
+    # JDBC round-trip against the embedded Derby Spark bundles
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    drv = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    write_jdbc(t["region"], url, "region", driver=drv)
+    print("jdbc rows:", read_jdbc(spark, url, "region", driver=drv).count())
+
+
+def co_group_migration(spark):
+    """Flink: a.coGroup(b).where(user).equalTo(user).window(tumble 1h).apply(fn)."""
+    from flink_release_1_14_5_comment_spark.api.datastream import StreamExecutionEnvironment
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+    from flink_release_1_14_5_comment_spark.streaming import sources
+
+    ev = load_tables(spark, SF_DIR)["events"].limit(400)
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    views = ev.filter("event_type = 'view'").select("user_id", "ts", "value")
+    cs, ct = sources.replay_as_stream(spark, clicks, n_chunks=2, order_col="ts")
+    vs, vt = sources.replay_as_stream(spark, views, n_chunks=2, order_col="ts")
+    try:
+        out = env.from_data_frame(cs).co_group(
+            env.from_data_frame(vs), ["user_id"], "ts", "ts", "1 hour",
+            fn=lambda l, r: {"n_clicks": len(l), "n_views": len(r)},
+            extra_schema="n_clicks long, n_views long",
+        )
+        q = (out.to_data_frame().writeStream.format("memory").queryName("cg")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        spark.table("cg").show(5)
+    finally:
+        sources.cleanup(ct)
+        sources.cleanup(vt)
+
+
 if __name__ == "__main__":
     spark = get_spark("migration-examples", cpus=8)
     sql_migration(spark)
     table_api_migration(spark)
     datastream_migration(spark)
     cep_migration(spark)
+    connectors_migration(spark)
+    co_group_migration(spark)
     print("migration examples: all sections ran")
