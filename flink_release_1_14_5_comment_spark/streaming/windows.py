@@ -48,6 +48,20 @@ def session_agg(df: DataFrame, ts_col: str, gap: str, keys: list[str],
     return _windowed_agg(df.withWatermark(ts_col, delay), F.session_window(ts_col, gap), keys, aggs)
 
 
+def session_agg_dynamic_gap(df: DataFrame, ts_col: str, gap_expr: Column,
+                            keys: list[str], aggs: list[Column],
+                            delay: str = "0 seconds") -> DataFrame:
+    """SESSION window with a PER-ELEMENT gap (reference
+    DynamicEventTimeSessionWindows / SessionWindowTimeGapExtractor in
+    flink-streaming-java windowing/assigners): the merge gap is computed
+    from each row — e.g. longer idle tolerance for high-value events.
+    Spark's session_window accepts a Column gap natively (an interval
+    expression per row), so this maps 1:1 with zero custom state."""
+    return _windowed_agg(
+        df.withWatermark(ts_col, delay), F.session_window(ts_col, gap_expr), keys, aggs
+    )
+
+
 def cascade_tumble_agg(
     df: DataFrame,
     ts_col: str,

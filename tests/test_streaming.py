@@ -345,3 +345,41 @@ def test_dedup_keep_last_with_ttl_plumbs(spark, sf_dir):
         assert last_emit.exceptAll(batch_last).count() == 0
     finally:
         sources.cleanup(tmpdir)
+
+
+def test_session_dynamic_gap(spark, sf_dir):
+    """Per-element session gap (DynamicEventTimeSessionWindows): purchases
+    tolerate 2h idle, everything else 30min. Streaming result must equal
+    the same dynamic-gap session agg computed in batch."""
+    from flink_release_1_14_5_comment_spark.streaming.windows import session_agg_dynamic_gap
+
+    ev = load_tables(spark, sf_dir)["events"]
+    # session_window's dynamic gap requires CalendarIntervalType → make_interval
+    gap = F.expr("CASE WHEN event_type = 'purchase' THEN make_interval(0,0,0,0,2,0,0) "
+                 "ELSE make_interval(0,0,0,0,0,30,0) END")
+    stream, tmpdir = sources.replay_as_stream(spark, ev, n_chunks=3, order_col="ts")
+    try:
+        out = session_agg_dynamic_gap(
+            stream, "ts", gap, ["user_id"],
+            [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")],
+        )
+        got = _run_stream(out, mode="append").select(
+            F.col("w_start").alias("ws"), F.col("w_end").alias("we"),
+            "user_id", "n", "s")
+        batch = (
+            ev.groupBy(F.session_window("ts", gap).alias("window"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+            .select(F.col("window.start").alias("ws"), F.col("window.end").alias("we"),
+                    "user_id", "n", "s")
+        )
+        # Sessions merge, so "closed" is defined by window END vs the final
+        # watermark: every emitted window must match batch exactly, and every
+        # batch window ending strictly before the latest emitted end must
+        # have been emitted.
+        assert got.count() > 0
+        assert got.exceptAll(batch).count() == 0
+        max_we = got.agg(F.max("we")).first()[0]
+        must_have = batch.filter(F.col("we") < max_we)
+        assert must_have.exceptAll(got).count() == 0
+    finally:
+        sources.cleanup(tmpdir)
