@@ -22,6 +22,11 @@ primitives null/boolean/int/long/float/double/bytes/string, nullable
 unions ["null", T], arrays, and the logical types date (int) and
 timestamp-micros (long). Codecs: null and deflate (RFC 1951, the two
 codecs the spec requires).
+
+Filesystem contract: the write path uses executor-local open() and the read
+path driver-side os.listdir — ON A MULTI-HOST CLUSTER `path` MUST BE A
+SHARED FILESYSTEM (NFS/FUSE mount); for HDFS/S3, swap the byte IO for a
+Hadoop-FS API. Single-JVM local mode (this rig) always satisfies it.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ import io
 import json
 import os
 import struct
+import uuid
 import zlib
 
 import pandas as pd
@@ -297,7 +303,13 @@ def encode_container(rows, avro_schema: dict, codec: str = "deflate",
     for row in rows:
         for (kind, nullable, item), v in zip(fieldspecs, row):
             if nullable:
-                if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+                # NaN is a LEGAL Avro float/double value — only treat it as
+                # the null sentinel for non-float fields (pandas materializes
+                # nullable int/date columns as float-with-NaN).
+                nan_is_null = kind not in ("float", "double")
+                if v is None or v is pd.NaT or (
+                    nan_is_null and isinstance(v, float) and pd.isna(v)
+                ):
                     _write_long(buf, 0)
                     continue
                 _write_long(buf, 1)
@@ -309,8 +321,13 @@ def encode_container(rows, avro_schema: dict, codec: str = "deflate",
     return out.getvalue()
 
 
-def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
-    """Decode a container file -> (avro_schema, rows as tuples)."""
+def decode_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse ONLY the container header (magic + metadata map + sync marker).
+
+    Returns (avro_schema, codec, sync, pos-of-first-data-block). Raises
+    IndexError if `data` is a truncated prefix that ends inside the header —
+    callers doing incremental reads catch that and fetch more bytes.
+    """
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -327,9 +344,17 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
             v, pos = _read_bytes(data, pos)
             meta[k.decode()] = v
     sync = data[pos:pos + 16]
+    if len(sync) < 16:
+        raise IndexError("truncated header: sync marker incomplete")
     pos += 16
     avro_schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
+    return avro_schema, codec, sync, pos
+
+
+def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Decode a container file -> (avro_schema, rows as tuples)."""
+    avro_schema, codec, sync, pos = decode_header(data)
     fieldspecs = [_normalize(f["type"]) for f in avro_schema["fields"]]
 
     rows: list[tuple] = []
@@ -363,11 +388,38 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
 # ---------------------------------------------------------------------------
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list[str]:
+def write_avro(df: DataFrame, path: str, codec: str = "deflate",
+               mode: str = "overwrite") -> list[str]:
     """Distributed Avro file sink: each partition encodes + writes its own
     part-<pid>.avro from the executor (FileSink bucket layout). Returns the
-    written file paths (small driver-side listing, not the data)."""
+    written file paths (small driver-side listing, not the data).
+
+    `mode`: "overwrite" clears existing *.avro part files first (so a
+    re-write with fewer partitions can't leave stale parts that read_avro's
+    glob would silently merge in); "append" adds uniquely-named parts;
+    "error"/"errorifexists" refuses a non-empty target. Anything else raises.
+
+    NOTE (shared filesystem requirement): parts are written with plain
+    executor-local open(); driver-side listing uses os.listdir. On a real
+    multi-host cluster `path` must be on a filesystem all hosts share (NFS
+    etc.) — for HDFS/S3 route the bytes through a Hadoop-FS-aware sink
+    instead. Single-JVM local mode (this rig) always satisfies it.
+    """
     os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if f.endswith(".avro")]
+    suffix = ""
+    if mode == "overwrite":
+        for f in existing:
+            os.remove(os.path.join(path, f))
+    elif mode == "append":
+        if existing:  # never collide with prior parts on append
+            suffix = "-" + uuid.uuid4().hex[:8]
+    elif mode in ("error", "errorifexists"):
+        if existing:
+            raise FileExistsError(
+                f"avro sink: {path} already contains {len(existing)} part files")
+    else:
+        raise ValueError(f"avro sink: unsupported mode {mode!r}")
     avro_schema = spark_to_avro_schema(df.schema)
     cols = [f.name for f in df.schema.fields]
 
@@ -380,7 +432,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> list[str]:
         body = pdf[cols]
         data = encode_container(
             body.itertuples(index=False, name=None), avro_schema, codec=codec)
-        fpath = os.path.join(path, f"part-{pid:05d}.avro")
+        fpath = os.path.join(path, f"part-{pid:05d}{suffix}.avro")
         with open(fpath, "wb") as fh:
             fh.write(data)
         yield pd.DataFrame({"path": [fpath], "rows": [len(body)]})
@@ -397,14 +449,31 @@ def read_avro(spark: SparkSession, path: str,
               schema: T.StructType | None = None) -> DataFrame:
     """Distributed Avro source: binaryFile scan (one task per file) +
     Arrow-batched mapInPandas decode. Schema from the first file's embedded
-    avro.schema when not given (driver reads ONE header, not the data)."""
+    avro.schema when not given — the driver parses ONLY the header (magic +
+    metadata map), never the data blocks, so a ~128 MB part costs a few KB
+    of driver reads. Requires a driver-visible `path` (see write_avro note
+    on the shared-filesystem contract)."""
     if schema is None:
-        fname = sorted(
+        names_on_disk = sorted(
             f for f in os.listdir(path) if f.endswith(".avro")
-        )[0]
-        with open(os.path.join(path, fname), "rb") as fh:
-            head = fh.read()
-        avro_schema, _ = decode_container(head)
+        ) if os.path.isdir(path) else []
+        if not names_on_disk:
+            raise FileNotFoundError(
+                f"avro source: no .avro files under {path!r} to infer a "
+                "schema from — pass schema= explicitly or check the path")
+        chunk = 64 * 1024
+        with open(os.path.join(path, names_on_disk[0]), "rb") as fh:
+            head = fh.read(chunk)
+            while True:
+                try:
+                    avro_schema, _, _, _ = decode_header(head)
+                    break
+                except (IndexError, json.JSONDecodeError):
+                    more = fh.read(chunk)
+                    if not more:  # true EOF inside header: corrupt file
+                        raise ValueError(
+                            f"avro source: truncated header in {names_on_disk[0]}")
+                    head += more
         schema = avro_to_spark_schema(avro_schema)
     names = [f.name for f in schema.fields]
 

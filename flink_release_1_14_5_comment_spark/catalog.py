@@ -52,6 +52,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # UTC so parquet TIMESTAMP values hash-match the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Testdata timestamps are naive micros (isAdjustedToUTC=false). Read them
+    # as TIMESTAMP (LTZ, wall-clock identical under the UTC session) instead
+    # of TIMESTAMP_NTZ: streaming watermarks require LTZ, and LTZ matches the
+    # round-2 semantics the whole engine + oracle suite was validated under.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -77,11 +82,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             except Exception as exc:  # noqa: BLE001 - isolate per-table failures
                 errors[name] = exc
     if errors:
+        if not out:
+            # Every table failed: that's an environment/session problem (bad
+            # conf, wrong dir), not one corrupt file — failing fast here beats
+            # 50 confusing "table not found" errors downstream.
+            raise RuntimeError(
+                f"catalog: ALL tables under {sf_dir} failed to load; first error "
+                f"({next(iter(errors))}): {next(iter(errors.values()))!r}"
+            ) from next(iter(errors.values()))
         import warnings
 
         warnings.warn(
             "catalog: skipped unreadable tables "
-            + ", ".join(f"{n} ({type(e).__name__})" for n, e in errors.items()),
+            + "; ".join(f"{n}: {e!r}" for n, e in errors.items()),
             stacklevel=2,
         )
     return out

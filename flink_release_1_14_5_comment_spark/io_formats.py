@@ -34,7 +34,7 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
 
         if partition_by:
             raise NotImplementedError("avro sink: directory partitioning TBD")
-        write_avro(df, path)
+        write_avro(df, path, mode=mode)
         return
     writer = df.write.mode(mode)
     if partition_by:

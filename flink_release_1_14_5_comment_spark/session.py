@@ -52,6 +52,9 @@ def get_spark(app_name: str = "flink_release_1_14_5_comment_spark",
         # read as long and convert to micros in catalog.load_tables (same
         # truncation DuckDB applies).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive-micros parquet timestamps read as TIMESTAMP (LTZ), not NTZ:
+        # watermarks need LTZ and the oracle compare was validated under LTZ.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():

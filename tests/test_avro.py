@@ -113,3 +113,58 @@ def test_schema_mapping_covers_testdata(spark, sf_dir):
     for name, df in load_tables(spark, sf_dir).items():
         avro = spark_to_avro_schema(df.schema)
         assert len(avro["fields"]) == len(df.schema.fields), name
+
+
+def test_nan_double_roundtrips_as_nan():
+    """NaN is a legal Avro double — it must NOT silently become null
+    (ADVICE r2: only NaN-as-null for non-float pandas null sentinels)."""
+    import math
+
+    rows = [(1, "a", float("nan"), None, None), (2, "b", 1.5, None, None)]
+    _, back = decode_container(encode_container(rows, SCHEMA))
+    assert math.isnan(back[0][2])
+    assert back[1][2] == 1.5
+
+
+def test_decode_header_parses_prefix_only():
+    """Header parse must succeed on a small prefix of a large container
+    (driver-side schema inference reads KBs, not the whole file)."""
+    from flink_release_1_14_5_comment_spark.avro_format import decode_header
+
+    big = encode_container(
+        [(i, "x" * 50, float(i), None, None) for i in range(5000)], SCHEMA)
+    schema, codec, sync, pos = decode_header(big[:2048])
+    assert schema == SCHEMA and len(sync) == 16 and pos < 2048
+    with pytest.raises((IndexError, json.JSONDecodeError, ValueError)):
+        decode_header(big[:10])
+
+
+def test_overwrite_clears_stale_parts(spark, tmp_path):
+    """Re-writing with fewer partitions must not leave stale part files the
+    read glob would merge in (ADVICE r2, the medium finding)."""
+    path = str(tmp_path / "ovr")
+    write_avro(spark.range(100).repartition(8).selectExpr("id"), path)
+    assert len([f for f in os.listdir(path) if f.endswith(".avro")]) == 8
+    write_avro(spark.range(10).repartition(1).selectExpr("id"), path)
+    assert len([f for f in os.listdir(path) if f.endswith(".avro")]) == 1
+    assert read_avro(spark, path).count() == 10
+
+
+def test_append_and_error_modes(spark, tmp_path):
+    path = str(tmp_path / "app")
+    write_avro(spark.range(5).repartition(1).selectExpr("id"), path)
+    write_avro(spark.range(5).repartition(1).selectExpr("id"), path, mode="append")
+    assert read_avro(spark, path).count() == 10
+    with pytest.raises(FileExistsError):
+        write_avro(spark.range(1).selectExpr("id"), path, mode="error")
+    with pytest.raises(ValueError):
+        write_avro(spark.range(1).selectExpr("id"), path, mode="bogus")
+
+
+def test_read_avro_empty_dir_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_avro(spark, str(tmp_path / "nope"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        read_avro(spark, str(empty))
