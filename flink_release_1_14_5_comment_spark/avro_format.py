@@ -388,29 +388,53 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
 # ---------------------------------------------------------------------------
 
 
+def _require_driver_visible_fs(spark: SparkSession, op: str) -> None:
+    """The Avro IO paths use plain open()/os.listdir — correct only when
+    driver and executors share one filesystem. That's guaranteed in local
+    mode (one JVM, one host). On any other master, silently "working" would
+    mean losing executor-written part files, so fail loudly instead
+    (ADVICE r2/r3: the one cluster-correctness landmine in the tree)."""
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise NotImplementedError(
+            f"avro {op}: plain-filesystem IO requires local mode (master="
+            f"{master!r}); on a cluster route the bytes through the Hadoop "
+            "FS API (or spark-avro) instead of this pure-Python codec")
+
+
 def write_avro(df: DataFrame, path: str, codec: str = "deflate",
                mode: str = "overwrite") -> list[str]:
     """Distributed Avro file sink: each partition encodes + writes its own
     part-<pid>.avro from the executor (FileSink bucket layout). Returns the
     written file paths (small driver-side listing, not the data).
 
-    `mode`: "overwrite" clears existing *.avro part files first (so a
-    re-write with fewer partitions can't leave stale parts that read_avro's
-    glob would silently merge in); "append" adds uniquely-named parts;
-    "error"/"errorifexists" refuses a non-empty target. Anything else raises.
+    `mode`: "overwrite" replaces existing *.avro part files; "append" adds
+    uniquely-named parts; "error"/"errorifexists" refuses a non-empty
+    target. Anything else raises.
 
-    NOTE (shared filesystem requirement): parts are written with plain
-    executor-local open(); driver-side listing uses os.listdir. On a real
-    multi-host cluster `path` must be on a filesystem all hosts share (NFS
-    etc.) — for HDFS/S3 route the bytes through a Hadoop-FS-aware sink
-    instead. Single-JVM local mode (this rig) always satisfies it.
+    Commit protocol (mirrors Spark's FileOutputCommitter in miniature):
+    parts are staged under `<path>/_staging-<uuid>/` while the job runs;
+    only after the job succeeds does the driver delete old parts (overwrite)
+    and rename staged parts into place. A mid-job failure leaves the target
+    exactly as it was, plus an inert staging dir. Writing an EMPTY frame
+    commits one header-only container file so a later read_avro yields an
+    empty result with the right schema instead of FileNotFoundError.
+
+    SQL NULL vs NaN in nullable float/double columns is preserved exactly:
+    Arrow→pandas collapses null to NaN inside mapInPandas, so the plan
+    carries an explicit `isnull` mask column per nullable float field and
+    the encoder writes the null union branch from the mask, never from NaN
+    (NaN is a legal Avro float value; reference flink-avro keeps the two
+    distinct).
+
+    Requires local mode (single shared filesystem) — raises otherwise.
     """
+    _require_driver_visible_fs(df.sparkSession, "sink")
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if f.endswith(".avro")]
     suffix = ""
     if mode == "overwrite":
-        for f in existing:
-            os.remove(os.path.join(path, f))
+        pass  # old parts removed at commit time, after the job succeeds
     elif mode == "append":
         if existing:  # never collide with prior parts on append
             suffix = "-" + uuid.uuid4().hex[:8]
@@ -422,6 +446,14 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate",
         raise ValueError(f"avro sink: unsupported mode {mode!r}")
     avro_schema = spark_to_avro_schema(df.schema)
     cols = [f.name for f in df.schema.fields]
+    # Nullable float/double columns need a driver-side null mask: after the
+    # Arrow transfer NaN and NULL are indistinguishable in a float64 column.
+    float_nullable = [
+        f.name for f in df.schema.fields
+        if f.nullable and isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    ]
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging, exist_ok=True)
 
     def gen(batches):
         frames = [pdf for pdf in batches if len(pdf)]
@@ -429,20 +461,47 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate",
             return
         pdf = pd.concat(frames, ignore_index=True)
         pid = int(pdf["__pid"].iloc[0])
-        body = pdf[cols]
+        body = pdf[cols].copy()
+        for c in float_nullable:
+            # object dtype can hold None alongside float NaN; the encoder
+            # writes the null branch ONLY for None.
+            body[c] = body[c].astype(object).where(~pdf[f"__isnull_{c}"], None)
         data = encode_container(
             body.itertuples(index=False, name=None), avro_schema, codec=codec)
-        fpath = os.path.join(path, f"part-{pid:05d}{suffix}.avro")
+        fpath = os.path.join(staging, f"part-{pid:05d}{suffix}.avro")
         with open(fpath, "wb") as fh:
             fh.write(data)
         yield pd.DataFrame({"path": [fpath], "rows": [len(body)]})
 
-    return [
-        r.path
-        for r in df.withColumn("__pid", F.spark_partition_id())
-        .mapInPandas(gen, schema="path string, rows long")
-        .collect()
-    ]
+    staged = df.withColumn("__pid", F.spark_partition_id())
+    for c in float_nullable:
+        staged = staged.withColumn(f"__isnull_{c}", F.isnull(F.col(c)))
+    try:
+        parts = [
+            r.path
+            for r in staged.mapInPandas(gen, schema="path string, rows long")
+            .collect()
+        ]
+        if not parts:  # empty input: commit a header-only container file
+            fpath = os.path.join(staging, f"part-00000{suffix}.avro")
+            with open(fpath, "wb") as fh:
+                fh.write(encode_container([], avro_schema, codec=codec))
+            parts = [fpath]
+        # Commit: job succeeded — now (and only now) replace old parts.
+        if mode == "overwrite":
+            for f in existing:
+                os.remove(os.path.join(path, f))
+        final = []
+        for p in parts:
+            dest = os.path.join(path, os.path.basename(p))
+            os.replace(p, dest)
+            final.append(dest)
+        return final
+    finally:
+        # Abort or success: drop whatever staging still holds.
+        for f in os.listdir(staging):
+            os.remove(os.path.join(staging, f))
+        os.rmdir(staging)
 
 
 def read_avro(spark: SparkSession, path: str,
@@ -453,6 +512,7 @@ def read_avro(spark: SparkSession, path: str,
     metadata map), never the data blocks, so a ~128 MB part costs a few KB
     of driver reads. Requires a driver-visible `path` (see write_avro note
     on the shared-filesystem contract)."""
+    _require_driver_visible_fs(spark, "source")
     if schema is None:
         names_on_disk = sorted(
             f for f in os.listdir(path) if f.endswith(".avro")
@@ -476,17 +536,47 @@ def read_avro(spark: SparkSession, path: str,
                     head += more
         schema = avro_to_spark_schema(avro_schema)
     names = [f.name for f in schema.fields]
+    # NaN in a nullable float/double column would be collapsed to null by
+    # the Arrow serialization of the mapInPandas OUTPUT (pyarrow from_pandas
+    # semantics). The decoder therefore emits an __isnan mask per such
+    # column and NaN is reconstructed JVM-side after the map.
+    float_nullable = [
+        f.name for f in schema.fields
+        if f.nullable and isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    ]
+    ext_schema = T.StructType(
+        schema.fields
+        + [T.StructField(f"__isnan_{c}", T.BooleanType(), False)
+           for c in float_nullable]
+    )
 
     def gen(batches):
         for pdf in batches:
             for content in pdf["content"]:
                 _, rows = decode_container(bytes(content))
                 if rows:
-                    yield pd.DataFrame(rows, columns=names)
+                    out = pd.DataFrame(rows, columns=names)
+                    for c in float_nullable:
+                        # mask from the RAW tuples: DataFrame construction
+                        # already folded None into NaN in numeric columns
+                        i = names.index(c)
+                        out[f"__isnan_{c}"] = [
+                            isinstance(r[i], float) and r[i] != r[i]
+                            for r in rows
+                        ]
+                    yield out
 
-    return (
+    out = (
         spark.read.format("binaryFile")
         .load(os.path.join(path, "*.avro"))
         .select("content")
-        .mapInPandas(gen, schema=schema)
+        .mapInPandas(gen, schema=ext_schema)
     )
+    for c in float_nullable:
+        dt = schema[c].dataType.simpleString()
+        out = out.withColumn(
+            c,
+            F.when(F.col(f"__isnan_{c}"), F.lit(float("nan")).cast(dt))
+            .otherwise(F.col(c)),
+        )
+    return out.select(*names)

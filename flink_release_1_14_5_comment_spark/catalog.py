@@ -62,12 +62,23 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every parquet table under ``sf_dir`` that exists.
 
+    Cached per (SparkSession, sf_dir): the testdata dirs are immutable, and
+    every one of the ~90 queries starts by loading the same 10 tables —
+    without the cache each call re-reads parquet footers and re-runs schema
+    inference (~100 ms of driver overhead per query, pure constant cost).
+    The cache lives on the session object so it dies with the session and
+    never leaks frames across sessions (DataFrames are session-bound).
+
     Failure isolation (round-1 lesson: an unreadable `events.parquet` took
     down all 50 graded queries, including ones that never touch events): a
     table that fails to load is SKIPPED with a warning instead of failing
     the whole catalog — a query actually using it still errors, with the
     root cause attached, but unrelated queries keep working.
     """
+    cache: dict[str, dict[str, DataFrame]] = getattr(spark, "_graft_table_cache", None) or {}
+    key = os.path.abspath(sf_dir)
+    if key in cache:
+        return dict(cache[key])  # shallow copy: callers may mutate the dict
     _ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     errors: dict[str, Exception] = {}
@@ -97,12 +108,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             + "; ".join(f"{n}: {e!r}" for n, e in errors.items()),
             stacklevel=2,
         )
+    if not errors:
+        # Only cache fully-clean loads so a transient failure isn't sticky.
+        cache[key] = dict(out)
+        spark._graft_table_cache = cache
     return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register each table as a temp view (idempotent) and return the frames."""
+    """Register each table as a temp view and return the frames.
+
+    View registration is skipped when this session's views already point at
+    ``sf_dir`` (tracked via an attribute on the session) — re-registering 10
+    identical views per query is driver-side churn. Switching sf_dir in the
+    same session re-registers, so views always reflect the last dir asked for.
+    """
     tables = load_tables(spark, sf_dir)
-    for name, df in tables.items():
-        df.createOrReplaceTempView(name)
+    key = os.path.abspath(sf_dir)
+    if getattr(spark, "_graft_views_for", None) != key:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+        spark._graft_views_for = key
     return tables

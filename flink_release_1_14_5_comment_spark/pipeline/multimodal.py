@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,14 +111,20 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                content = r["content"] or b""
-                # FAKE: one "frame" per 64-byte slice, max 4 — stands in for
-                # one frame per `every_ms` of real decoded video.
-                for i in range(min(4, max(1, len(content) // 64))):
-                    rows.append((r["media_id"], i, content[i * 64:(i + 1) * 64]))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+            contents = [bytes(c) if c is not None else b"" for c in pdf["content"]]
+            lens = np.fromiter((len(c) for c in contents), dtype=np.int64,
+                               count=len(contents))
+            # FAKE: one "frame" per 64-byte slice, max 4 — stands in for
+            # one frame per `every_ms` of real decoded video.
+            n_frames = np.clip(lens // 64, 1, 4)
+            frame_idx = (np.concatenate([np.arange(n) for n in n_frames])
+                         if len(n_frames) else np.empty(0, dtype=np.int64))
+            yield pd.DataFrame({
+                "media_id": np.repeat(pdf["media_id"].to_numpy(), n_frames),
+                "frame_idx": frame_idx.astype("int32"),
+                "frame": [c[i * 64:(i + 1) * 64]
+                          for c, n in zip(contents, n_frames) for i in range(n)],
+            })
 
     return media.mapInPandas(sample, out_schema)
 
@@ -136,12 +143,16 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                data = bytes(content)
-                fake = (data * (target // max(1, len(data)) + 1))[:target]
-                rows.append((int(mid), width, height, fake))
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "resized"])
+            n = len(pdf)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].astype("int64"),
+                "width": np.full(n, width, dtype="int32"),
+                "height": np.full(n, height, dtype="int32"),
+                "resized": [
+                    ((c := bytes(raw)) * (target // max(1, len(c)) + 1))[:target]
+                    for raw in pdf["content"]
+                ],
+            })
 
     return media.mapInPandas(resize, out_schema)
 
