@@ -118,13 +118,14 @@ class TableEnvironment:
             df = getattr(reader, fmt)(path)
         elif connector in ("datagen", "values"):
             raise NotImplementedError(f"connector {connector!r}: use spark.createDataFrame + register_table")
-        elif connector == "kafka":
-            # Config-only translation (no broker in this environment).
-            stream = (
-                self.spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", options.get("properties.bootstrap.servers", ""))
-                .option("subscribe", options.get("topic", ""))
-            )
+        elif connector in ("kafka", "upsert-kafka"):
+            # Translation via kafka_translate (contract-tested option maps;
+            # no broker/jar in this environment, so load() may fail — that
+            # failure is the data source's, not the translation's).
+            from flink_release_1_14_5_comment_spark.streaming import kafka_translate
+
+            stream = self.spark.readStream.format("kafka").options(
+                **kafka_translate.source_options(options))
             df = stream.load()
         else:
             raise NotImplementedError(f"connector {connector!r} not supported")

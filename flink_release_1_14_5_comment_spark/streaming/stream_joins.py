@@ -2,9 +2,13 @@
 
 * Regular streaming inner/outer join with watermark-bounded state —
   reference StreamingJoinOperator.java:36; Spark keeps both sides' state and
-  purges by watermark: same semantics when a time bound exists. The
-  reference's *unbounded* full-history join with retractions has no bounded
-  equivalent — documented non-goal (needs TTL to be safe at scale anyway).
+  purges by watermark: same semantics when a time bound exists.
+* UNBOUNDED full-history regular join with retractions (the reference's
+  actual StreamingJoinOperator semantics, no time bound) —
+  ``regular_join_stream`` below: one keyed co-process holds both sides'
+  full history in state, emits +I/-D changelog rows, honors -D retraction
+  INPUTS, and clears idle keys by processing-time TTL (the reference's
+  table.exec.state.ttl / JoinRecordStateViews).
 * Interval join (TimeIntervalJoin.java:51) — natively a stream-stream join
   whose condition carries the time band; state is pruned to the band width.
 * Window join (WindowJoinOperator.java:66) — equality on `window(ts, size)`
@@ -178,4 +182,171 @@ def co_group_stream(
         u.groupBy(*key_cols)
         .applyInPandasWithState(step, out_schema, state_schema, "append",
                                 GroupStateTimeout.EventTimeTimeout)
+    )
+
+
+def regular_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    how: str = "inner",
+    ttl: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Unbounded full-history stream-stream equi-join with retractions — the
+    reference's regular streaming join (StreamingJoinOperator.java:36 +
+    JoinRecordStateViews): BOTH sides' complete history lives in keyed state
+    (no watermark bound), and output is a changelog:
+
+      * left +I row  → joins against every stored right row; under
+        ``how="left"`` an unmatched left row emits a null-padded +I that is
+        RETRACTED (-D) the moment its first right match arrives (the
+        OuterJoinRecordStateView numOfAssociations dance).
+      * -D input rows (an optional ``__op`` column, default "+I") remove the
+        matching row from state and retract (-D) every join row it produced.
+      * idle-key TTL: ``ttl`` (e.g. "1 hour") clears a key's state after that
+        long without ANY row — the reference's table.exec.state.ttl. Expiry
+        drops state silently (no retraction), exactly like Flink state TTL.
+
+    Output schema: ``op string`` + key cols + left payload + right payload
+    (right side null-padded for unmatched outer rows). Payload column names
+    must be disjoint across sides. ``seq_col`` (present in both inputs, NOT
+    emitted) orders rows WITHIN a micro-batch so interleavings replay
+    deterministically — the micro-batch analogue of the single-record arrival
+    order the reference sees; without it, batch order is arrival order.
+
+    Scale: state is O(full history per hot key) by design — exactly the
+    reference's cost. At 100 TB you cap it with ``ttl`` (the reference's own
+    answer) or use interval/window joins when a time bound exists. State is
+    partitioned by join key across executors; a skewed key concentrates on
+    one task, same as the reference's keyed state.
+    """
+    if how not in ("inner", "left"):
+        raise NotImplementedError(f"regular_join_stream: how={how!r}")
+    outer = how == "left"
+    skip = {*key_cols, "__op"} | ({seq_col} if seq_col else set())
+    lcols = [c for c in left.columns if c not in skip]
+    rcols = [c for c in right.columns if c not in skip]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"payload columns must be disjoint: {sorted(overlap)}")
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    key_dt = [(c, ldt[c]) for c in key_cols]
+    out_schema = ", ".join(
+        ["op string"]
+        + [f"{c} {t}" for c, t in key_dt]
+        + [f"{c} {ldt[c]}" for c in lcols]
+        + [f"{c} {rdt[c]}" for c in rcols]
+    )
+    ts_cols = [c for c in lcols if ldt[c].startswith("timestamp")] + \
+              [c for c in rcols if rdt[c].startswith("timestamp")]
+    state_schema = "lpay array<string>, lassoc array<int>, rpay array<string>"
+    ttl_ms = None
+    if ttl is not None:
+        from flink_release_1_14_5_comment_spark.streaming.evictors import _parse_seconds
+
+        ttl_ms = int(_parse_seconds(ttl) * 1000)
+    n_keys = len(key_cols)
+
+    def pack(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+        op = F.col("__op") if "__op" in df.columns else F.lit("+I")
+        seq = F.col(seq_col) if seq_col else F.lit(0)
+        return df.select(
+            *key_cols,
+            F.lit(side).alias("__side"),
+            op.alias("__rowop"),
+            seq.cast("long").alias("__seq"),
+            F.to_json(F.struct(*cols)).alias("__payload"),
+        )
+
+    u = pack(left, lcols, "L").unionByName(pack(right, rcols, "R"))
+
+    def step(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # reference state-TTL semantics: silent drop, no retractions
+            state.remove()
+            return
+        dfs = [p for p in pdfs if not p.empty]
+        batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+        lpay, lassoc, rpay = (
+            (list(x) for x in state.get) if state.exists else ([], [], [])
+        )
+        lpay, lassoc, rpay = list(lpay), list(lassoc), list(rpay)
+        keyvals = {key_cols[i]: key[i] for i in range(n_keys)}
+
+        def emit(op: str, lp: str | None, rp: str | None) -> dict:
+            row = dict(keyvals)
+            row["op"] = op
+            lvals = json.loads(lp) if lp is not None else {}
+            rvals = json.loads(rp) if rp is not None else {}
+            for c in lcols:
+                row[c] = lvals.get(c)
+            for c in rcols:
+                row[c] = rvals.get(c)
+            return row
+
+        out: list[dict] = []
+        if not batch.empty:
+            if seq_col:
+                batch = batch.sort_values("__seq", kind="stable")
+            for side, rowop, payload in batch[
+                ["__side", "__rowop", "__payload"]
+            ].itertuples(index=False, name=None):
+                if side == "L":
+                    if rowop == "+I":
+                        if rpay:
+                            out.extend(emit("+I", payload, rp) for rp in rpay)
+                        elif outer:
+                            out.append(emit("+I", payload, None))
+                        lpay.append(payload)
+                        lassoc.append(len(rpay))
+                    else:  # -D: retract this left row and everything it joined
+                        try:
+                            i = lpay.index(payload)
+                        except ValueError:
+                            continue  # retraction for a row we never saw
+                        if rpay:
+                            out.extend(emit("-D", payload, rp) for rp in rpay)
+                        elif outer:
+                            out.append(emit("-D", payload, None))
+                        del lpay[i], lassoc[i]
+                else:
+                    if rowop == "+I":
+                        for j, lp in enumerate(lpay):
+                            if outer and lassoc[j] == 0:
+                                out.append(emit("-D", lp, None))
+                            out.append(emit("+I", lp, payload))
+                            lassoc[j] += 1
+                        rpay.append(payload)
+                    else:
+                        try:
+                            i = rpay.index(payload)
+                        except ValueError:
+                            continue
+                        del rpay[i]
+                        for j, lp in enumerate(lpay):
+                            out.append(emit("-D", lp, payload))
+                            lassoc[j] -= 1
+                            if outer and lassoc[j] == 0:
+                                out.append(emit("+I", lp, None))
+        if lpay or rpay:
+            state.update((lpay, lassoc, rpay))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            pdf = pd.DataFrame(out)
+            for c in ts_cols:
+                if c in pdf.columns:
+                    pdf[c] = pd.to_datetime(pdf[c])
+            yield pdf
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None else GroupStateTimeout.NoTimeout
+    )
+    return (
+        u.groupBy(*key_cols)
+        .applyInPandasWithState(step, out_schema, state_schema, "append", timeout)
     )
