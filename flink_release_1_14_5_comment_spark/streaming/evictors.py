@@ -143,3 +143,183 @@ def tumble_agg_time_evictor(
         df, key_cols, ts_col, value_col, size, delay,
         evict=lambda rows, w_end: [r for r in rows if r[0] >= w_end - keep_us],
     )
+
+
+def delta_trigger_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    threshold: float,
+    purge: bool = False,
+) -> DataFrame:
+    """DeltaTrigger emulation (reference `DeltaTrigger.java`: fire when
+    delta(last_fired_element, current) > threshold, classically used over
+    GlobalWindows). Per key, elements buffer in state; each element is
+    compared to the element that caused the LAST firing (abs difference of
+    ``value_col``) — crossing the threshold fires the window function over
+    the buffered elements. ``purge=True`` composes PurgingTrigger semantics
+    (`PurgingTrigger.java`: FIRE → FIRE_AND_PURGE, buffer cleared on fire).
+
+    Output per fire: key cols, fire_ts (triggering element's event time),
+    n_buffered, sum_value, trigger_value.
+
+    Divergence (same as the evictors above): elements are processed in
+    EVENT-TIME order within each micro-batch — deterministic under replay,
+    where Flink's arrival order is not.
+
+    Scale: state per key = buffered rows since last purge (or since start
+    when purge=False — bound it upstream with an evictor) + one scalar. Keys
+    partition across executors; no shuffle beyond the groupBy.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + ["fire_ts timestamp", "n_buffered int", "sum_value double",
+           "trigger_value double"]
+    )
+    state_schema = "ts array<bigint>, vals array<double>, last_fired double"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        dfs = [p for p in pdfs if not p.empty]
+        batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+        if state.exists:
+            tss, vals, last_fired = state.get
+            tss, vals = list(tss), list(vals)
+        else:
+            tss, vals, last_fired = [], [], None
+        out = []
+        if not batch.empty:
+            batch = batch.sort_values(ts_col, kind="stable")
+            for t, v in zip(batch[ts_col], batch[value_col]):
+                t_us = int(pd.Timestamp(t).value // 1000)
+                v = float(v)
+                tss.append(t_us)
+                vals.append(v)
+                # DeltaTrigger.onElement: first element just seeds state
+                if last_fired is None:
+                    last_fired = v
+                    continue
+                if abs(v - last_fired) > threshold:
+                    out.append({
+                        **{key_cols[i]: key[i] for i in range(n_keys)},
+                        "fire_ts": pd.Timestamp(t_us * 1000),
+                        "n_buffered": len(vals),
+                        "sum_value": float(sum(vals)),
+                        "trigger_value": v,
+                    })
+                    last_fired = v
+                    if purge:
+                        tss, vals = [], []
+        if tss or last_fired is not None:
+            state.update((tss, vals, last_fired))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
+def tumble_agg_purging_count_trigger(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    size: str,
+    n_fire: int,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """PurgingTrigger(CountTrigger.of(n)) over event-time tumbling windows
+    (reference `PurgingTrigger.java` wrapping `CountTrigger.java`): every
+    ``n_fire`` elements in a window, fire the aggregate of the buffer and
+    PURGE it — so each fire covers only the elements since the last fire.
+    The window's remainder (< n_fire elements) fires when the watermark
+    closes the window (the same final firing Flink's event-time trigger
+    contributes), with fire_seq counting fires within the window.
+
+    State per (key, open window) is at most n_fire - 1 buffered elements —
+    the purge is what makes count-triggered state bounded.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + ["w_start timestamp", "fire_seq int", "n_in_fire int",
+           "sum_value double", "final boolean"]
+    )
+    state_schema = ("wins array<bigint>, ts array<bigint>, vals array<double>, "
+                    "fired_wins array<bigint>, fired_counts array<int>")
+    size_us = _parse_seconds(size) * 1_000_000
+    n_keys = len(key_cols)
+    wm = df.withWatermark(ts_col, delay)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        dfs = [p for p in pdfs if not p.empty]
+        batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+        if state.exists:
+            wins, tss, vals, fired_wins, fired_counts = (list(x) for x in state.get)
+        else:
+            wins, tss, vals, fired_wins, fired_counts = [], [], [], [], []
+        n_fired = dict(zip(fired_wins, fired_counts))  # window -> fires so far
+        by_win: dict[int, list[tuple[int, float]]] = {}
+        for w, t, v in zip(wins, tss, vals):
+            by_win.setdefault(w, []).append((t, v))
+        out = []
+
+        def fire(w: int, rows: list, final: bool) -> None:
+            seq = n_fired.get(w, 0) + 1
+            n_fired[w] = seq
+            out.append({
+                **{key_cols[i]: key[i] for i in range(n_keys)},
+                "w_start": pd.Timestamp(w * 1000),
+                "fire_seq": seq,
+                "n_in_fire": len(rows),
+                "sum_value": float(sum(v for _, v in rows)),
+                "final": final,
+            })
+
+        if not batch.empty:
+            batch = batch.sort_values(ts_col, kind="stable")
+            for t, v in zip(batch[ts_col], batch[value_col]):
+                t_us = int(pd.Timestamp(t).value // 1000)
+                w = (t_us // size_us) * size_us
+                buf = by_win.setdefault(w, [])
+                buf.append((t_us, float(v)))
+                if len(buf) >= n_fire:  # CountTrigger FIRE + purge
+                    fire(w, buf, final=False)
+                    by_win[w] = []
+        wm_micros = state.getCurrentWatermarkMs() * 1000
+        for w in sorted(list(by_win)):
+            if w + size_us <= wm_micros:  # event-time close: final fire
+                rows = by_win.pop(w)
+                if rows or n_fired.get(w, 0) == 0:
+                    fire(w, rows, final=True)
+                n_fired.pop(w, None)  # fired-count state purges with window
+        # windows emptied by a count-fire that never saw another row: their
+        # fired-count entry must purge once the watermark passes window end
+        for w in list(n_fired):
+            if w not in by_win and w + size_us <= wm_micros:
+                del n_fired[w]
+        open_wins = {w for w in by_win}
+        if by_win:
+            state.update((
+                [w for w, rows in by_win.items() for _ in rows],
+                [t for rows in by_win.values() for t, _ in rows],
+                [v for rows in by_win.values() for _, v in rows],
+                [w for w in n_fired if w in open_wins],
+                [n_fired[w] for w in n_fired if w in open_wins],
+            ))
+            state.setTimeoutTimestamp(min(w + size_us for w in by_win) // 1000)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        wm.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.EventTimeTimeout)
+    )
