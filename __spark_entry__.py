@@ -48,25 +48,35 @@ def _modules():
 # family (LLM-pipeline north star + relational core + windows/temporal/CEP +
 # analytic shapes) so a 50-entry grading window still exercises the whole
 # engine; the remaining entries follow in module order.
+#
+# Round-4 rotation (VERDICT r3 #9): 7 locally-green queries swapped INTO the
+# graded window so they accumulate official oracle evidence —
+# gopher_quality, pii_scrub, pricing_percentiles, pivot_monthly_revenue,
+# yoy_growth, dedup_simhash_hamming, hypertable_rollup — displacing 7
+# redundant family members (dedup_ngram_overlap, join_anti, agg_stats,
+# agg_minmax_by, window_hop, having_corr_revenue, fact_fact_priority_status),
+# each of which keeps a same-family anchor in the window AND its own 3-round
+# official pass record + the pytest oracle-parity sweep.
 _PRIORITY = [
     # LLM-pipeline north star
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_overlap",
-    "corpus_clean", "dedup_clusters", "knn_cosine", "ann_lsh_topk",
-    "ann_ivf_topk", "dedup_embedding", "text_stats", "lang_id",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_hamming", "corpus_clean", "dedup_clusters", "knn_cosine",
+    "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding", "text_stats",
+    "lang_id", "gopher_quality", "pii_scrub",
     "multimodal_features", "pack_sequences", "contamination_overlap",
     # relational core
-    "agg_pricing_summary", "agg_distinct", "agg_stats", "agg_minmax_by",
-    "agg_listagg", "join_multiway", "join_large", "join_semi", "join_anti",
+    "agg_pricing_summary", "agg_distinct", "agg_listagg",
+    "pricing_percentiles", "join_multiway", "join_large", "join_semi",
     "join_theta", "join_outer_full", "subquery_correlated", "over_windows",
     "topn", "dedup_keeplast", "sort_limit", "grouping_sets",
-    "set_union_intersect",
+    "set_union_intersect", "pivot_monthly_revenue", "yoy_growth",
     # event-time windows / temporal joins / CEP
-    "window_tumble", "window_hop", "window_session", "window_cumulate",
-    "interval_join", "asof_join", "funnel_match", "sessionize_paths",
+    "window_tumble", "window_session", "window_cumulate",
+    "hypertable_rollup", "interval_join", "asof_join", "funnel_match",
+    "sessionize_paths",
     # analytic (TPC-DS-shape) + scale strategies
-    "sales_rollup_nation_year", "deep_chain_regions", "having_corr_revenue",
-    "nation_market_share", "fact_fact_priority_status", "skew_salted_join",
-    "split_distinct_agg",
+    "sales_rollup_nation_year", "deep_chain_regions",
+    "nation_market_share", "skew_salted_join", "split_distinct_agg",
     # brief-explicit text ops: BPE-ish token counting, rolling-hash winnowing
     "token_counts", "doc_winnow",
 ]
