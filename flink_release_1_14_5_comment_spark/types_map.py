@@ -4,7 +4,18 @@ Translates Flink SQL DDL type strings into Spark types, following the
 SURVEY mapping table. Conventions for the gap types:
 
   * TIME (no Spark type)        → LongType micros-of-day
-  * TIMESTAMP (no tz)           → TimestampNTZType
+  * TIMESTAMP (no tz)           → TimestampType (LTZ). Semantically Flink's
+                                  TIMESTAMP is NTZ, but this ENGINE's
+                                  convention is LTZ-under-UTC everywhere:
+                                  parquet reads infer LTZ
+                                  (inferTimestampNTZ=false, catalog.py),
+                                  streaming watermarks require LTZ, and the
+                                  oracle suite was validated under LTZ —
+                                  mapping DDL TIMESTAMP to NTZ made
+                                  DDL-declared and file-inferred schemas
+                                  disagree for the same data (ADVICE r3).
+                                  Under the engine's pinned UTC session the
+                                  wall-clock values are identical.
   * TIMESTAMP_LTZ               → TimestampType
   * MULTISET<T>                 → MapType(T, IntegerType) (Flink's own repr)
   * RAW / BYTES                 → BinaryType
@@ -32,7 +43,7 @@ _SIMPLE = {
     "DOUBLE": T.DoubleType(),
     "DATE": T.DateType(),
     "TIME": T.LongType(),  # micros-of-day convention
-    "TIMESTAMP": T.TimestampNTZType(),
+    "TIMESTAMP": T.TimestampType(),  # LTZ: engine-wide convention, see above
     "TIMESTAMP_LTZ": T.TimestampType(),
     "STRING": T.StringType(),
     "BYTES": T.BinaryType(),
@@ -66,7 +77,7 @@ def flink_type_to_spark(type_str: str) -> T.DataType:
         if name == "DECIMAL" or name == "NUMERIC":
             return T.DecimalType(int(p1), int(p2 or 0))
         if name == "TIMESTAMP":
-            return T.TimestampNTZType()
+            return T.TimestampType()
         if name == "TIMESTAMP_LTZ":
             return T.TimestampType()
         if name == "TIME":

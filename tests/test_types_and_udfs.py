@@ -19,7 +19,7 @@ from flink_release_1_14_5_comment_spark.types_map import flink_type_to_spark
     ("BIGINT NOT NULL", T.LongType()),
     ("DECIMAL(10, 2)", T.DecimalType(10, 2)),
     ("VARCHAR(255)", T.StringType()),
-    ("TIMESTAMP(3)", T.TimestampNTZType()),
+    ("TIMESTAMP(3)", T.TimestampType()),  # LTZ engine convention (ADVICE r3)
     ("TIMESTAMP_LTZ(3)", T.TimestampType()),
     ("TIME(0)", T.LongType()),
     ("ARRAY<INT>", T.ArrayType(T.IntegerType())),
