@@ -172,10 +172,160 @@ FROM cc
 """
 
 
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank (Gelly `PageRank.java` / its examples'
+    power-iteration form): rank = (1-d)/n + d * Σ rank(in-nbr)/deg(in-nbr).
+
+    Spark-first: the per-iteration step is one join + one groupBy-sum over
+    the edge frame — Catalyst handles it as a plain shuffle pipeline; the
+    driver loop is Flink's bulk iteration (IterativeDataSet.java:41).
+    Dangling-node mass is NOT redistributed (same simplification as Gelly's
+    basic PageRank); ranks are persisted per round so lineage stays flat.
+
+    Scale: each round shuffles edges once on dst + ranks once on node —
+    O(iters) shuffles total, the textbook distributed PageRank shape. For
+    100 TB-class graphs, pre-partition edges by dst so the contribution
+    groupBy reuses the layout across every round.
+    """
+    e = edges.select(src, dst).persist()
+    nodes = e.select(F.col(src).alias("node")).union(
+        e.select(F.col(dst).alias("node"))).distinct().persist()
+    n = nodes.count()
+    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            e.join(deg, src)
+            .join(ranks, F.col(src) == F.col("node"))
+            .select(F.col(dst).alias("node"),
+                    (F.col("pr") / F.col("__deg")).alias("__c"))
+            .groupBy("node").agg(F.sum("__c").alias("__s"))
+        )
+        new_ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit((1.0 - damping) / n)
+             + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))).alias("pr"),
+        ).persist()
+        new_ranks.count()  # materialize, then drop the previous round
+        ranks.unpersist()
+        ranks = new_ranks
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def single_source_shortest_paths(edges: DataFrame, source: str,
+                                 src: str = "src", dst: str = "dst",
+                                 max_hops: int = 6) -> DataFrame:
+    """Unweighted SSSP / BFS hop distances (Gelly
+    `SingleSourceShortestPaths.java`, unit weights): (node, dist) for every
+    node within ``max_hops`` of ``source``. Frontier-expansion loop — each
+    round relaxes distances through one edge join + min-aggregate, Flink's
+    delta iteration (only the frontier joins, convergence when no node
+    improves)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node string, dist int").persist()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier.node == e.a)
+            .select(F.col("b").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new_frontier = reached.join(dist, "node", "left_anti").persist()
+        if new_frontier.isEmpty():  # delta iteration: converged
+            new_frontier.unpersist()
+            break
+        dist = dist.union(new_frontier).persist()
+        frontier = new_frontier
+    e.unpersist()
+    return dist
+
+
+# Trade graph for the graph-algorithm queries: supplier S_x — customer C_y
+# whenever x shipped a line item on y's order; undirected (both directions).
+_TRADE_EDGES_CTE = """
+SELECT DISTINCT 'S_' || l_suppkey AS src, 'C_' || o_custkey AS dst
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    direct = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("S_"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C_"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return direct.union(
+        direct.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier-customer trade graph, 5 iterations."""
+    ranks = pagerank(_trade_edges(spark, sf_dir), iters=5)
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from supplier S_1 over the trade graph (≤4 hops)."""
+    return single_source_shortest_paths(
+        _trade_edges(spark, sf_dir), "S_1", max_hops=4)
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (no recursive aggregates needed —
+    one CTE per round, mechanically identical to the Spark loop)."""
+    parts = [
+        f"WITH dedges AS ({_TRADE_EDGES_CTE}),",
+        "edges AS (SELECT src, dst FROM dedges UNION "
+        "SELECT dst AS src, src AS dst FROM dedges),",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),",
+        "pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS pr FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pr{k} AS (SELECT n.node, (1-{damping})/(SELECT n FROM nn) + "
+            f"{damping} * COALESCE((SELECT SUM(p.pr / d.d) FROM edges e "
+            f"JOIN pr{k-1} p ON p.node = e.src JOIN deg d ON d.node = e.src "
+            f"WHERE e.dst = n.node), 0) AS pr FROM nodes n),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, ROUND(pr, 6) AS pr FROM pr{iters}")
+    return "\n".join(parts)
+
+
+ORACLE_Q_GRAPH_SSSP = f"""
+WITH RECURSIVE dedges AS ({_TRADE_EDGES_CTE}),
+edges AS (SELECT src, dst FROM dedges UNION
+          SELECT dst AS src, src AS dst FROM dedges),
+reach(node, dist) AS (
+  SELECT 'S_1', 0
+  UNION
+  SELECT e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_sssp": q_graph_sssp,
 }
 
 ORACLE = {
     "dedup_clusters": ORACLE_Q_DEDUP_CLUSTERS,
+    "graph_pagerank": _pagerank_oracle(),
+    "graph_sssp": ORACLE_Q_GRAPH_SSSP,
 }
