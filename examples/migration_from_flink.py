@@ -180,6 +180,103 @@ def co_group_migration(spark):
         sources.cleanup(vt)
 
 
+def regular_join_migration(spark):
+    """Flink:
+        // StreamingJoinOperator: unbounded two-stream join, retract output
+        SELECT * FROM Orders o JOIN Shipments s ON o.id = s.order_id
+        -- (regular join, state kept forever / table.exec.state.ttl)
+    """
+    import datetime
+
+    from flink_release_1_14_5_comment_spark.streaming import sources
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        regular_join_stream,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, "o-100", ts, 1), (2, "o-200", ts, 3)],
+        "k long, order_ref string, o_ts timestamp, __seq long")
+    ships = spark.createDataFrame(
+        [(1, "ship-a", 2), (1, "ship-b", 4)],
+        "k long, ship_ref string, __seq long")
+    os_, ot = sources.replay_as_stream(spark, orders, n_chunks=2, order_col="__seq")
+    ss, st = sources.replay_as_stream(spark, ships, n_chunks=2, order_col="__seq")
+    try:
+        out = regular_join_stream(os_, ss, ["k"], how="left",
+                                  ttl="1 hour", seq_col="__seq")
+        q = (out.writeStream.format("memory").queryName("rj")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        spark.table("rj").orderBy("k", "op").show(10)
+    finally:
+        sources.cleanup(ot)
+        sources.cleanup(st)
+
+
+def persistent_catalog_migration(spark):
+    """Flink:
+        HiveCatalog catalog = new HiveCatalog("hive", "default", "<conf-dir>");
+        tEnv.registerCatalog("hive", catalog);
+        tEnv.executeSql("CREATE TABLE hive.db.facts (...) PARTITIONED BY (grp)");
+    (Needs its OWN session: catalogImplementation is a static conf, so this
+    section runs in a subprocess the same way the tests do.)
+    """
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="mig_wh_")
+    code = f"""
+import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from flink_release_1_14_5_comment_spark.persistent_catalog import (
+    create_table, get_warehouse_spark, table_names)
+s = get_warehouse_spark({wh!r}, "mig", cpus=2)
+create_table(s, "facts", s.range(10).selectExpr("id", "id % 3 AS grp"),
+             partition_by=["grp"])
+print("permanent tables:", table_names(s)); s.stop()
+"""
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, cwd="/tmp")
+    print(r.stdout.strip().splitlines()[-1] if r.returncode == 0 else r.stderr[-500:])
+
+
+def kafka_migration(spark):
+    """Flink:
+        CREATE TABLE clicks (...) WITH ('connector'='kafka', 'topic'='t',
+          'properties.bootstrap.servers'='b:9092',
+          'scan.startup.mode'='earliest-offset', 'format'='json');
+    (No broker here — show the exact Spark options the DDL translates to.)
+    """
+    from flink_release_1_14_5_comment_spark.streaming.kafka_translate import (
+        sink_options, source_options,
+    )
+
+    ddl_opts = {
+        "connector": "kafka", "topic": "clicks",
+        "properties.bootstrap.servers": "b:9092",
+        "scan.startup.mode": "earliest-offset", "format": "json",
+    }
+    print("readStream options:", source_options(ddl_opts))
+    print("writeStream options:", sink_options(ddl_opts))
+
+
+def graph_migration(spark):
+    """Flink:
+        Graph<Long, Double, Double> g = Graph.fromDataSet(edges, env);
+        g.run(new PageRank<>(0.85, 5));  g.run(new SingleSourceShortestPaths<>(src, 4));
+    """
+    from flink_release_1_14_5_comment_spark.pipeline.graph import (
+        pagerank, single_source_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "src string, dst string")
+    pagerank(edges, iters=5).orderBy(F.desc("pr")).show()
+    single_source_shortest_paths(edges, "a", max_hops=3).orderBy("dist").show()
+
+
+
 if __name__ == "__main__":
     spark = get_spark("migration-examples", cpus=8)
     sql_migration(spark)
@@ -188,4 +285,8 @@ if __name__ == "__main__":
     cep_migration(spark)
     connectors_migration(spark)
     co_group_migration(spark)
+    regular_join_migration(spark)
+    persistent_catalog_migration(spark)
+    kafka_migration(spark)
+    graph_migration(spark)
     print("migration examples: all sections ran")
