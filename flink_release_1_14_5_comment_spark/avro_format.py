@@ -492,7 +492,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate",
             for f in existing:
                 os.remove(os.path.join(path, f))
         final = []
-        for p in parts:
+        for p in dict.fromkeys(parts):  # dedupe: a retried task reports twice
             dest = os.path.join(path, os.path.basename(p))
             os.replace(p, dest)
             final.append(dest)
