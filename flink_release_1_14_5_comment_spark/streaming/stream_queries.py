@@ -1,0 +1,114 @@
+"""Oracle-checkable STREAMING queries (SURVEY §2.9) — the streaming engine
+driven end-to-end inside a `queries()` entry, so Structured-Streaming
+operators get the same DuckDB-oracle evidence as the batch surface.
+
+Each query replays a testdata table as a micro-batched file stream
+(streaming/sources.replay_as_stream — deterministic order), runs the
+streaming operator with `trigger(availableNow=True)` into a memory sink,
+and returns the materialized table. Determinism contracts:
+
+* `stream_window_tumble` — event-time tumbling agg in APPEND mode: only
+  windows CLOSED by the final watermark (max ts, 0s delay) emit, exactly
+  Spark's `window.end <= watermark` eviction rule; the oracle applies the
+  same filter to the batch aggregation. This checks watermark semantics
+  themselves, not just the agg.
+* `stream_interval_join` — watermark-bounded stream-stream INNER interval
+  join (reference TimeIntervalJoin.java:51): inner matches emit as they
+  arrive, so by end-of-input the result equals the batch band join
+  regardless of watermark boundary effects (delays sized so nothing drops).
+
+Reference: the IT-case strategy in the reference's table-planner streaming
+tests — run the stream to completion, compare against batch SQL.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import load_tables
+from flink_release_1_14_5_comment_spark.streaming import sources
+from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+    interval_join_stream,
+)
+
+
+def _run_to_memory(sdf: DataFrame, timeout_s: int = 300) -> DataFrame:
+    name = "sq" + uuid.uuid4().hex[:10]
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return sdf.sparkSession.table(name)
+
+
+def q_stream_window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n",
+                    "sum_value")
+        )
+        return _run_to_memory(agg)
+    finally:
+        sources.cleanup(tmp)
+
+
+# Batch tumble + the streaming APPEND-mode visibility rule: a window emits
+# iff its end <= final watermark (= max ts under a 0s delay).
+ORACLE_Q_STREAM_WINDOW_TUMBLE = """
+SELECT date_trunc('hour', ts) AS w_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+HAVING date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT MAX(ts) FROM events)
+"""
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"))
+    cs, ctmp = sources.replay_as_stream(spark, clicks, n_chunks=2, order_col="c_ts")
+    bs, btmp = sources.replay_as_stream(spark, buys, n_chunks=2, order_col="p_ts")
+    try:
+        joined = interval_join_stream(
+            bs, cs, F.col("pu") == F.col("cu"), "p_ts", "c_ts",
+            lower="30 MINUTES", upper="0 SECONDS",
+            left_delay="40 days", right_delay="40 days",
+        )
+        return _run_to_memory(joined.select("purchase_id", "click_id"))
+    finally:
+        sources.cleanup(ctmp)
+        sources.cleanup(btmp)
+
+
+ORACLE_Q_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+"""
+
+
+QUERIES = {
+    "stream_window_tumble": q_stream_window_tumble,
+    "stream_interval_join": q_stream_interval_join,
+}
+
+ORACLE = {
+    "stream_window_tumble": ORACLE_Q_STREAM_WINDOW_TUMBLE,
+    "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
+}
