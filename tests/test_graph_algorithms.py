@@ -1,0 +1,55 @@
+"""Unit tests for the Gelly-breadth graph algorithms (pipeline/graph.py) on
+hand-checkable toy graphs; the query-level oracle parity runs in
+tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_14_5_comment_spark.pipeline.graph import (
+    pagerank,
+    single_source_shortest_paths,
+)
+
+
+def test_pagerank_star_center_dominates(spark):
+    # a,b,c all link to hub; hub links back to a — hub must rank highest
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")],
+        "src string, dst string")
+    ranks = {r.node: r.pr for r in pagerank(edges, iters=10).collect()}
+    # hub and a trade the mass (hub's only out-edge is a); b,c get only the
+    # base term (1-d)/n = 0.0375 since nothing links to them
+    assert min(ranks["hub"], ranks["a"]) > 5 * ranks["b"]
+    assert ranks["b"] == ranks["c"] == pytest.approx(0.15 / 4)
+    assert all(0 < v < 1 for v in ranks.values())
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    ranks = [r.pr for r in pagerank(edges, iters=8).collect()]
+    assert max(ranks) - min(ranks) < 1e-12  # symmetry → uniform 1/3
+    assert sum(ranks) == pytest.approx(1.0)
+
+
+def test_sssp_distances_and_early_exit(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string")
+    dist = {r.node: r.dist for r in
+            single_source_shortest_paths(edges, "a", max_hops=10).collect()}
+    # converges (early exit) long before max_hops; unreachable absent
+    assert dist == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_sssp_min_over_multiple_paths(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string")
+    dist = {r.node: r.dist for r in
+            single_source_shortest_paths(edges, "a", max_hops=5).collect()}
+    assert dist["c"] == 1  # direct edge wins over the 2-hop path
