@@ -103,12 +103,59 @@ FROM events p JOIN events c
 """
 
 
+def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap per user), append mode: only
+    sessions CLOSED by the final watermark emit (session end = last event +
+    gap; reference SessionWindowAssigner + MergingWindowSet under the
+    watermark trigger)."""
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id", F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"), "n", "sum_value")
+        )
+        return _run_to_memory(agg)
+    finally:
+        sources.cleanup(tmp)
+
+
+# Gaps-and-islands sessionization (same as the batch window_session oracle)
+# + the append-mode visibility rule: session end (last ts + gap) <= final
+# watermark (max ts, 0s delay).
+ORACLE_Q_STREAM_WINDOW_SESSION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS w_start, MAX(ts) + INTERVAL '30 minutes' AS w_end,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT MAX(ts) FROM events)
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
+    "stream_window_session": q_stream_window_session,
 }
 
 ORACLE = {
     "stream_window_tumble": ORACLE_Q_STREAM_WINDOW_TUMBLE,
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
+    "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
 }
