@@ -318,14 +318,94 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY node
 """
 
 
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts (Gelly `TriangleEnumerator` /
+    `TriangleListing`): canonicalize each undirected edge to (lo, hi), then
+    enumerate each triangle once via the ordered 3-way self-join
+    (a<b) ⋈ (b<c) ⋈ (a<c) and credit all three corners.
+
+    Scale: the classic optimization applies unchanged — the ordered join
+    means each wedge is generated once at its lowest-id corner; Catalyst
+    runs it as two shuffle joins on the edge frame. For skewed degree
+    distributions, pre-filter wedges at high-degree nodes or switch to the
+    degree-ordered variant (orient edges low-degree → high-degree).
+    """
+    e = (
+        edges.select(F.least(src, dst).alias("a"),
+                     F.greatest(src, dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(e.alias("e3"), (F.col("e1.a") == F.col("e3.a"))
+              & (F.col("e2.b") == F.col("e3.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"))
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+    )
+    out = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    e.unpersist()
+    return out
+
+
+# Supplier co-occurrence graph: s1—s2 when both shipped lines of one order.
+_COSUPPLY_EDGES_CTE = """
+SELECT DISTINCT 'S_' || x.l_suppkey AS src, 'S_' || y.l_suppkey AS dst
+FROM lineitem x JOIN lineitem y
+  ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per supplier in the co-supply graph."""
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"]
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.concat(F.lit("S_"), F.col("s1").cast("string")).alias("src"),
+                F.concat(F.lit("S_"), F.col("s2").cast("string")).alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+ORACLE_Q_GRAPH_TRIANGLES = f"""
+WITH e AS ({_COSUPPLY_EDGES_CTE}),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS node FROM tri UNION ALL
+  SELECT y FROM tri UNION ALL
+  SELECT z FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "graph_pagerank": q_graph_pagerank,
     "graph_sssp": q_graph_sssp,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLE = {
     "dedup_clusters": ORACLE_Q_DEDUP_CLUSTERS,
     "graph_pagerank": _pagerank_oracle(),
     "graph_sssp": ORACLE_Q_GRAPH_SSSP,
+    "graph_triangles": ORACLE_Q_GRAPH_TRIANGLES,
 }

@@ -53,3 +53,20 @@ def test_sssp_min_over_multiple_paths(spark):
     dist = {r.node: r.dist for r in
             single_source_shortest_paths(edges, "a", max_hops=5).collect()}
     assert dist["c"] == 1  # direct edge wins over the 2-hop path
+
+
+def test_triangle_count_toy_graphs(spark):
+    from flink_release_1_14_5_comment_spark.pipeline.graph import triangle_count
+
+    # K4: every node sits in C(3,2)=3 triangles; edges given in mixed
+    # orientations + a duplicate to exercise canonicalization
+    k4 = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+         ("b", "c"), ("d", "b"), ("c", "d")],
+        "src string, dst string")
+    got = {r.node: r.triangles for r in triangle_count(k4).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # path graph: no triangles → empty result
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    assert triangle_count(path).count() == 0
