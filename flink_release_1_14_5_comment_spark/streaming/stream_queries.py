@@ -148,14 +148,71 @@ HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT MAX(ts) FROM events)
 """
 
 
+def q_stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP funnel V→C→P within 24 h under AFTER MATCH SKIP TO
+    NEXT ROW (NO_SKIP): the branching NFA (streaming/cep.py, reference
+    NFA.java:86 + CepOperator.java:81) runs per user over the replayed
+    event stream; every view that completes emits one match.
+
+    Oracle-able because NO_SKIP + relaxed contiguity has closed-form
+    semantics: each view matches its FIRST subsequent click within the
+    horizon, then the FIRST purchase after that click — two correlated
+    MIN subqueries in SQL. This hash-checks the NFA's run seeding,
+    first-match absorption, the within-horizon pruning, and cross-batch
+    state carry, not just the final aggregate."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "event_type")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        from flink_release_1_14_5_comment_spark.streaming.cep import (
+            NO_SKIP, Pattern, cep,
+        )
+
+        pat = (
+            Pattern.begin("v", lambda r: r["event_type"] == "view")
+            .followed_by("c", lambda r: r["event_type"] == "click")
+            .followed_by("p", lambda r: r["event_type"] == "purchase")
+            .within(24 * 3600)
+        )
+        out = cep(stream, pat, ["user_id"], "ts", "event_id",
+                  after_match=NO_SKIP)
+        return _run_to_memory(
+            out.select("user_id", "match_start", "match_end"))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_CEP_FUNNEL = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type='view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type='click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+vc AS (
+  SELECT v.user_id, v.ts AS v_ts,
+         (SELECT MIN(c.ts) FROM c WHERE c.user_id = v.user_id AND c.ts > v.ts
+           AND c.ts <= v.ts + INTERVAL '24 hours') AS c_ts
+  FROM v
+), vcp AS (
+  SELECT user_id, v_ts, c_ts,
+         (SELECT MIN(p.ts) FROM p WHERE p.user_id = vc.user_id
+           AND p.ts > vc.c_ts
+           AND p.ts <= vc.v_ts + INTERVAL '24 hours') AS p_ts
+  FROM vc WHERE c_ts IS NOT NULL
+)
+SELECT user_id, v_ts AS match_start, p_ts AS match_end
+FROM vcp WHERE p_ts IS NOT NULL
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
     "stream_window_session": q_stream_window_session,
+    "stream_cep_funnel": q_stream_cep_funnel,
 }
 
 ORACLE = {
     "stream_window_tumble": ORACLE_Q_STREAM_WINDOW_TUMBLE,
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
+    "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
 }
