@@ -106,7 +106,7 @@ def main() -> None:
         "ann_ivf_topk",          # end of similarity family
         "text_stats", "sessionize_paths", "multimodal_features",
     }
-    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     def run_once(fn) -> tuple[float, int]:
         t0 = time.perf_counter()

@@ -128,5 +128,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if getattr(spark, "_graft_views_for", None) != key:
         for name, df in tables.items():
             df.createOrReplaceTempView(name)
-        spark._graft_views_for = key
+        # Only mark registration complete when every on-disk table loaded:
+        # after a PARTIAL load (transient read failure) the next call must
+        # retry registration, or the failed table's view would be missing
+        # for the whole session (round-4 review finding — would regress the
+        # round-1 failure-isolation lesson).
+        expected = sum(
+            os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+            for n in TABLES
+        )
+        if len(tables) == expected:
+            spark._graft_views_for = key
     return tables

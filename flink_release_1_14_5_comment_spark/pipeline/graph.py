@@ -228,6 +228,7 @@ def single_source_shortest_paths(edges: DataFrame, source: str,
     dist = edges.sparkSession.createDataFrame(
         [(source, 0)], "node string, dist int").persist()
     frontier = dist
+    retired = []  # superseded dist/frontier frames, unpersisted at exit
     for hop in range(1, max_hops + 1):
         reached = (
             frontier.join(e, frontier.node == e.a)
@@ -238,9 +239,15 @@ def single_source_shortest_paths(edges: DataFrame, source: str,
         if new_frontier.isEmpty():  # delta iteration: converged
             new_frontier.unpersist()
             break
-        dist = dist.union(new_frontier).persist()
-        frontier = new_frontier
+        new_dist = dist.union(new_frontier).persist()
+        new_dist.count()  # materialize before retiring the frames it reads
+        retired.extend((dist, frontier) if frontier is not dist else (dist,))
+        dist, frontier = new_dist, new_frontier
+    for df in retired:
+        if df is not frontier:
+            df.unpersist()
     e.unpersist()
+    # `dist` stays persisted: it is the returned result (one small frame)
     return dist
 
 

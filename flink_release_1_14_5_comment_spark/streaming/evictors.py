@@ -303,16 +303,20 @@ def tumble_agg_purging_count_trigger(
         for w in list(n_fired):
             if w not in by_win and w + size_us <= wm_micros:
                 del n_fired[w]
-        open_wins = {w for w in by_win}
-        if by_win:
+        # Persist the fired count of EVERY un-closed window — including ones
+        # with no buffered rows right now (emptied by a count-fire): a later
+        # in-watermark row for that window must continue its fire_seq, not
+        # restart at 1 (round-4 review finding).
+        if by_win or n_fired:
             state.update((
                 [w for w, rows in by_win.items() for _ in rows],
                 [t for rows in by_win.values() for t, _ in rows],
                 [v for rows in by_win.values() for _, v in rows],
-                [w for w in n_fired if w in open_wins],
-                [n_fired[w] for w in n_fired if w in open_wins],
+                list(n_fired),
+                [n_fired[w] for w in n_fired],
             ))
-            state.setTimeoutTimestamp(min(w + size_us for w in by_win) // 1000)
+            state.setTimeoutTimestamp(
+                min(w + size_us for w in (*by_win, *n_fired)) // 1000)
         elif state.exists:
             state.remove()
         if out:

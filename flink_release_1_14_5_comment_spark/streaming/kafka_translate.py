@@ -109,10 +109,16 @@ def sink_options(opts: dict) -> dict:
             "kafka sink: exactly-once (transactional producer) is not "
             "available in Spark's Kafka sink; use at-least-once + "
             "idempotent/upsert consumers")
-    return {
+    out = {
         "kafka.bootstrap.servers": _require(opts, "properties.bootstrap.servers"),
         "topic": _require(opts, "topic"),
     }
+    # producer properties pass through exactly like the source side
+    # (security/SASL/compression configs must reach the writer too)
+    for k, v in opts.items():
+        if k.startswith("properties.") and k != "properties.bootstrap.servers":
+            out["kafka." + k[len("properties."):]] = v
+    return out
 
 
 def decode_value(schema: T.StructType, fmt: str, col: str = "value") -> Column:

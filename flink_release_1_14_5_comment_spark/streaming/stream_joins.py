@@ -240,7 +240,11 @@ def regular_join_stream(
     )
     ts_cols = [c for c in lcols if ldt[c].startswith("timestamp")] + \
               [c for c in rcols if rdt[c].startswith("timestamp")]
-    state_schema = "lpay array<string>, lassoc array<int>, rpay array<string>"
+    # No per-left-row association counter (the reference's
+    # OuterJoinRecordStateView numOfAssociations): for a pure equi-join
+    # every stored left row joins every stored right row, so the count is
+    # invariantly len(rpay) — "unmatched" is simply rpay being empty.
+    state_schema = "lpay array<string>, rpay array<string>"
     ttl_ms = None
     if ttl is not None:
         from flink_release_1_14_5_comment_spark.streaming.evictors import _parse_seconds
@@ -268,10 +272,10 @@ def regular_join_stream(
             return
         dfs = [p for p in pdfs if not p.empty]
         batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
-        lpay, lassoc, rpay = (
-            (list(x) for x in state.get) if state.exists else ([], [], [])
+        lpay, rpay = (
+            (list(x) for x in state.get) if state.exists else ([], [])
         )
-        lpay, lassoc, rpay = list(lpay), list(lassoc), list(rpay)
+        lpay, rpay = list(lpay), list(rpay)
         keyvals = {key_cols[i]: key[i] for i in range(n_keys)}
 
         def emit(op: str, lp: str | None, rp: str | None) -> dict:
@@ -299,7 +303,6 @@ def regular_join_stream(
                         elif outer:
                             out.append(emit("+I", payload, None))
                         lpay.append(payload)
-                        lassoc.append(len(rpay))
                     else:  # -D: retract this left row and everything it joined
                         try:
                             i = lpay.index(payload)
@@ -309,14 +312,13 @@ def regular_join_stream(
                             out.extend(emit("-D", payload, rp) for rp in rpay)
                         elif outer:
                             out.append(emit("-D", payload, None))
-                        del lpay[i], lassoc[i]
+                        del lpay[i]
                 else:
                     if rowop == "+I":
-                        for j, lp in enumerate(lpay):
-                            if outer and lassoc[j] == 0:
+                        for lp in lpay:
+                            if outer and not rpay:  # first match: retract pad
                                 out.append(emit("-D", lp, None))
                             out.append(emit("+I", lp, payload))
-                            lassoc[j] += 1
                         rpay.append(payload)
                     else:
                         try:
@@ -324,13 +326,12 @@ def regular_join_stream(
                         except ValueError:
                             continue
                         del rpay[i]
-                        for j, lp in enumerate(lpay):
+                        for lp in lpay:
                             out.append(emit("-D", lp, payload))
-                            lassoc[j] -= 1
-                            if outer and lassoc[j] == 0:
+                            if outer and not rpay:  # last match gone: re-pad
                                 out.append(emit("+I", lp, None))
         if lpay or rpay:
-            state.update((lpay, lassoc, rpay))
+            state.update((lpay, rpay))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
         elif state.exists:

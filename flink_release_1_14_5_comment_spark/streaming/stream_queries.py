@@ -39,7 +39,12 @@ def _run_to_memory(sdf: DataFrame, timeout_s: int = 300) -> DataFrame:
     name = "sq" + uuid.uuid4().hex[:10]
     q = (sdf.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a partial memory table would read as a CORRECTNESS failure —
+        # surface the timeout as what it is instead
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} did not finish within {timeout_s}s")
     return sdf.sparkSession.table(name)
 
 
@@ -159,7 +164,13 @@ def q_stream_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, then the FIRST purchase after that click — two correlated
     MIN subqueries in SQL. This hash-checks the NFA's run seeding,
     first-match absorption, the within-horizon pruning, and cross-batch
-    state carry, not just the final aggregate."""
+    state carry, not just the final aggregate.
+
+    Tie assumption: the oracle's strict `>` comparisons presume no two
+    events of one user share a timestamp (the NFA, processing in (ts,
+    event_id) order, would accept an equal-ts successor the SQL excludes).
+    The testdata's microsecond timestamps make ties practically impossible;
+    verified tie-free and hash-identical at sf0.001 and sf0.01."""
     ev = load_tables(spark, sf_dir)["events"].select(
         "user_id", "event_id", "ts", "event_type")
     stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")

@@ -82,18 +82,24 @@ class LateDataSplitter:
         import pyspark.sql.functions as F  # local: foreachBatch pickles self
 
         ts = self.ts_col
-        if self.watermark is not None:
-            late = batch_df.filter(F.col(ts) < F.lit(self.watermark))
-            on_time = batch_df.filter(F.col(ts) >= F.lit(self.watermark))
-        else:
-            late, on_time = None, batch_df
-        if late is not None and not late.isEmpty():
-            self.late_fn(late, batch_id)
-        self.on_time_fn(on_time, batch_id)
-        import datetime
+        # one scan: the split + both callbacks + the max() would otherwise
+        # each re-read the batch's source files
+        batch_df.persist()
+        try:
+            if self.watermark is not None:
+                late = batch_df.filter(F.col(ts) < F.lit(self.watermark))
+                on_time = batch_df.filter(F.col(ts) >= F.lit(self.watermark))
+            else:
+                late, on_time = None, batch_df
+            if late is not None and not late.isEmpty():
+                self.late_fn(late, batch_id)
+            self.on_time_fn(on_time, batch_id)
+            import datetime
 
-        mx = batch_df.agg(F.max(ts)).first()[0]
-        if mx is not None:
-            new_wm = mx - datetime.timedelta(seconds=self.delay_s)
-            if self.watermark is None or new_wm > self.watermark:
-                self.watermark = new_wm
+            mx = batch_df.agg(F.max(ts)).first()[0]
+            if mx is not None:
+                new_wm = mx - datetime.timedelta(seconds=self.delay_s)
+                if self.watermark is None or new_wm > self.watermark:
+                    self.watermark = new_wm
+        finally:
+            batch_df.unpersist()

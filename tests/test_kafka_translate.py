@@ -86,6 +86,9 @@ def test_sink_options_and_guarantee():
     }
     with pytest.raises(NotImplementedError, match="exactly-once"):
         sink_options({**BASE, "sink.delivery-guarantee": "exactly-once"})
+    # producer properties pass through like the source side (review finding)
+    o = sink_options({**BASE, "properties.security.protocol": "SASL_SSL"})
+    assert o["kafka.security.protocol"] == "SASL_SSL"
 
 
 SCHEMA = T.StructType([

@@ -103,3 +103,28 @@ def test_purging_count_trigger_empty_final_suppressed(spark):
         assert got == [(1, 2, False)]
     finally:
         sources.cleanup(tmp)
+
+
+def test_purging_count_trigger_fired_count_survives_empty_batches(spark):
+    """Round-4 review finding: a window emptied by a count-fire must keep
+    its fired count across micro-batches with no rows for that window, so a
+    late-but-in-watermark straggler continues fire_seq instead of
+    restarting at 1."""
+    rows = [
+        (1, _ts(0), 1.0, 1), (1, _ts(10), 2.0, 2),   # W0: count-fire, purged
+        (1, _ts(70), 10.0, 3),                       # other window, W0 empty
+        (1, _ts(50), 5.0, 4),                        # straggler back into W0
+        (1, _ts(300), 99.0, 5),                      # watermark push
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double, __seq long")
+    s, tmp = sources.replay_as_stream(spark, df, n_chunks=3, order_col="__seq")
+    try:
+        out = tumble_agg_purging_count_trigger(
+            s, ["k"], "ts", "value", size="60 seconds", n_fire=2,
+            delay="2 minutes")
+        got = sorted(
+            (r.fire_seq, r.n_in_fire, r.sum_value, r.final)
+            for r in _mem(out).collect() if r.w_start == _ts(0))
+        assert got == [(1, 2, 3.0, False), (2, 1, 5.0, True)]
+    finally:
+        sources.cleanup(tmp)
