@@ -325,6 +325,81 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY node
 """
 
 
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Gelly `LabelPropagation.java`):
+    every node starts labeled with its own id; each round every node adopts
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label (deterministic — Gelly breaks ties by label order too).
+    Fixed ``iters`` rounds (community detection runs a handful of rounds;
+    convergence is not guaranteed on bipartite graphs, where synchronous
+    LPA can oscillate — determinism, not convergence, is the contract).
+
+    Spark-first: one round = edge⋈labels join, a (node,label) count, and a
+    row_number() arg-max — two shuffles per round, both keyed on node, so a
+    pre-partitioned edge frame reuses its layout every round at scale.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    w = Window.partitionBy("nbr_of").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        freq = (
+            e.join(labels, e.a == labels.node)
+            .groupBy(F.col("b").alias("nbr_of"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new_labels = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("nbr_of").alias("node"), "label")
+            .persist()
+        )
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
+    e.unpersist()
+    return labels
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels after 3 synchronous LPA rounds on the trade graph."""
+    return label_propagation(_trade_edges(spark, sf_dir), iters=3)
+
+
+def _label_propagation_oracle(iters: int = 3) -> str:
+    """Unrolled per-round CTEs, mechanically identical to the Spark loop."""
+    parts = [
+        f"WITH dedges AS ({_TRADE_EDGES_CTE}),",
+        "edges AS (SELECT src, dst FROM dedges UNION "
+        "SELECT dst AS src, src AS dst FROM dedges),",
+        "lab0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"lab{k} AS (SELECT node, label FROM ("
+            f"SELECT e.dst AS node, l.label AS label, COUNT(*) AS c "
+            f"FROM edges e JOIN lab{k-1} l ON l.node = e.src "
+            f"GROUP BY e.dst, l.label) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label) = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, label FROM lab{iters}")
+    return "\n".join(parts)
+
+
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Per-node triangle participation counts (Gelly `TriangleEnumerator` /
@@ -408,6 +483,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_sssp": q_graph_sssp,
     "graph_triangles": q_graph_triangles,
+    "graph_label_propagation": q_graph_label_propagation,
 }
 
 ORACLE = {
@@ -415,4 +491,5 @@ ORACLE = {
     "graph_pagerank": _pagerank_oracle(),
     "graph_sssp": ORACLE_Q_GRAPH_SSSP,
     "graph_triangles": ORACLE_Q_GRAPH_TRIANGLES,
+    "graph_label_propagation": _label_propagation_oracle(),
 }

@@ -30,6 +30,70 @@ def dedup_keep_first(df: DataFrame, keys: list[str], within_watermark: bool = Fa
     return df.dropDuplicatesWithinWatermark(keys) if within_watermark else df.dropDuplicates(keys)
 
 
+def dedup_keep_first_rowtime(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """EVENT-TIME keep-first: the row with the smallest (rowtime, id) per key
+    wins — reference RowTimeDeduplicateFunction keep-first (deduplicate/
+    RowTimeDeduplicateFunction.java), vs `dedup_keep_first` above which is
+    arrival-order (proc-time) semantics.
+
+    Emits '+I' the first time a key is seen (the within-batch min), and a
+    corrective '+U' if a LATER batch delivers an even earlier rowtime (late
+    data) — the update-stream convention the reference uses when the input
+    is not in rowtime order. Under in-order replay only +I rows appear, so
+    the result is exactly `argmin_(ts,id)` per key and SQL-oracle-able.
+
+    State per key = the winning (ts, id) pair — O(1), hash-partitioned by
+    key; same layout as the reference's ValueState<RowData>.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + [f"{id_col} {dtypes[id_col]}", f"{ts_col} {dtypes[ts_col]}",
+           "__rowkind string"]
+    )
+    state_schema = "__ts_micros bigint, __id string"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        best = batch.sort_values([ts_col, id_col], kind="stable").iloc[0]
+        best_micros = int(pd.Timestamp(best[ts_col]).value // 1000)
+        best_key = (best_micros, str(best[id_col]))
+        had_state = state.exists
+        if had_state and best_key >= tuple(state.get):
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return  # stored winner is still earliest — drop the batch
+        state.update(best_key)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        row = {key_cols[i]: key[i] for i in range(n_keys)}
+        row[id_col] = best[id_col]
+        row[ts_col] = best[ts_col]
+        row["__rowkind"] = "+U" if had_state else "+I"
+        yield pd.DataFrame([row])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", timeout)
+    )
+
+
 def dedup_keep_last(
     df: DataFrame,
     key_cols: list[str],

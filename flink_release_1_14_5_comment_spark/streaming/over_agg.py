@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -174,22 +175,32 @@ def unbounded_preceding_over(
             return
         batch = batch.sort_values([ts_col, id_col], kind="stable")
         cnt, acc, mn, mx = state.get if state.exists else (0, 0.0, None, None)
-        keyd = {key_cols[i]: key[i] for i in range(n_keys)}
-        out_rows = []
-        for _, row in batch.iterrows():
-            v = float(row[value_col])
-            cnt += 1
-            acc += v
-            mn = v if mn is None or v < mn else mn
-            mx = v if mx is None or v > mx else mx
-            out_rows.append({
-                **keyd,
-                id_col: row[id_col], ts_col: row[ts_col], value_col: row[value_col],
-                "running_sum": acc, "running_avg": acc / cnt,
-                "running_count": cnt, "running_min": mn, "running_max": mx,
-            })
-        state.update((cnt, acc, mn, mx))
-        yield pd.DataFrame(out_rows)
+        # Vectorized prefix scans (no per-row Python loop): cumsum/cummin/
+        # cummax over the batch, offset by the carried accumulator state.
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        # seed the scan with the carried accumulator so the FP association
+        # ((acc+v1)+v2)... is identical to a row-at-a-time loop
+        sums = np.cumsum(np.concatenate(([acc], v)))[1:]
+        counts = np.arange(1, len(v) + 1, dtype=np.int64) + cnt
+        mins = np.minimum.accumulate(v)
+        maxs = np.maximum.accumulate(v)
+        if mn is not None:
+            mins = np.minimum(mins, mn)
+        if mx is not None:
+            maxs = np.maximum(maxs, mx)
+        out = pd.DataFrame({
+            **{key_cols[i]: key[i] for i in range(n_keys)},
+            id_col: batch[id_col].to_numpy(),
+            ts_col: batch[ts_col].to_numpy(),
+            value_col: batch[value_col].to_numpy(),
+            "running_sum": sums,
+            "running_avg": sums / counts,
+            "running_count": counts,
+            "running_min": mins,
+            "running_max": maxs,
+        })
+        state.update((int(counts[-1]), float(sums[-1]), float(mins[-1]), float(maxs[-1])))
+        yield out
 
     return (
         df.groupBy(*key_cols)

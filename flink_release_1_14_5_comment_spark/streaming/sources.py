@@ -24,11 +24,19 @@ def replay_as_stream(
     n_chunks: int = 4,
     order_col: str | None = None,
     files_per_trigger: int = 1,
+    final_dfs: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, str]:
     """Write `df` as `n_chunks` parquet files; return (streaming_df, tmpdir).
 
     Rows are range-partitioned by `order_col` (if given) so chunk k contains
     earlier timestamps than chunk k+1 — a realistic in-order replay.
+    `final_dfs` (same schema) are each written as ONE extra file replayed in
+    list order strictly AFTER every data chunk — the harness analog of the
+    reference's end-of-input watermark flush (Watermark.MAX_WATERMARK on
+    close). Spark's watermark for batch N is computed from data through
+    batch N-1, so a flush that must OBSERVE an advanced watermark takes two
+    trailing batches: first a watermark-advancer row above all data, then
+    the per-key flush markers.
     Caller owns cleanup of tmpdir.
     """
     tmpdir = tempfile.mkdtemp(prefix="spark_graft_replay_")
@@ -39,6 +47,15 @@ def replay_as_stream(
     # parallel-written parts share one mtime — the replay order would be
     # nondeterministic. Stamp strictly increasing mtimes in part order
     # (range partition k holds the k-th ts range → part-0000k replays k-th).
+    for i, fdf in enumerate(final_dfs or []):
+        fin_dir = os.path.join(tmpdir, f"final{i}")
+        fdf.coalesce(1).write.mode("overwrite").parquet(fin_dir)
+        fin_part = next(
+            f for f in os.listdir(fin_dir)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(fin_dir, fin_part),
+                    os.path.join(data_dir, f"part-zzz-final{i}.parquet"))
     parts = sorted(
         f for f in os.listdir(data_dir) if f.startswith("part-") and f.endswith(".parquet")
     )

@@ -35,10 +35,11 @@ from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
 )
 
 
-def _run_to_memory(sdf: DataFrame, timeout_s: int = 300) -> DataFrame:
+def _run_to_memory(sdf: DataFrame, timeout_s: int = 300,
+                   mode: str = "append") -> DataFrame:
     name = "sq" + uuid.uuid4().hex[:10]
     q = (sdf.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
+         .outputMode(mode).trigger(availableNow=True).start())
     if not q.awaitTermination(timeout_s):
         # a partial memory table would read as a CORRECTNESS failure —
         # surface the timeout as what it is instead
@@ -214,11 +215,145 @@ FROM vcp WHERE p_ts IS NOT NULL
 """
 
 
+def q_stream_over_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER aggregate (ROWS UNBOUNDED PRECEDING) — per-user running
+    count/sum over purchase events via the O(1)-state keyed accumulator
+    (streaming/over_agg.unbounded_preceding_over, reference
+    RowTimeRowsUnboundedPrecedingFunction). Every input row emits exactly one
+    output row in event order, so the completed stream equals the batch
+    window — boundary-independent, hence oracle-able."""
+    from flink_release_1_14_5_comment_spark.streaming.over_agg import (
+        unbounded_preceding_over,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        out = unbounded_preceding_over(
+            stream, ["user_id"], "ts", "event_id", "value")
+        return _run_to_memory(out).select(
+            "user_id", "event_id", "running_count",
+            F.round("running_sum", 2).alias("running_sum"))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_OVER_UNBOUNDED = """
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_count,
+       ROUND(SUM(value) OVER w, 2) AS running_sum
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_stream_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EVENT-TIME keep-first dedup: first event per user by
+    (rowtime, id) via O(1) keyed state (streaming/dedup.
+    dedup_keep_first_rowtime, reference RowTimeDeduplicateFunction
+    keep-first). Under in-order replay each key emits exactly one +I row —
+    argmin per key, oracle-able."""
+    from flink_release_1_14_5_comment_spark.streaming.dedup import (
+        dedup_keep_first_rowtime,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "event_id", "ts")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        out = dedup_keep_first_rowtime(stream, ["user_id"], "ts", "event_id")
+        return _run_to_memory(out, mode="update").select(
+            "user_id", F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_DEDUP_KEEPFIRST = """
+SELECT user_id, event_id AS first_event_id, ts AS first_ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+def q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rowtime temporal (AS-OF) join: each purchase matched to the
+    user's latest view at-or-before it (streaming/temporal_join.
+    temporal_join_stream_rowtime, reference TemporalRowTimeJoinOperator.
+    java:78). Probes buffer in keyed state until the watermark passes; a
+    trailing flush chunk (per-key no-op markers replayed after all data —
+    the reference's end-of-input MAX_WATERMARK) drains the remainder, so the
+    completed stream is the FULL as-of join and oracle-able."""
+    from flink_release_1_14_5_comment_spark.streaming.temporal_join import (
+        temporal_join_stream_rowtime,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("user_id").alias("k"), "ts",
+        F.col("event_id").alias("payload"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+         .otherwise(F.lit(0)).alias("tag"),
+    )
+    import datetime as _dt
+
+    max_ts = tagged.agg(F.max("ts")).collect()[0][0]
+    # Two-batch finale (see sources.replay_as_stream): the watermark for
+    # batch N is computed from data through batch N-1, so first an advancer
+    # row lifts the watermark above every probe, then per-key markers fire
+    # each group under that watermark — draining all buffered probes.
+    # Marker timestamps sit strictly ABOVE the advanced watermark so no
+    # late-row handling can touch them.
+    advancer = spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(hours=1), None, 2)],
+        "k long, ts timestamp, payload long, tag int")
+    markers = (
+        tagged.filter(F.col("tag") == 1).select("k").distinct()
+        .select("k", F.lit(max_ts + _dt.timedelta(hours=2)).alias("ts"),
+                F.lit(None).cast("long").alias("payload"),
+                F.lit(2).alias("tag"))
+    )
+    stream, tmp = sources.replay_as_stream(
+        spark, tagged, n_chunks=2, order_col="ts",
+        final_dfs=[advancer, markers])
+    try:
+        probe = stream.filter(F.col("tag") == 1).select(
+            F.col("k").alias("user_id"), F.col("ts").alias("p_ts"),
+            F.col("payload").alias("purchase_id"))
+        build = stream.filter(F.col("tag") == 0).select(
+            F.col("k").alias("user_id"), F.col("ts").alias("v_ts"),
+            F.col("payload").alias("view_id"))
+        flush = stream.filter(F.col("tag") == 2).select(
+            F.col("k").alias("user_id"), F.col("ts").alias("p_ts"))
+        joined = temporal_join_stream_rowtime(
+            probe, build, "user_id", "p_ts", "v_ts",
+            "purchase_id", "view_id", flush=flush)
+        return _run_to_memory(joined).select(
+            "user_id", "purchase_id", "view_id")
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_ASOF_JOIN = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       (SELECT v.event_id FROM events v
+         WHERE v.event_type = 'view' AND v.user_id = p.user_id
+           AND v.ts <= p.ts
+         ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
+    "stream_over_unbounded": q_stream_over_unbounded,
+    "stream_dedup_keepfirst": q_stream_dedup_keepfirst,
+    "stream_asof_join": q_stream_asof_join,
 }
 
 ORACLE = {
@@ -226,4 +361,7 @@ ORACLE = {
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
+    "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
+    "stream_dedup_keepfirst": ORACLE_Q_STREAM_DEDUP_KEEPFIRST,
+    "stream_asof_join": ORACLE_Q_STREAM_ASOF_JOIN,
 }

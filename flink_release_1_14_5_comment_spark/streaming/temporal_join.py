@@ -114,6 +114,7 @@ def temporal_join_stream_rowtime(
     build_payload: str,
     delay: str = "0 seconds",
     max_versions: int = 256,
+    flush: DataFrame | None = None,
 ) -> DataFrame:
     """Event-time (rowtime) temporal join — TemporalRowTimeJoinOperator.java:78.
 
@@ -126,7 +127,12 @@ def temporal_join_stream_rowtime(
 
     Emission: on watermark advance (checked per micro-batch via
     state.getCurrentWatermarkMs). Probe rows still above the final watermark
-    remain buffered — standard event-time semantics.
+    remain buffered — standard event-time semantics. `flush` (columns: key,
+    ts) is an optional third stream of no-op marker rows: they carry no data
+    but touch their key's group AFTER the watermark has advanced, forcing
+    buffered probes to drain — the harness analog of the reference's
+    end-of-input MAX_WATERMARK flush (StreamSource#close emits a final
+    watermark so event-time operators fire everything pending).
     """
     p = probe.select(
         F.col(key).alias("k"), F.col(probe_ts).alias("ts"),
@@ -136,7 +142,14 @@ def temporal_join_stream_rowtime(
         F.col(key).alias("k"), F.col(build_ts).alias("ts"),
         F.col(build_payload).alias("payload"), F.lit(0).alias("tag"),
     )
-    unioned = p.unionByName(b).withWatermark("ts", delay)
+    unioned = p.unionByName(b)
+    if flush is not None:
+        fl = flush.select(
+            F.col(key).alias("k"), F.col(probe_ts).alias("ts"),
+            F.lit(None).cast("long").alias("payload"), F.lit(2).alias("tag"),
+        )
+        unioned = unioned.unionByName(fl)
+    unioned = unioned.withWatermark("ts", delay)
     out_schema = (
         f"{key} long, {probe_payload} long, {probe_ts} timestamp, "
         f"{build_payload} long, {build_ts} timestamp"
@@ -154,6 +167,8 @@ def temporal_join_stream_rowtime(
             vts, vpay, pts, ppay = [], [], [], []
         if not batch.empty:
             for _, r in batch.iterrows():
+                if r["tag"] == 2:
+                    continue  # flush marker: only advances the group
                 t = int(pd.Timestamp(r["ts"]).value // 1000)
                 if r["tag"] == 0:
                     vts.append(t)
