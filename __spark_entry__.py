@@ -62,6 +62,14 @@ def _modules():
 # knn_cosine, sessionize_paths), each keeping a same-family anchor in the
 # window AND its own 3-round official pass record + the pytest
 # oracle-parity sweep.
+#
+# Round-4 late additions: stream_over_unbounded (streaming over-agg),
+# stream_dedup_keepfirst (event-time keep-first), stream_asof_join (rowtime
+# temporal join + end-of-input flush), graph_pagerank (bulk iteration) —
+# swapped in for join_theta, sort_limit, dedup_keeplast, agg_listagg (each
+# 3-round officially green, same-family anchors retained: join_multiway/
+# join_large/join_semi, topn, dedup_exact + stream_dedup_keepfirst,
+# agg_pricing_summary/agg_distinct).
 _PRIORITY = [
     # LLM-pipeline north star
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -70,15 +78,17 @@ _PRIORITY = [
     "lang_id", "gopher_quality", "pii_scrub",
     "multimodal_features", "pack_sequences", "contamination_overlap",
     # relational core
-    "agg_pricing_summary", "agg_distinct", "agg_listagg",
+    "agg_pricing_summary", "agg_distinct",
     "pricing_percentiles", "join_multiway", "join_large", "join_semi",
-    "join_theta", "join_outer_full", "subquery_correlated", "over_windows",
-    "topn", "dedup_keeplast", "sort_limit", "grouping_sets",
+    "join_outer_full", "subquery_correlated", "over_windows",
+    "topn", "grouping_sets",
     "set_union_intersect", "pivot_monthly_revenue", "yoy_growth",
-    # event-time windows / temporal joins / CEP / streaming engine
+    # event-time windows / temporal joins / CEP / streaming engine / graphs
     "window_tumble", "window_session", "window_cumulate",
     "hypertable_rollup", "interval_join", "asof_join", "funnel_match",
     "stream_window_tumble", "stream_interval_join",
+    "stream_over_unbounded", "stream_dedup_keepfirst", "stream_asof_join",
+    "graph_pagerank",
     # analytic (TPC-DS-shape) + scale strategies
     "sales_rollup_nation_year", "deep_chain_regions",
     "nation_market_share", "skew_salted_join", "split_distinct_agg",
