@@ -224,6 +224,117 @@ def delta_trigger_stream(
     )
 
 
+def tumble_agg_continuous_event_time_trigger(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    size: str,
+    interval: str,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """ContinuousEventTimeTrigger emulation (reference
+    `ContinuousEventTimeTrigger.java`): fire the window's CURRENT contents
+    every `interval` of event time — early partial results for long windows
+    — plus the final firing when the watermark closes the window.
+
+    Mirrors the reference's timer protocol: the first element registers an
+    aligned event-time timer at ``ceil(ts / interval) * interval``; when the
+    watermark passes it, FIRE (no purge — contents accumulate) and register
+    the next boundary. The final fire at window end purges. Fires happen on
+    micro-batch watermark advancement (and via event-time timeout for keys
+    with no further input), so contents = elements arrived when the
+    watermark crossed the boundary — the reference's semantics at batch
+    granularity.
+
+    Output per fire: key cols, w_start, fire_time (the boundary), n_elems,
+    sum_value, final.
+
+    State per (key, open window) = full element buffer + one next-fire
+    scalar; windows purge on close, so at most ceil(delay/size)+1 windows
+    per key are open — same bound as the evictors above.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + ["w_start timestamp", "fire_time timestamp", "n_elems int",
+           "sum_value double", "final boolean"]
+    )
+    state_schema = ("wins array<bigint>, ts array<bigint>, vals array<double>, "
+                    "nf_wins array<bigint>, nf_times array<bigint>")
+    size_us = _parse_seconds(size) * 1_000_000
+    interval_us = _parse_seconds(interval) * 1_000_000
+    n_keys = len(key_cols)
+    wm = df.withWatermark(ts_col, delay)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        dfs = [p for p in pdfs if not p.empty]
+        batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+        if state.exists:
+            wins, tss, vals, nf_wins, nf_times = (list(x) for x in state.get)
+        else:
+            wins, tss, vals, nf_wins, nf_times = [], [], [], [], []
+        next_fire = dict(zip(nf_wins, nf_times))
+        by_win: dict[int, list[tuple[int, float]]] = {}
+        for w, t, v in zip(wins, tss, vals):
+            by_win.setdefault(w, []).append((t, v))
+        if not batch.empty:
+            batch = batch.sort_values(ts_col, kind="stable")
+            for t, v in zip(batch[ts_col], batch[value_col]):
+                t_us = int(pd.Timestamp(t).value // 1000)
+                w = (t_us // size_us) * size_us
+                by_win.setdefault(w, []).append((t_us, float(v)))
+                if w not in next_fire:
+                    # ContinuousEventTimeTrigger.onElement: aligned boundary
+                    # strictly above the first element's timestamp
+                    next_fire[w] = (t_us // interval_us) * interval_us + interval_us
+        wm_micros = state.getCurrentWatermarkMs() * 1000
+        out = []
+
+        def fire(w: int, boundary: int, rows: list, final: bool) -> None:
+            out.append({
+                **{key_cols[i]: key[i] for i in range(n_keys)},
+                "w_start": pd.Timestamp(w * 1000),
+                "fire_time": pd.Timestamp(boundary * 1000),
+                "n_elems": len(rows),
+                "sum_value": float(sum(v for _, v in rows)),
+                "final": final,
+            })
+
+        for w in sorted(by_win):
+            w_end = w + size_us
+            nf = next_fire[w]
+            while nf <= wm_micros and nf < w_end:
+                fire(w, nf, by_win[w], final=False)
+                nf += interval_us
+            next_fire[w] = nf
+            if w_end <= wm_micros:  # event-time close: final fire + purge
+                fire(w, w_end, by_win.pop(w), final=True)
+                next_fire.pop(w, None)
+        if by_win:
+            state.update((
+                [w for w, rows in by_win.items() for _ in rows],
+                [t for rows in by_win.values() for t, _ in rows],
+                [v for rows in by_win.values() for _, v in rows],
+                list(next_fire),
+                [next_fire[w] for w in next_fire],
+            ))
+            # timer on the nearest pending boundary or window end, so fires
+            # happen even if this key never receives another row
+            state.setTimeoutTimestamp(
+                min(min(next_fire[w], w + size_us) for w in by_win) // 1000)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        wm.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 def tumble_agg_purging_count_trigger(
     df: DataFrame,
     key_cols: list[str],

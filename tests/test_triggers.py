@@ -128,3 +128,49 @@ def test_purging_count_trigger_fired_count_survives_empty_batches(spark):
         assert got == [(1, 2, 3.0, False), (2, 1, 5.0, True)]
     finally:
         sources.cleanup(tmp)
+
+
+def test_continuous_event_time_trigger(spark):
+    """ContinuousEventTimeTrigger: early fires at aligned interval
+    boundaries as the watermark crosses them, accumulating contents, then a
+    purging final fire at window close."""
+    from flink_release_1_14_5_comment_spark.streaming.evictors import (
+        tumble_agg_continuous_event_time_trigger,
+    )
+
+    # window 60s, early-fire interval 20s; batches split by ts so the
+    # watermark steps 25 -> 55 -> 70 -> 130 across four micro-batches
+    rows = [
+        (1, _ts(5), 1.0), (1, _ts(25), 2.0),     # batch 1 (wm after: 25)
+        (1, _ts(55), 4.0),                       # batch 2 (wm after: 55)
+        (1, _ts(70), 8.0),                       # batch 3 (wm after: 70)
+        (1, _ts(130), 16.0),                     # batch 4 (wm after: 130)
+    ]
+    s, tmp = _stream(spark, rows, n_chunks=4)
+    try:
+        out = tumble_agg_continuous_event_time_trigger(
+            s, ["k"], "ts", "value", size="1 minute", interval="20 seconds")
+        got = sorted(
+            ((r.w_start - _ts(0)).total_seconds(),
+             (r.fire_time - _ts(0)).total_seconds(),
+             r.n_elems, r.sum_value, r.final)
+            for r in _mem(out).collect())
+        assert got == [
+            # window [0,60): the batch carrying row 55 runs under wm=25
+            # (the watermark trails the data by one batch) so the 20s
+            # boundary fires with contents {1,2,4} — same as Flink, where
+            # the wm=25 watermark arrives after the ts=55 element; then
+            # wm=55 crosses 40, and wm=70 closes the window
+            (0.0, 20.0, 3, 7.0, False),
+            (0.0, 40.0, 3, 7.0, False),
+            (0.0, 60.0, 3, 7.0, True),
+            # window [60,120): first element 70 -> timer 80; the final
+            # watermark (130) reaches the key via the event-time TIMEOUT
+            # (no further rows): fires 80/100 of {8}, then closes
+            (60.0, 80.0, 1, 8.0, False),
+            (60.0, 100.0, 1, 8.0, False),
+            (60.0, 120.0, 1, 8.0, True),
+            # window [120,180) never closes (stream ends) — no output
+        ]
+    finally:
+        sources.cleanup(tmp)
