@@ -325,6 +325,52 @@ SELECT node, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY node
 """
 
 
+def weighted_sssp(edges: DataFrame, source: str, src: str = "src",
+                  dst: str = "dst", weight: str = "weight",
+                  max_iters: int = 20) -> DataFrame:
+    """Weighted single-source shortest paths — Bellman-Ford relaxation
+    rounds (Gelly `SingleSourceShortestPaths.java` is the weighted form;
+    its scatter-gather iteration = this join-and-min loop). Directed edges
+    with non-negative weights; converges when no node's distance improves
+    (delta iteration), or stops after ``max_iters`` rounds (= the longest
+    shortest path's hop count that can be represented).
+
+    Scale: each round is one join keyed on the frontier node + one min
+    aggregate keyed on dst — the same two-shuffle shape as PageRank; at
+    100 TB pre-partition edges by src so every round reuses the layout.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     F.col(weight).cast("double").alias("w")).persist()
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0.0)], "node string, dist double").persist()
+    for _ in range(max_iters):
+        cand = (
+            dist.join(e, dist.node == e.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        new_dist = (
+            dist.join(cand, "node", "full_outer")
+            .select("node",
+                    F.least(F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                            F.coalesce(F.col("cand"), F.lit(float("inf"))))
+                    .alias("dist"))
+            .persist()
+        )
+        improved = (
+            new_dist.alias("n").join(dist.alias("o"), "node", "left")
+            .filter(F.col("o.dist").isNull()
+                    | (F.col("n.dist") < F.col("o.dist")))
+            .count()
+        )
+        dist.unpersist()
+        dist = new_dist
+        if improved == 0:
+            break
+    e.unpersist()
+    return dist
+
+
 def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                       iters: int = 3) -> DataFrame:
     """Synchronous label propagation (Gelly `LabelPropagation.java`):

@@ -480,8 +480,95 @@ WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the banded-LSH ANN path against the exact kNN baseline —
+    the standard ANN quality metric (what FAISS-style systems report).
+    Both sides are deterministic (identical tie-break: sim DESC, id ASC), so
+    recall itself is oracle-checkable: the DuckDB oracle recomputes both
+    top-5 sets and the same overlap fraction.
+
+    Scale note: the exact side is the documented O(corpus×queries) baseline
+    — recall evaluation is run on a SAMPLE of queries (here: the 5-query
+    eval set), never the full corpus, which is exactly how production ANN
+    recall audits work."""
+    exact = q_knn_cosine(spark, sf_dir).select("qid", "neighbor_id")
+    t = register_views(spark, sf_dir)
+    e = _spread(t["embeddings"])
+    idx = _bands_index(e).persist()
+    q_idx = idx.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed("vec_id", "qid")
+    cand = (
+        idx.join(F.broadcast(q_idx), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    en = e.withColumn("nrm", _norm("embedding"))
+    q_vec = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    sims = (
+        cand.join(F.broadcast(q_vec), "qid")
+        .join(en.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"),
+              "neighbor_id")
+        .select("qid", "neighbor_id",
+                F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    approx = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "neighbor_id")
+    )
+    hit = approx.withColumn("__hit", F.lit(1))
+    return (
+        exact.join(hit, ["qid", "neighbor_id"], "left")
+        .groupBy("qid")
+        .agg(F.round(F.count("__hit") / F.lit(TOP_K), 4).alias("recall_at_5"))
+    )
+
+
+ORACLE_Q_ANN_RECALL_EVAL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+exact_sims AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+),
+exact AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
+    FROM exact_sims) WHERE rn <= 5
+),
+idx AS ({_idx_sql()}),
+cand AS (
+  SELECT DISTINCT qi.vec_id AS qid, ei.vec_id AS neighbor_id
+  FROM idx qi JOIN idx ei ON qi.band = ei.band AND qi.bucket = ei.bucket
+  WHERE qi.vec_id < 5 AND ei.vec_id <> qi.vec_id
+),
+approx_sims AS (
+  SELECT c.qid, c.neighbor_id,
+         ROUND(list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 4) AS sim
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+),
+approx AS (
+  SELECT qid, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
+    FROM approx_sims) WHERE rn <= 5
+)
+SELECT e.qid, ROUND(COUNT(a.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM exact e LEFT JOIN approx a
+  ON a.qid = e.qid AND a.neighbor_id = e.neighbor_id
+GROUP BY e.qid
+"""
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
+    "ann_recall_eval": q_ann_recall_eval,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -492,6 +579,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_cosine": ORACLE_Q_KNN_COSINE,
+    "ann_recall_eval": ORACLE_Q_ANN_RECALL_EVAL,
     "ann_lsh_buckets": ORACLE_Q_ANN_LSH_BUCKETS,
     "ann_lsh_topk": ORACLE_Q_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_Q_ANN_IVF_TOPK,

@@ -346,6 +346,42 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+def q_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling COUNT window (5 events per user) via the O(1)
+    fold-state keyed op (streaming/count_windows.tumbling_count_window,
+    reference KeyedStream.java:696 countWindow(size)). Complete windows emit
+    once; the trailing partial window stays in state. Deterministic because
+    the testdata's event_id order IS its event-time order (verified: zero
+    inversions at every SF), matching the op's per-batch id-sort plus the
+    ts-ordered replay."""
+    from flink_release_1_14_5_comment_spark.streaming.count_windows import (
+        tumbling_count_window,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "event_id", "value")
+    # order_col=event_id: chunks replay in id (= event-time) order
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="event_id")
+    try:
+        out = tumbling_count_window(stream, ["user_id"], "value", "event_id", 5)
+        return _run_to_memory(out).select(
+            "user_id", "window_seq", "n",
+            F.round("sum_value", 2).alias("sum_value"))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_COUNT_WINDOW = """
+WITH numbered AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+  FROM events
+)
+SELECT user_id, CAST(rn // 5 AS BIGINT) AS window_seq,
+       CAST(COUNT(*) AS INT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
@@ -354,6 +390,7 @@ QUERIES = {
     "stream_over_unbounded": q_stream_over_unbounded,
     "stream_dedup_keepfirst": q_stream_dedup_keepfirst,
     "stream_asof_join": q_stream_asof_join,
+    "stream_count_window": q_stream_count_window,
 }
 
 ORACLE = {
@@ -364,4 +401,5 @@ ORACLE = {
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
     "stream_dedup_keepfirst": ORACLE_Q_STREAM_DEDUP_KEEPFIRST,
     "stream_asof_join": ORACLE_Q_STREAM_ASOF_JOIN,
+    "stream_count_window": ORACLE_Q_STREAM_COUNT_WINDOW,
 }

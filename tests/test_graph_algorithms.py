@@ -70,3 +70,16 @@ def test_triangle_count_toy_graphs(spark):
     path = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
     assert triangle_count(path).count() == 0
+
+
+def test_weighted_sssp_toy(spark):
+    """Bellman-Ford distances on a toy weighted digraph: the indirect
+    A->B->C path (1+1=2) beats the direct A->C edge (5)."""
+    from flink_release_1_14_5_comment_spark.pipeline.graph import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [("A", "B", 1.0), ("B", "C", 1.0), ("A", "C", 5.0),
+         ("C", "D", 2.0), ("X", "Y", 1.0)],
+        "src string, dst string, weight double")
+    dist = {r.node: r.dist for r in weighted_sssp(edges, "A").collect()}
+    assert dist == {"A": 0.0, "B": 1.0, "C": 2.0, "D": 4.0}  # X,Y unreachable
