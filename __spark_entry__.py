@@ -34,12 +34,13 @@ def _modules():
         graph,
         multimodal,
         packing,
+        quality,
         similarity,
         text_analysis,
     )
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
-    return [dedup, graph, similarity, text_analysis, packing, multimodal,
+    return [dedup, graph, similarity, text_analysis, quality, packing, multimodal,
             time_windows, temporal_joins, patterns, analytic_shapes, scale,
             relational_ext, relational, stream_queries]
 
@@ -70,17 +71,29 @@ def _modules():
 # 3-round officially green, same-family anchors retained: join_multiway/
 # join_large/join_semi, topn, dedup_exact + stream_dedup_keepfirst,
 # agg_pricing_summary/agg_distinct).
+#
+# Round-4 final rotation: 8 new/locally-green names in — the four
+# pipeline/quality.py curation ops (repetition_metrics, boilerplate_ngrams,
+# split_assign, chunk_tokens), two new streaming oracles (stream_window_topn
+# = watermark-triggered Window Top-N, stream_group_agg = complete-mode
+# unbounded group agg), and two graph algorithms (graph_sssp,
+# graph_triangles) — displacing 8 entries that each hold a 3-round official
+# pass record (dedup_simhash, dedup_embedding, ann_ivf_topk, lang_id,
+# join_large, join_semi, join_outer_full, nation_market_share); every
+# family anchor stays (tests/test_grading_window.py enforces).
 _PRIORITY = [
     # LLM-pipeline north star
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash_hamming", "corpus_clean", "dedup_clusters",
-    "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding", "text_stats",
-    "lang_id", "gopher_quality", "pii_scrub",
+    "ann_lsh_topk", "text_stats",
+    "gopher_quality", "pii_scrub",
+    "repetition_metrics", "boilerplate_ngrams", "split_assign",
+    "chunk_tokens",
     "multimodal_features", "pack_sequences", "contamination_overlap",
     # relational core
     "agg_pricing_summary", "agg_distinct",
-    "pricing_percentiles", "join_multiway", "join_large", "join_semi",
-    "join_outer_full", "subquery_correlated", "over_windows",
+    "pricing_percentiles", "join_multiway",
+    "subquery_correlated", "over_windows",
     "topn", "grouping_sets",
     "set_union_intersect", "pivot_monthly_revenue", "yoy_growth",
     # event-time windows / temporal joins / CEP / streaming engine / graphs
@@ -88,10 +101,11 @@ _PRIORITY = [
     "hypertable_rollup", "interval_join", "asof_join", "funnel_match",
     "stream_window_tumble", "stream_interval_join",
     "stream_over_unbounded", "stream_dedup_keepfirst", "stream_asof_join",
-    "graph_pagerank",
+    "stream_window_topn", "stream_group_agg",
+    "graph_pagerank", "graph_sssp", "graph_triangles",
     # analytic (TPC-DS-shape) + scale strategies
     "sales_rollup_nation_year", "deep_chain_regions",
-    "nation_market_share", "skew_salted_join", "split_distinct_agg",
+    "skew_salted_join", "split_distinct_agg",
     # brief-explicit text ops: BPE-ish token counting, rolling-hash winnowing
     "token_counts", "doc_winnow",
 ]

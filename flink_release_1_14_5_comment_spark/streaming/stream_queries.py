@@ -382,6 +382,80 @@ FROM numbered GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
 """
 
 
+def q_stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Window Top-N (reference WindowRankProcessor.java:224 via
+    streaming/topn.window_topn): top-3 events by value per (1-hour tumble,
+    event_type), emitted once when the watermark closes the window. Append
+    mode ⇒ only windows with end <= final watermark (max ts, 0s delay) are
+    visible — the oracle applies the same rule, so this hash-checks both the
+    rank computation and the watermark-triggered emission."""
+    from flink_release_1_14_5_comment_spark.streaming.topn import window_topn
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "event_id", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        out = window_topn(stream, "ts", "1 hour", ["event_type"],
+                          "value", "event_id", 3)
+        return _run_to_memory(out).select(
+            "w_start", "event_type", "rank", "event_id",
+            F.round("value", 2).alias("value"))
+    finally:
+        sources.cleanup(tmp)
+
+
+# Batch rank + the append-mode visibility rule. Tie-break mirrors the
+# operator's sort_array(struct(-value, id)): value DESC, then event_id ASC.
+ORACLE_Q_STREAM_WINDOW_TOPN = """
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS w_start, event_type, event_id,
+         ROUND(value, 2) AS value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                 ORDER BY value DESC, event_id) AS BIGINT) AS rank
+  FROM events
+)
+SELECT w_start, event_type, rank, event_id, value
+FROM ranked
+WHERE rank <= 3
+  AND w_start + INTERVAL '1 hour' <= (SELECT MAX(ts) FROM events)
+"""
+
+
+def q_stream_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GROUP AGGREGATE (reference GroupAggFunction.java:55): an
+    unbounded keyed aggregation whose state updates on every input row.
+    COMPLETE output mode replays the full state table at each trigger and the
+    memory sink replaces its contents, so end-of-input state == the batch
+    aggregate — exactly the reference's changelog-to-snapshot materialization
+    (SinkUpsertMaterializer) collapsed at the sink. This exercises the
+    HDFS-backed state store's update path (every row is a +U after the
+    first), not the append path the window queries cover."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "user_id", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2,
+                                           order_col="user_id")
+    try:
+        agg = (
+            stream.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.round(F.min("value"), 2).alias("min_value"),
+                 F.round(F.max("value"), 2).alias("max_value"))
+        )
+        return _run_to_memory(agg, mode="complete")
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_GROUP_AGG = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
@@ -391,6 +465,8 @@ QUERIES = {
     "stream_dedup_keepfirst": q_stream_dedup_keepfirst,
     "stream_asof_join": q_stream_asof_join,
     "stream_count_window": q_stream_count_window,
+    "stream_window_topn": q_stream_window_topn,
+    "stream_group_agg": q_stream_group_agg,
 }
 
 ORACLE = {
@@ -402,4 +478,6 @@ ORACLE = {
     "stream_dedup_keepfirst": ORACLE_Q_STREAM_DEDUP_KEEPFIRST,
     "stream_asof_join": ORACLE_Q_STREAM_ASOF_JOIN,
     "stream_count_window": ORACLE_Q_STREAM_COUNT_WINDOW,
+    "stream_window_topn": ORACLE_Q_STREAM_WINDOW_TOPN,
+    "stream_group_agg": ORACLE_Q_STREAM_GROUP_AGG,
 }
