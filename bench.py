@@ -64,6 +64,10 @@ HEADLINE = [
     "corpus_clean",
     "pack_sequences",
     "contamination_overlap",
+    "repetition_metrics",
+    "boilerplate_ngrams",
+    "split_assign",
+    "chunk_tokens",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "text_stats",
@@ -103,6 +107,7 @@ def main() -> None:
         "window_cumulate",       # end of time-window family
         "asof_join",             # end of temporal-join family
         "contamination_overlap", # end of dedup/assembly family (shares signatures)
+        "chunk_tokens",          # end of curation/quality family
         "ann_ivf_topk",          # end of similarity family
         "text_stats", "sessionize_paths", "multimodal_features",
     }

@@ -10,9 +10,12 @@ Stages (each is an oracle-gated operator — see pipeline/*.py):
   3. near-dup dedup        — MinHash+LSH banding → verified Jaccard pairs
   4. duplicate clusters    — connected components over the pair graph
   5. embedding near-dup    — banded sign-LSH + exact cosine verify
-  6. contamination audit   — train/eval 5-gram overlap
-  7. sequence packing      — token-budget bins for batch assembly
-  8. mixing                — deterministic stratified sampling
+  6. repetition filters    — Gopher dup-word/top-bigram signals
+  7. boilerplate detection — cross-document 3-gram mining (C4-style)
+  8. contamination audit   — train/eval 5-gram overlap
+  9. train/val/test split  — deterministic md5-mod fold assignment
+ 10. chunking + packing    — 32/24 sliding windows, token-budget bins
+ 11. mixing                — deterministic stratified sampling
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from flink_release_1_14_5_comment_spark.pipeline import (
     dedup,
     graph,
     packing,
+    quality,
     similarity,
     text_analysis,
 )
@@ -54,14 +58,24 @@ def main() -> None:
     print("== 5. embedding near-dups (banded sign-LSH + cosine verify) ==")
     similarity.q_dedup_embedding(spark, SF_DIR).show(5)
 
-    print("== 6. contamination audit (eval 5-grams seen in train) ==")
+    print("== 6. Gopher repetition signals (dup-word chars, top bigram) ==")
+    quality.q_repetition_metrics(spark, SF_DIR).show(5)
+
+    print("== 7. cross-document boilerplate 3-grams ==")
+    quality.q_boilerplate_ngrams(spark, SF_DIR).show(5, truncate=False)
+
+    print("== 8. contamination audit (eval 5-grams seen in train) ==")
     packing.q_contamination_overlap(spark, SF_DIR) \
         .orderBy("hit_ratio", ascending=False).show(5)
 
-    print("== 7. sequence packing (2048-token bins) ==")
+    print("== 9. deterministic train/val/test split (md5 mod 10) ==")
+    quality.q_split_assign(spark, SF_DIR).orderBy("lang", "split").show(6)
+
+    print("== 10. sliding-window chunking + 2048-token bin packing ==")
+    quality.q_chunk_tokens(spark, SF_DIR).show(5)
     packing.q_pack_sequences(spark, SF_DIR).orderBy("shard", "bin").show(5)
 
-    print("== 8. deterministic stratified sampling for the final mix ==")
+    print("== 11. deterministic stratified sampling for the final mix ==")
     text_analysis.q_corpus_sample(spark, SF_DIR).show(5)
 
     print("== cleaned-corpus summary (quality + exact + near-dup composed) ==")

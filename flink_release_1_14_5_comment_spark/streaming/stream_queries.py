@@ -382,6 +382,48 @@ FROM numbered GROUP BY user_id, rn // 5 HAVING COUNT(*) = 5
 """
 
 
+def q_stream_count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING count window (countWindow(6, 3): every 3rd event
+    per user aggregates the last ≤6) via the O(size) ring-buffer keyed op
+    (streaming/count_windows.sliding_count_window, reference
+    KeyedStream.java:706 = GlobalWindows + CountTrigger(slide) +
+    CountEvictor(size)). Deterministic for the same reason as
+    `stream_count_window`: the testdata's event_id order IS its event-time
+    order, matching the op's per-batch id-sort plus the id-ordered replay."""
+    from flink_release_1_14_5_comment_spark.streaming.count_windows import (
+        sliding_count_window,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "event_id", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="event_id")
+    try:
+        out = sliding_count_window(stream, ["user_id"], "value", "event_id", 6, 3)
+        return _run_to_memory(out).select(
+            "user_id", "fire_seq", "n",
+            F.round("sum_value", 2).alias("sum_value"))
+    finally:
+        sources.cleanup(tmp)
+
+
+# Every slide-th row fires; the window holds the trailing min(rn, size) rows.
+ORACLE_Q_STREAM_COUNT_WINDOW_SLIDING = """
+WITH numbered AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+), framed AS (
+  SELECT user_id, rn,
+         CAST(LEAST(rn, 6) AS INT) AS n,
+         ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY rn
+                                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 2)
+           AS sum_value
+  FROM numbered
+)
+SELECT user_id, CAST(rn // 3 - 1 AS BIGINT) AS fire_seq, n, sum_value
+FROM framed WHERE rn % 3 = 0
+"""
+
+
 def q_stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Window Top-N (reference WindowRankProcessor.java:224 via
     streaming/topn.window_topn): top-3 events by value per (1-hour tumble,
@@ -467,6 +509,7 @@ QUERIES = {
     "stream_count_window": q_stream_count_window,
     "stream_window_topn": q_stream_window_topn,
     "stream_group_agg": q_stream_group_agg,
+    "stream_count_window_sliding": q_stream_count_window_sliding,
 }
 
 ORACLE = {
@@ -480,4 +523,5 @@ ORACLE = {
     "stream_count_window": ORACLE_Q_STREAM_COUNT_WINDOW,
     "stream_window_topn": ORACLE_Q_STREAM_WINDOW_TOPN,
     "stream_group_agg": ORACLE_Q_STREAM_GROUP_AGG,
+    "stream_count_window_sliding": ORACLE_Q_STREAM_COUNT_WINDOW_SLIDING,
 }
