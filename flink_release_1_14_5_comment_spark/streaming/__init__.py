@@ -13,7 +13,12 @@ What we build here:
                       ChangelogNormalize, SinkUpsertMaterializer-style upsert sink
   * ``sources``     — deterministic replay of testdata as a file stream
 
-Documented non-goals (no Spark equivalent, per SURVEY §2.9): punctuated
-watermarks, per-source idleness detection, custom triggers/evictors beyond
-processing-time triggers + watermark lateness.
+Emulated beyond the original non-goal list (see watermarks.py): punctuated
+watermarks (marker-row driven, micro-batch granularity) and idle-source
+tolerance (per-input watermarks + multipleWatermarkPolicy=max). Queryable
+state is served by queryable_state.py over Spark's State Data Source.
+Remaining documented non-goals: per-PARTITION idleness inside one source
+(Spark keeps a single combined watermark per source node) and wall-clock
+ProcessingTimeout/ContinuousProcessingTime triggers (nondeterministic under
+replay).
 """

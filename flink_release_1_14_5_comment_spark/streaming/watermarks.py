@@ -8,8 +8,21 @@ the delay string IS the bound. Monotonous timestamps = delay '0 seconds'.
 Semantic differences (documented, by design):
   * Flink watermarks advance per-record and can be punctuated; Spark advances
     the watermark once per micro-batch from the batch's max event time.
-  * Flink idleness (WatermarkStrategy.withIdleness) has no Spark equivalent —
-    an idle partition stalls the watermark until data arrives.
+    Punctuated emulation at micro-batch granularity: `PunctuatedSplitter`
+    below derives the watermark from explicit marker rows in the stream
+    itself (reference WatermarkGenerator.onEvent, WatermarkStrategy.java:133)
+    instead of max-event-time-minus-delay.
+  * Flink idleness (WatermarkStrategy.withIdleness,
+    WatermarkStrategy.java:169): an idle SOURCE would stall the combined
+    watermark (min across inputs, StatusWatermarkValve.java) until marked
+    idle. Spark equivalent for the multi-input case:
+    `idle_tolerant_union` below — `spark.sql.streaming.multipleWatermarkPolicy
+    = max` makes the global watermark follow the FASTEST input, so an idle
+    source stops holding back event-time progress, with the same caveat
+    Flink documents (data later arriving on the idle source may be late).
+    Within a single source Spark has no per-partition watermarks, so
+    per-partition idleness is structurally moot (one combined watermark per
+    source node).
 """
 
 from __future__ import annotations
@@ -40,6 +53,81 @@ def parse_watermark_ddl(clause: str) -> tuple[str, str]:
         raise ValueError(f"unsupported WATERMARK clause: {clause!r}")
     col, n, unit = m.groups()
     return col, f"{n} {unit.lower()}"
+
+
+def idle_tolerant_union(spark, *streams: DataFrame) -> DataFrame:
+    """Union event-time streams so an IDLE input can't stall the watermark.
+
+    Reference: ``WatermarkStrategy.withIdleness`` (WatermarkStrategy.java:169)
+    — a source emitting no data is marked idle and excluded from the min
+    combine (StatusWatermarkValve.java), letting the active sources' windows
+    keep firing. Spark-first equivalent: each input keeps its own
+    ``withWatermark`` node and the session's ``multipleWatermarkPolicy`` is
+    set to ``max``, so the GLOBAL watermark tracks the fastest input rather
+    than being pinned by the stalled one.
+
+    The conf is read at QUERY START (it applies to every watermark combine
+    in queries started afterwards) — call this before ``writeStream.start``.
+    Trade-off is identical to Flink's idleness: rows that later arrive on
+    the idle/slow input behind the advanced watermark are treated as late.
+
+    Scale: a union is a no-shuffle narrow op; watermark combination is
+    per-batch driver metadata, so this costs nothing at any input size.
+    """
+    if not streams:
+        raise ValueError("idle_tolerant_union needs at least one stream")
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+class PunctuatedSplitter:
+    """Punctuated watermarks at micro-batch granularity (reference
+    ``WatermarkGenerator.onEvent`` / punctuated strategy,
+    WatermarkStrategy.java:133): the watermark comes from explicit MARKER
+    rows carried in the stream itself, not from max-event-time-minus-delay.
+
+    A ``foreachBatch`` handler (same driver-held-watermark pattern as
+    `LateDataSplitter`): rows where ``marker_col`` is non-null punctuate —
+    after each batch the watermark jumps to the max marker value seen; data
+    rows older than the watermark established by PREVIOUS batches are routed
+    to ``late_fn``, the rest (markers stripped) to ``on_time_fn``. With no
+    markers the watermark never advances — exactly Flink's punctuated
+    contract (no timers fire until a punctuation arrives).
+
+    The marker max per batch is one JVM-side aggregate; the split is two
+    filters on one persisted scan — no state store, no extra shuffle.
+    """
+
+    def __init__(self, marker_col: str, on_time_fn, late_fn, ts_col: str):
+        self.marker_col = marker_col
+        self.ts_col = ts_col
+        self.on_time_fn = on_time_fn
+        self.late_fn = late_fn
+        self.watermark = None  # driver-held, from punctuation rows only
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F  # local: foreachBatch pickles self
+
+        mk, ts = self.marker_col, self.ts_col
+        batch_df.persist()
+        try:
+            data = batch_df.filter(F.col(mk).isNull()).drop(mk)
+            if self.watermark is not None:
+                late = data.filter(F.col(ts) < F.lit(self.watermark))
+                on_time = data.filter(F.col(ts) >= F.lit(self.watermark))
+            else:
+                late, on_time = None, data
+            if late is not None and not late.isEmpty():
+                self.late_fn(late, batch_id)
+            self.on_time_fn(on_time, batch_id)
+            mx = batch_df.agg(F.max(mk)).first()[0]
+            if mx is not None and (self.watermark is None or mx > self.watermark):
+                self.watermark = mx
+        finally:
+            batch_df.unpersist()
 
 
 class LateDataSplitter:
