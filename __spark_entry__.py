@@ -30,6 +30,7 @@ def _modules():
         time_windows,
     )
     from flink_release_1_14_5_comment_spark.pipeline import (
+        clustering,
         dedup,
         graph,
         multimodal,
@@ -40,7 +41,7 @@ def _modules():
     )
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
-    return [dedup, graph, similarity, text_analysis, quality, packing, multimodal,
+    return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal,
             time_windows, temporal_joins, patterns, analytic_shapes, scale,
             relational_ext, relational, stream_queries]
 

@@ -1,0 +1,165 @@
+"""Distributed k-means over embedding vectors (semantic clustering).
+
+Training-data pipelines cluster document embeddings to (a) semantically
+dedup near-identical content that lexical MinHash misses, (b) balance topic
+mixtures, (c) build IVF cells for ANN (pipeline/similarity.py consumes
+exactly this shape). The reference ships the same capability as
+``flink-ml``'s iterative clustering on DataSet iterations
+(flink-libraries/flink-gelly's iteration machinery; SURVEY §2.9
+"Iterations (bulk)") — here it's Lloyd's algorithm as a driver loop of
+DataFrame ops, the canonical Spark formulation:
+
+* **assignment step**: the k centroids are a broadcast (k ≤ thousands —
+  always tiny next to the corpus); similarity is computed JVM-side via
+  `aggregate`/`zip_with` codegen lambdas — the corpus never shuffles;
+* **update step**: one shuffle per iteration, keyed by (cluster, dim) —
+  partial aggregation makes it a map-side combine, so the exchange carries
+  k × dims partial sums per task, not vectors.
+
+At 100 TB this is the textbook plan: per iteration, one broadcast + one
+map-side-combined shuffle of k×dims doubles. Spherical variant (cosine,
+not euclidean): embeddings are direction-normalized downstream, matching
+the ANN/near-dup modules.
+
+Determinism contract (what makes the DuckDB oracle possible): init
+centroids = the k lowest vec_ids; cosine rounded to 6 decimals before the
+argmax with cluster-id tie-break; centroid components = round(sum, 6)/count
+(distributed float-sum reassociation cancels — see similarity._centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.pipeline.similarity import (
+    _cosine_pre,
+    _norm,
+    _spread,
+)
+
+K = 8
+ITERS = 3
+DIMS = 64
+
+
+def _update_centroids(assigned: DataFrame) -> DataFrame:
+    """Mean per (cluster, dim) → centroid arrays. One map-side-combined
+    shuffle of k×dims partials; empty clusters drop (same in the oracle)."""
+    return (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
+        .groupBy("cluster")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"]).alias("cent"))
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine (argmax, cluster-id
+    tie-break). `vectors` needs (vec_id, embedding, nrm); output adds
+    `cluster`."""
+    cent = centroids.withColumn("cnorm", _norm("cent"))
+    scored = vectors.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nrm", "cluster",
+        F.round(_cosine_pre("embedding", "cent", "nrm", "cnorm"), 6)
+        .alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cluster"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "nrm", "cluster"))
+
+
+def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
+    """Lloyd's k-means, fixed iteration count; returns (vec_id, cluster).
+
+    Init = the k lowest vec_ids as seed centroids (deterministic; k-means++
+    would sample — any deterministic seed rule slots in here unchanged).
+    """
+    e = vectors.withColumn("nrm", _norm("embedding")).persist()
+    seeds = (e.orderBy("vec_id").limit(k)
+             .select(F.col("vec_id").cast("int").alias("cluster"),
+                     F.col("embedding").alias("cent")))
+    assigned = kmeans_assign(e, seeds)
+    for _ in range(iters - 1):
+        assigned = kmeans_assign(e, _update_centroids(assigned))
+    out = assigned.select("vec_id", "cluster")
+    e.unpersist()
+    return out
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster assignment for every embedding (k=8, 3 iterations)."""
+    t = register_views(spark, sf_dir)
+    return kmeans_fit(_spread(t["embeddings"]).select("vec_id", "embedding"))
+
+
+def q_embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cardinality + mean intra-cluster similarity to the seed-id
+    centroid — the balance/coherence report a curation run reads before
+    sampling per-cluster quotas."""
+    t = register_views(spark, sf_dir)
+    e = _spread(t["embeddings"]).select("vec_id", "embedding")
+    assign = kmeans_fit(e)
+    return (assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("cluster"))
+
+
+def _kmeans_oracle_ctes(k: int = K, iters: int = ITERS, dims: int = DIMS) -> str:
+    """Unrolled fixed-iteration Lloyd's in DuckDB (one assign CTE + one
+    centroid CTE per round — mechanically the Spark loop; same rounding)."""
+    parts = [
+        f"WITH comp AS (SELECT vec_id, pos - 1 AS pos, embedding[pos] AS v\n"
+        f"  FROM embeddings, generate_series(1, {dims}) AS t(pos)),",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, list(v ORDER BY pos) AS cent\n"
+        f"  FROM comp WHERE vec_id < {k} GROUP BY vec_id),",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cluster FROM (\n"
+            f"  SELECT e.vec_id, c.cluster,\n"
+            f"    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY\n"
+            f"      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) DESC,\n"
+            f"      c.cluster) AS rn\n"
+            f"  FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1),"
+        )
+        if i < iters:
+            parts.append(
+                f"c{i} AS (SELECT cluster, list(cv ORDER BY pos) AS cent FROM (\n"
+                f"  SELECT a.cluster, m.pos, ROUND(SUM(m.v), 6) / COUNT(*) AS cv\n"
+                f"  FROM a{i} a JOIN comp m ON m.vec_id = a.vec_id\n"
+                f"  GROUP BY a.cluster, m.pos) GROUP BY cluster),"
+            )
+            prev = f"c{i}"
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts)
+
+
+ORACLE_Q_EMBEDDING_KMEANS = (
+    _kmeans_oracle_ctes()
+    + f"\nSELECT vec_id, cluster FROM a{ITERS}"
+)
+
+ORACLE_Q_EMBEDDING_CLUSTER_SIZES = (
+    _kmeans_oracle_ctes()
+    + f"\nSELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members"
+    + f"\nFROM a{ITERS} GROUP BY cluster ORDER BY cluster"
+)
+
+
+QUERIES = {
+    "embedding_kmeans": q_embedding_kmeans,
+    "embedding_cluster_sizes": q_embedding_cluster_sizes,
+}
+
+ORACLE = {
+    "embedding_kmeans": ORACLE_Q_EMBEDDING_KMEANS,
+    "embedding_cluster_sizes": ORACLE_Q_EMBEDDING_CLUSTER_SIZES,
+}

@@ -494,18 +494,7 @@ FROM lineitem x JOIN lineitem y
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle participation per supplier in the co-supply graph."""
-    t = register_views(spark, sf_dir)
-    li = t["lineitem"]
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("s1") < F.col("s2"))
-        .select(F.concat(F.lit("S_"), F.col("s1").cast("string")).alias("src"),
-                F.concat(F.lit("S_"), F.col("s2").cast("string")).alias("dst"))
-        .distinct()
-    )
-    return triangle_count(edges)
+    return triangle_count(_cosupply_edges(spark, sf_dir))
 
 
 ORACLE_Q_GRAPH_TRIANGLES = f"""
@@ -524,12 +513,207 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node
 """
 
 
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Local clustering coefficient per node (Gelly
+    `LocalClusteringCoefficient`: score = triangles / potential, potential =
+    d*(d-1)/2 for the undirected case): how close a node's neighborhood is
+    to a clique. Composes `triangle_count` with an undirected degree count.
+
+    Scale: degree is one groupBy over the symmetric edge list; triangles
+    reuse the ordered 3-way join (see `triangle_count`). Nothing here is
+    worse than the triangle enumeration itself.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .union(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(edges)
+    d = F.col("degree")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node", "degree",
+            F.round(
+                F.when(d >= 2,
+                       2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+                       / (d * (d - 1)))
+                .otherwise(F.lit(0.0)), 6).alias("coeff"),
+        )
+    )
+
+
+def _symmetric_neighbors(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (edges.select(F.col(src).alias("node"), F.col(dst).alias("nb"))
+            .union(edges.select(F.col(dst).alias("node"),
+                                F.col(src).alias("nb")))
+            .filter(F.col("node") != F.col("nb")).distinct())
+
+
+def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst",
+                  min_sim: float = 0.0) -> DataFrame:
+    """Neighborhood Jaccard similarity for vertex pairs sharing ≥1 neighbor
+    (Gelly `JaccardIndex`): J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|.
+
+    Plan: candidate pairs are generated per shared neighbor (the wedge
+    join), counted, then |union| = d(u)+d(v)-common via two slim degree
+    joins — same generate-group-annotate shape Gelly uses, no all-pairs
+    step anywhere.
+
+    Scale: wedge volume is Σ_z d(z)², quadratic in hub degree — the
+    identical caveat Gelly documents. At 100 TB: cap hub degree (drop or
+    sample nodes above a degree bound before wedging — standard practice),
+    or switch to the MinHash estimate in pipeline/dedup.py, which bounds
+    work per node at the signature width regardless of degree.
+    """
+    nbr = _symmetric_neighbors(edges, src, dst).persist()
+    common = (
+        nbr.alias("l")
+        .join(nbr.alias("r"), (F.col("l.nb") == F.col("r.nb"))
+              & (F.col("l.node") < F.col("r.node")))
+        .groupBy(F.col("l.node").alias("u"), F.col("r.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    out = (
+        common
+        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select("u", "v",
+                F.round(F.col("common")
+                        / (F.col("du") + F.col("dv") - F.col("common")),
+                        6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_sim)
+    )
+    nbr.unpersist()
+    return out
+
+
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
+                min_score: float = 0.0) -> DataFrame:
+    """Adamic-Adar link-prediction score (Gelly `AdamicAdar`):
+    AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(d(z)) — common neighbors weighted by
+    the rarity of the shared neighbor.
+
+    Same wedge plan as `jaccard_index`, except each wedge carries the shared
+    neighbor's 1/ln(degree) weight (one broadcastable degree join on the
+    wedge center) and the pair aggregate SUMs weights instead of counting.
+    Degree-1 centers can't be a shared neighbor (they have only one edge),
+    so ln(d) ≥ ln 2 — no division-by-zero branch needed.
+    """
+    nbr = _symmetric_neighbors(edges, src, dst).persist()
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    weighted = nbr.join(
+        deg.select(F.col("node").alias("nb"),
+                   (1.0 / F.log(F.col("d"))).alias("w")), "nb")
+    out = (
+        weighted.alias("l")
+        .join(weighted.alias("r"), (F.col("l.nb") == F.col("r.nb"))
+              & (F.col("l.node") < F.col("r.node")))
+        .groupBy(F.col("l.node").alias("u"), F.col("r.node").alias("v"))
+        .agg(F.round(F.sum(F.col("l.w")), 6).alias("aa_score"))
+        .filter(F.col("aa_score") >= min_score)
+    )
+    nbr.unpersist()
+    return out
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_views(spark, sf_dir)
+    li = t["lineitem"]
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    return (
+        x.join(y, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.concat(F.lit("S_"), F.col("s1").cast("string")).alias("src"),
+                F.concat(F.lit("S_"), F.col("s2").cast("string")).alias("dst"))
+        .distinct()
+    )
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier in the co-supply graph."""
+    return clustering_coefficient(_cosupply_edges(spark, sf_dir))
+
+
+ORACLE_Q_GRAPH_CLUSTERING_COEFF = f"""
+WITH e AS ({_COSUPPLY_EDGES_CTE}),
+sym AS (SELECT src AS node, dst AS nb FROM e
+        UNION SELECT dst, src FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS node FROM tri UNION ALL
+  SELECT y FROM tri UNION ALL
+  SELECT z FROM tri
+),
+tcnt AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY node)
+SELECT d.node, d.degree,
+       ROUND(CASE WHEN d.degree >= 2
+             THEN 2.0 * COALESCE(tc.t, 0) / (d.degree * (d.degree - 1))
+             ELSE 0.0 END, 6) AS coeff
+FROM deg d LEFT JOIN tcnt tc ON tc.node = d.node
+"""
+
+
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier pairs whose co-supply neighborhoods overlap ≥ 40% Jaccard."""
+    return jaccard_index(_cosupply_edges(spark, sf_dir), min_sim=0.4)
+
+
+ORACLE_Q_GRAPH_JACCARD = f"""
+WITH e AS ({_COSUPPLY_EDGES_CTE}),
+sym AS (SELECT src AS node, dst AS nb FROM e
+        UNION SELECT dst, src FROM e),
+deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+common AS (
+  SELECT l.node AS u, r.node AS v, COUNT(*) AS c
+  FROM sym l JOIN sym r ON l.nb = r.nb AND l.node < r.node
+  GROUP BY l.node, r.node
+)
+SELECT c.u, c.v, ROUND(c.c * 1.0 / (du.d + dv.d - c.c), 6) AS jaccard
+FROM common c
+JOIN deg du ON du.node = c.u
+JOIN deg dv ON dv.node = c.v
+WHERE c.c * 1.0 / (du.d + dv.d - c.c) >= 0.4
+"""
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over co-supply, score ≥ 2."""
+    return adamic_adar(_cosupply_edges(spark, sf_dir), min_score=2.0)
+
+
+ORACLE_Q_GRAPH_ADAMIC_ADAR = f"""
+WITH e AS ({_COSUPPLY_EDGES_CTE}),
+sym AS (SELECT src AS node, dst AS nb FROM e
+        UNION SELECT dst, src FROM e),
+deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+w AS (SELECT s.node, s.nb, 1.0 / LN(dg.d) AS w
+      FROM sym s JOIN deg dg ON dg.node = s.nb)
+SELECT l.node AS u, r.node AS v, ROUND(SUM(l.w), 6) AS aa_score
+FROM w l JOIN w r ON l.nb = r.nb AND l.node < r.node
+GROUP BY l.node, r.node
+HAVING SUM(l.w) >= 2.0
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "graph_pagerank": q_graph_pagerank,
     "graph_sssp": q_graph_sssp,
     "graph_triangles": q_graph_triangles,
     "graph_label_propagation": q_graph_label_propagation,
+    "graph_clustering_coeff": q_graph_clustering_coeff,
+    "graph_jaccard": q_graph_jaccard,
+    "graph_adamic_adar": q_graph_adamic_adar,
 }
 
 ORACLE = {
@@ -538,4 +722,7 @@ ORACLE = {
     "graph_sssp": ORACLE_Q_GRAPH_SSSP,
     "graph_triangles": ORACLE_Q_GRAPH_TRIANGLES,
     "graph_label_propagation": _label_propagation_oracle(),
+    "graph_clustering_coeff": ORACLE_Q_GRAPH_CLUSTERING_COEFF,
+    "graph_jaccard": ORACLE_Q_GRAPH_JACCARD,
+    "graph_adamic_adar": ORACLE_Q_GRAPH_ADAMIC_ADAR,
 }
