@@ -73,6 +73,15 @@ def _modules():
 # join_large/join_semi, topn, dedup_exact + stream_dedup_keepfirst,
 # agg_pricing_summary/agg_distinct).
 #
+# Round-4 closing rotation: stream_regular_join (full-history stream-stream
+# join — the round's flagship operator, end-of-input changelog vs batch-join
+# oracle), embedding_kmeans (distributed Lloyd's, unrolled-CTE oracle) and
+# graph_clustering_coeff (triangles ∘ degree) in — displacing corpus_clean,
+# agg_distinct, deep_chain_regions (each 3-round officially green;
+# dedup/agg/analytic families stay anchored by dedup_exact +
+# dedup_minhash_lsh, agg_pricing_summary + split_distinct_agg,
+# sales_rollup_nation_year + skew_salted_join).
+#
 # Round-4 final rotation: 8 new/locally-green names in — the four
 # pipeline/quality.py curation ops (repetition_metrics, boilerplate_ngrams,
 # split_assign, chunk_tokens), two new streaming oracles (stream_window_topn
@@ -85,14 +94,15 @@ def _modules():
 _PRIORITY = [
     # LLM-pipeline north star
     "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash_hamming", "corpus_clean", "dedup_clusters",
+    "dedup_simhash_hamming", "dedup_clusters",
     "ann_lsh_topk", "text_stats",
     "gopher_quality", "pii_scrub",
     "repetition_metrics", "boilerplate_ngrams", "split_assign",
     "chunk_tokens",
     "multimodal_features", "pack_sequences", "contamination_overlap",
+    "embedding_kmeans",
     # relational core
-    "agg_pricing_summary", "agg_distinct",
+    "agg_pricing_summary",
     "pricing_percentiles", "join_multiway",
     "subquery_correlated", "over_windows",
     "topn", "grouping_sets",
@@ -102,10 +112,11 @@ _PRIORITY = [
     "hypertable_rollup", "interval_join", "asof_join", "funnel_match",
     "stream_window_tumble", "stream_interval_join",
     "stream_over_unbounded", "stream_dedup_keepfirst", "stream_asof_join",
-    "stream_window_topn", "stream_group_agg",
+    "stream_window_topn", "stream_group_agg", "stream_regular_join",
     "graph_pagerank", "graph_sssp", "graph_triangles",
+    "graph_clustering_coeff",
     # analytic (TPC-DS-shape) + scale strategies
-    "sales_rollup_nation_year", "deep_chain_regions",
+    "sales_rollup_nation_year",
     "skew_salted_join", "split_distinct_agg",
     # brief-explicit text ops: BPE-ish token counting, rolling-hash winnowing
     "token_counts", "doc_winnow",

@@ -70,6 +70,7 @@ HEADLINE = [
     "chunk_tokens",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_kmeans",
     "text_stats",
     "funnel_match",
     "sessionize_paths",
@@ -108,7 +109,7 @@ def main() -> None:
         "asof_join",             # end of temporal-join family
         "contamination_overlap", # end of dedup/assembly family (shares signatures)
         "chunk_tokens",          # end of curation/quality family
-        "ann_ivf_topk",          # end of similarity family
+        "embedding_kmeans",      # end of similarity/clustering family
         "text_stats", "sessionize_paths", "multimodal_features",
     }
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))

@@ -498,6 +498,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_regular_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded FULL-HISTORY stream-stream inner join (reference
+    StreamingJoinOperator.java:36): January-1995 orders and their lineitems
+    replayed as two independent micro-batched streams — rows join across
+    ARBITRARY batch distance because both sides' complete history is keyed
+    state (no watermark bound; contrast stream_interval_join). Append-only
+    inner inputs produce a pure-+I changelog, so the materialized output
+    equals the batch join — the oracle-checkable invariant.
+    """
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        regular_join_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01"))
+    right = o.select(F.col("o_orderkey").alias("orderkey"),
+                     F.col("o_custkey").alias("custkey"))
+    left = (t["lineitem"]
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    "l_linenumber",
+                    F.col("l_quantity").cast("int").alias("qty"))
+            .join(right.select("orderkey"), "orderkey", "semi"))
+    ls, ltmp = sources.replay_as_stream(spark, left, n_chunks=2,
+                                        order_col="orderkey")
+    rs, rtmp = sources.replay_as_stream(spark, right, n_chunks=2,
+                                        order_col="orderkey")
+    try:
+        joined = regular_join_stream(ls, rs, ["orderkey"], how="inner")
+        return _run_to_memory(joined)
+    finally:
+        sources.cleanup(ltmp)
+        sources.cleanup(rtmp)
+
+
+ORACLE_Q_STREAM_REGULAR_JOIN = """
+SELECT '+I' AS op, l.l_orderkey AS orderkey, l.l_linenumber,
+       CAST(l.l_quantity AS INT) AS qty, o.o_custkey AS custkey
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-02-01'
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
@@ -510,6 +554,7 @@ QUERIES = {
     "stream_window_topn": q_stream_window_topn,
     "stream_group_agg": q_stream_group_agg,
     "stream_count_window_sliding": q_stream_count_window_sliding,
+    "stream_regular_join": q_stream_regular_join,
 }
 
 ORACLE = {
@@ -524,4 +569,5 @@ ORACLE = {
     "stream_window_topn": ORACLE_Q_STREAM_WINDOW_TOPN,
     "stream_group_agg": ORACLE_Q_STREAM_GROUP_AGG,
     "stream_count_window_sliding": ORACLE_Q_STREAM_COUNT_WINDOW_SLIDING,
+    "stream_regular_join": ORACLE_Q_STREAM_REGULAR_JOIN,
 }

@@ -83,3 +83,69 @@ def test_weighted_sssp_toy(spark):
         "src string, dst string, weight double")
     dist = {r.node: r.dist for r in weighted_sssp(edges, "A").collect()}
     assert dist == {"A": 0.0, "B": 1.0, "C": 2.0, "D": 4.0}  # X,Y unreachable
+
+
+def test_clustering_coefficient_toy(spark):
+    from flink_release_1_14_5_comment_spark.pipeline.graph import (
+        clustering_coefficient,
+    )
+
+    # triangle a-b-c plus pendant d attached to a:
+    # b,c: deg 2, 1 triangle → cc = 1.0
+    # a: deg 3, 1 triangle → cc = 2*1/(3*2) = 1/3
+    # d: deg 1 → cc = 0
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string")
+    got = {r.node: (r.degree, r.coeff)
+           for r in clustering_coefficient(edges).collect()}
+    assert got == {"a": (3, 0.333333), "b": (2, 1.0), "c": (2, 1.0),
+                   "d": (1, 0.0)}
+
+
+def test_jaccard_index_toy(spark):
+    from flink_release_1_14_5_comment_spark.pipeline.graph import jaccard_index
+
+    # N(a)={x,y}, N(b)={x,y,z} → common 2, union 3 → 2/3
+    # N(a)∩N(z)... z's neighbor set is {b}; a,z share no neighbor → no row
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "z")],
+        "src string, dst string")
+    got = {(r.u, r.v): r.jaccard for r in jaccard_index(edges).collect()}
+    assert got[("a", "b")] == 0.666667
+    # x and y share neighbors {a,b}: J = 2/2 = 1.0
+    assert got[("x", "y")] == 1.0
+    assert ("a", "z") not in got
+
+
+def test_adamic_adar_toy(spark):
+    import math
+
+    from flink_release_1_14_5_comment_spark.pipeline.graph import adamic_adar
+
+    # u and v share neighbors m (deg 2) and h (deg 4):
+    # AA = 1/ln(2) + 1/ln(4)
+    edges = spark.createDataFrame(
+        [("u", "m"), ("v", "m"), ("u", "h"), ("v", "h"),
+         ("h", "p"), ("h", "q")],
+        "src string, dst string")
+    got = {(r.u, r.v): r.aa_score for r in adamic_adar(edges).collect()}
+    expected = round(1 / math.log(2) + 1 / math.log(4), 6)
+    assert got[("u", "v")] == pytest.approx(expected, abs=2e-6)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from flink_release_1_14_5_comment_spark.pipeline.clustering import (
+        kmeans_fit,
+    )
+
+    # two orthogonal direction bundles (cosine k-means separates them
+    # regardless of magnitude); seeds = vec_id 0 (bundle A) and 1 (bundle B)
+    rows = [(0, [1.0, 0.0, 0.1]), (1, [0.0, 1.0, 0.1]),
+            (2, [2.0, 0.1, 0.0]), (3, [0.1, 2.0, 0.0]),
+            (4, [3.0, 0.0, 0.2]), (5, [0.0, 3.0, 0.2])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in kmeans_fit(vecs, k=2, iters=3).collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
