@@ -67,6 +67,7 @@ HEADLINE = [
     "repetition_metrics",
     "boilerplate_ngrams",
     "split_assign",
+    "duplicate_spans",
     "chunk_tokens",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -499,6 +499,62 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PII_SPARK_SQL)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), windowed instead of suffix-array'd: every 8-token
+    window of every document, a window position is DUPLICATED iff its text
+    occurs in ≥2 distinct documents; per doc report the duplicated-window
+    fraction (the curation policy thresholds on it).
+
+    Plan: one explode to (doc_id, pos, gram), one gram-keyed groupBy for
+    the distinct-doc count, one join back, one per-doc agg — two shuffles
+    total, both on uniformly-hashed keys. At 100 TB, shuffle the 64-bit
+    xxhash64 of the gram instead of the raw string (identical grouping,
+    ~10× fewer shuffle bytes); the oracle groups on the raw gram so this
+    query does too, keeping both engines bit-identical.
+    """
+    t = register_views(spark, sf_dir)
+    base = (
+        t["documents"].select("doc_id", _toks().alias("t"))
+        .filter(F.size("t") >= 8)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(1, size(t) - 7), "
+            "i -> concat_ws(' ', slice(t, i, 8)))")).alias("gram"))
+    )
+    gram_docs = base.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        base.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
+             dup.cast("long").alias("n_dup_windows"),
+             F.round(dup / F.count(F.lit(1)), 4).alias("dup_ratio"))
+    )
+
+
+ORACLE_Q_DUPLICATE_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 6),
+                               i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM toks WHERE len(t) >= 8
+), gd AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY gram
+)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       ROUND(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS dup_ratio
+FROM wins w JOIN gd g ON g.gram = w.gram
+GROUP BY w.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "token_counts": q_token_counts,
@@ -509,6 +565,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "gopher_quality": q_gopher_quality,
     "pii_scrub": q_pii_scrub,
+    "duplicate_spans": q_duplicate_spans,
 }
 
 ORACLE = {
@@ -521,4 +578,5 @@ ORACLE = {
     "tfidf_top_terms": ORACLE_Q_TFIDF_TOP_TERMS,
     "gopher_quality": ORACLE_Q_GOPHER_QUALITY,
     "pii_scrub": ORACLE_Q_PII_SCRUB,
+    "duplicate_spans": ORACLE_Q_DUPLICATE_SPANS,
 }
