@@ -277,6 +277,97 @@ def graph_migration(spark):
 
 
 
+def queryable_state_migration(spark):
+    """Flink:
+        // job side
+        stream.keyBy(r -> r.k).asQueryableState("counts");   // KeyedStream.java:1031
+        // client side
+        QueryableStateClient client = new QueryableStateClient(host, port);
+        client.getKvState(jobId, "counts", key, keyTypeInfo, stateDesc);
+    Here: every stateful operator's state is ALREADY externally readable from
+    the checkpoint via Spark's State Data Source — discovery, scans, point
+    lookups, and batch-id time travel (which the Flink client cannot do).
+    """
+    import shutil
+    import tempfile
+
+    from flink_release_1_14_5_comment_spark.streaming import queryable_state as qs
+
+    d = tempfile.mkdtemp(prefix="qs_demo_")
+    data, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
+    try:
+        spark.createDataFrame(
+            [(k, 1) for k in range(4) for _ in range(k + 1)], "k int, v int"
+        ).write.parquet(data)
+        agg = (spark.readStream.schema("k int, v int").parquet(data)
+               .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.writeStream.format("noop").outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        qs.state_operators(spark, ckpt).show()
+        qs.read_keyed_state(spark, ckpt).orderBy("key_k").show()
+        client = qs.QueryableStateClient(spark, ckpt)
+        print("point lookup k=3 →", client.get_kv_state({"k": 3}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def watermark_strategy_migration(spark):
+    """Flink:
+        WatermarkStrategy.<T>forBoundedOutOfOrderness(Duration.ofSeconds(5))
+            .withIdleness(Duration.ofMinutes(1));            // WatermarkStrategy.java:169
+    Here: per-input withWatermark + idle_tolerant_union — the global
+    watermark follows the fastest input (multipleWatermarkPolicy=max), so a
+    quiet source can't stall window firing (same late-data trade-off Flink
+    documents for idleness).
+    """
+    import datetime
+
+    from flink_release_1_14_5_comment_spark.streaming import sources
+    from flink_release_1_14_5_comment_spark.streaming.watermarks import (
+        idle_tolerant_union,
+    )
+
+    TS = datetime.datetime
+    active = spark.createDataFrame(
+        [(TS(2024, 1, 1, 10, 5), 1), (TS(2024, 1, 1, 11, 50), 2)],
+        "ts timestamp, v int")
+    idle = spark.createDataFrame([(TS(2024, 1, 1, 0, 10), 9)],
+                                 "ts timestamp, v int")
+    a, atmp = sources.replay_as_stream(spark, active, n_chunks=1)
+    i, itmp = sources.replay_as_stream(spark, idle, n_chunks=1)
+    try:
+        union = idle_tolerant_union(
+            spark, a.withWatermark("ts", "0 seconds"),
+            i.withWatermark("ts", "0 seconds"))
+        agg = union.groupBy(F.window("ts", "1 hour")).count()
+        q = (agg.writeStream.format("memory").queryName("idle_demo")
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        spark.table("idle_demo").show(truncate=False)
+    finally:
+        spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+        sources.cleanup(atmp)
+        sources.cleanup(itmp)
+
+
+def clustering_migration(spark):
+    """Flink (flink-ml style iterative clustering on DataSet iterations):
+        DataSet<Centroid> centroids = initial.iterate(3)
+            .closeWith(newCentroids);                        // bulk iteration
+    Here: Lloyd's k-means as a driver loop of DataFrame ops — broadcast
+    centroids, codegen cosine assignment, one map-side-combined shuffle per
+    iteration (pipeline/clustering.py).
+    """
+    from flink_release_1_14_5_comment_spark.pipeline.clustering import kmeans_fit
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.1]), (3, [0.1, 2.0])],
+        "vec_id long, embedding array<double>")
+    kmeans_fit(vecs, k=2, iters=2).orderBy("vec_id").show()
+
+
 if __name__ == "__main__":
     spark = get_spark("migration-examples", cpus=8)
     sql_migration(spark)
@@ -289,4 +380,7 @@ if __name__ == "__main__":
     persistent_catalog_migration(spark)
     kafka_migration(spark)
     graph_migration(spark)
+    queryable_state_migration(spark)
+    watermark_strategy_migration(spark)
+    clustering_migration(spark)
     print("migration examples: all sections ran")

@@ -542,6 +542,72 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-02-01'
 """
 
 
+def q_stream_changelog_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable/Updatable streaming Top-N (reference
+    UpdatableTopNFunction.java / RetractableTopNFunction.java) with its FULL
+    CHANGELOG oracle-checked: top-3 orders by o_totalprice per
+    o_orderpriority, replayed in two explicit micro-batches split by
+    o_orderkey parity. The changelog is deterministic and closed-form:
+
+      * batch 1 emits +I for top3(even-key orders);
+      * batch 2 diffs top3(all) against top3(even): +I for entering rows,
+        +U where the rank shifted, -D (old rank/value) for evictions —
+        adding rows can only demote, so top3(all)∩even ⊆ top3(even) and the
+        SQL diff of the two ranked sets reproduces the event multiset
+        exactly.
+
+    This checks the operator's promote/demote/evict emit logic officially,
+    not just the final state (cross-batch promotion-after-retraction is
+    covered by the scripted pytest harness).
+    """
+    from flink_release_1_14_5_comment_spark.streaming.topn import changelog_topn
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("val"),
+        (F.col("o_orderkey") % 2).alias("chunk"),
+        F.lit("+I").alias("__rowkind"),
+    )
+    stream, tmp = sources.replay_as_stream(spark, o, n_chunks=2,
+                                           order_col="chunk")
+    try:
+        out = changelog_topn(stream, ["pri"], "val", "id", n=3)
+        return _run_to_memory(out, mode="update")
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_CHANGELOG_TOPN = """
+WITH d AS (
+  SELECT o_orderpriority AS pri, o_orderkey AS id, o_totalprice AS val,
+         o_orderkey % 2 AS chunk
+  FROM orders
+),
+t0 AS (SELECT pri, id, val,
+              ROW_NUMBER() OVER (PARTITION BY pri ORDER BY val DESC, id) AS rk
+       FROM d WHERE chunk = 0),
+top0 AS (SELECT * FROM t0 WHERE rk <= 3),
+t1 AS (SELECT pri, id, val,
+              ROW_NUMBER() OVER (PARTITION BY pri ORDER BY val DESC, id) AS rk
+       FROM d),
+top1 AS (SELECT * FROM t1 WHERE rk <= 3)
+SELECT pri, id, val, CAST(rk AS INT) AS rank, '+I' AS __rowkind FROM top0
+UNION ALL
+SELECT n.pri, n.id, n.val, CAST(n.rk AS INT), '+I'
+FROM top1 n LEFT JOIN top0 o ON o.pri = n.pri AND o.id = n.id
+WHERE o.id IS NULL
+UNION ALL
+SELECT n.pri, n.id, n.val, CAST(n.rk AS INT), '+U'
+FROM top1 n JOIN top0 o ON o.pri = n.pri AND o.id = n.id
+WHERE n.rk <> o.rk
+UNION ALL
+SELECT o.pri, o.id, o.val, CAST(o.rk AS INT), '-D'
+FROM top0 o LEFT JOIN top1 n ON n.pri = o.pri AND n.id = o.id
+WHERE n.id IS NULL
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
@@ -555,6 +621,7 @@ QUERIES = {
     "stream_group_agg": q_stream_group_agg,
     "stream_count_window_sliding": q_stream_count_window_sliding,
     "stream_regular_join": q_stream_regular_join,
+    "stream_changelog_topn": q_stream_changelog_topn,
 }
 
 ORACLE = {
@@ -570,4 +637,5 @@ ORACLE = {
     "stream_group_agg": ORACLE_Q_STREAM_GROUP_AGG,
     "stream_count_window_sliding": ORACLE_Q_STREAM_COUNT_WINDOW_SLIDING,
     "stream_regular_join": ORACLE_Q_STREAM_REGULAR_JOIN,
+    "stream_changelog_topn": ORACLE_Q_STREAM_CHANGELOG_TOPN,
 }

@@ -140,3 +140,32 @@ def test_analytic_shapes_plans(spark, sf_dir):
     bw = a.q_best_worst_rank_join(spark, sf_dir)
     p = bw._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in p
+
+
+def test_round4_new_op_plan_shapes(spark, sf_dir):
+    """Plan audit for the round-4 additions: k-means assignment broadcasts
+    the centroid set (BroadcastNestedLoopJoin, corpus side never
+    exchanges for the cross join); the wedge joins (Jaccard) and the
+    duplicated-span detector run as equi-joins — no CartesianProduct
+    anywhere."""
+    from flink_release_1_14_5_comment_spark.pipeline import clustering, graph
+    from flink_release_1_14_5_comment_spark.pipeline.text_analysis import (
+        q_duplicate_spans,
+    )
+
+    km = clustering.q_embedding_kmeans(spark, sf_dir)
+    p = km._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p  # broadcast centroids x corpus
+    assert "CartesianProduct" not in p
+
+    jac = graph.q_graph_jaccard(spark, sf_dir)
+    p = jac._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p  # wedge join is an equi-join
+
+    ds = q_duplicate_spans(spark, sf_dir)
+    p = ds._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    # column pruning: only (doc_id, text) leave the documents scan
+    scan = [l for l in p.splitlines()
+            if "ReadSchema" in l and "documents" in l][0]
+    assert "doc_id:bigint,text:string" in scan.replace(" ", "")
