@@ -443,6 +443,62 @@ GROUP BY lang
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW batch against an existing corpus — the
+    continuous-ingestion topology (every crawl snapshot dedups against
+    everything already kept) — with a two-tier plan:
+
+      1. **sketch prefilter**: the corpus's distinct 24-bit fingerprint
+         PREFIXES (bounded: ≤2²⁴ rows regardless of corpus size, broadcast
+         like a Bloom filter's bitset) anti-join the new batch — a doc whose
+         prefix is absent is DEFINITELY new, no exact check needed;
+      2. **exact verify**: only prefix-colliding candidates do the full
+         fingerprint anti-join against the corpus.
+
+    The result is EXACT (the prefilter only short-circuits definite
+    negatives, like a Bloom filter's "definitely not present" side), so the
+    oracle is the plain anti-join. At 100 TB the win is the second join's
+    input: the corpus side is touched only for the candidate subset, and
+    the prefix set stays broadcastable forever. Batch split is
+    deterministic: doc_id % 10 == 9 is the "new" batch.
+    """
+    t = register_views(spark, sf_dir)
+    fp = t["documents"].select(
+        "doc_id", "lang", F.md5(F.expr(_NORM)).alias("fp"),
+        (F.col("doc_id") % 10 == 9).alias("is_new"))
+    corpus = fp.filter(~F.col("is_new"))
+    new = fp.filter(F.col("is_new"))
+    prefixes = corpus.select(
+        F.substring("fp", 1, 6).alias("pfx")).distinct()
+    definite = new.join(F.broadcast(prefixes),
+                        F.substring(new["fp"], 1, 6) == F.col("pfx"),
+                        "anti")
+    candidates = new.join(F.broadcast(prefixes),
+                          F.substring(new["fp"], 1, 6) == F.col("pfx"),
+                          "semi")
+    verified = candidates.join(corpus.select("fp"), "fp", "anti")
+    return (definite.unionByName(verified)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_new_unique"),
+                 F.min("doc_id").alias("first_id")))
+
+
+ORACLE_Q_DEDUP_INCREMENTAL = r"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         doc_id % 10 = 9 AS is_new
+  FROM documents
+)
+SELECT n.lang, CAST(COUNT(*) AS BIGINT) AS n_new_unique,
+       MIN(n.doc_id) AS first_id
+FROM fp n
+WHERE n.is_new
+  AND NOT EXISTS (SELECT 1 FROM fp c WHERE NOT c.is_new AND c.fp = n.fp)
+GROUP BY n.lang
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -450,6 +506,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "corpus_clean": q_corpus_clean,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLE = {
@@ -459,4 +516,5 @@ ORACLE = {
     "dedup_simhash": ORACLE_Q_DEDUP_SIMHASH,
     "dedup_simhash_hamming": ORACLE_Q_DEDUP_SIMHASH_HAMMING,
     "corpus_clean": ORACLE_Q_CORPUS_CLEAN,
+    "dedup_incremental": ORACLE_Q_DEDUP_INCREMENTAL,
 }

@@ -169,3 +169,17 @@ def test_round4_new_op_plan_shapes(spark, sf_dir):
     scan = [l for l in p.splitlines()
             if "ReadSchema" in l and "documents" in l][0]
     assert "doc_id:bigint,text:string" in scan.replace(" ", "")
+
+
+def test_incremental_dedup_prefilter_broadcasts(spark, sf_dir):
+    """The two-tier incremental dedup must broadcast the bounded prefix
+    sketch (both the definite-new anti-join and the candidate semi-join),
+    and contain no cartesian anywhere."""
+    from flink_release_1_14_5_comment_spark.pipeline.dedup import (
+        q_dedup_incremental,
+    )
+
+    df = q_dedup_incremental(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
