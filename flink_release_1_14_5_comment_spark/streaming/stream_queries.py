@@ -569,8 +569,14 @@ def q_stream_changelog_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2).alias("chunk"),
         F.lit("+I").alias("__rowkind"),
     )
-    stream, tmp = sources.replay_as_stream(spark, o, n_chunks=2,
-                                           order_col="chunk")
+    # The batch split must be EXACT (the oracle reproduces it in SQL), so
+    # chunk 1 rides the final_dfs path — one file written strictly after the
+    # base chunk — rather than repartitionByRange, whose sampled bounds on a
+    # two-valued column can place both values in one partition.
+    c0 = o.filter(F.col("chunk") == 0).drop("chunk")
+    c1 = o.filter(F.col("chunk") == 1).drop("chunk")
+    stream, tmp = sources.replay_as_stream(spark, c0, n_chunks=1,
+                                           final_dfs=[c1])
     try:
         out = changelog_topn(stream, ["pri"], "val", "id", n=3)
         return _run_to_memory(out, mode="update")
