@@ -97,3 +97,68 @@ def test_changelog_normalize_matches_python_model(spark, rows):
             expect[k] = ((k, v, kind), seq)
     expected_set = {(k, v) for (k, v, kind), _ in expect.values() if kind != "-D"}
     assert got == expected_set
+
+
+# random undirected edge sets over nodes 0..5
+_edges = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),
+    min_size=1, max_size=14,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges)
+def test_jaccard_index_matches_python_model(spark, es):
+    """J(u,v) from the wedge-join plan equals the set-algebra definition
+    computed by a pure-Python model, for every emitted pair — and pairs
+    with no shared neighbor are never emitted."""
+    from flink_release_1_14_5_comment_spark.pipeline.graph import jaccard_index
+
+    edges = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in es], "src string, dst string")
+    got = {(r.u, r.v): r.jaccard for r in jaccard_index(edges).collect()}
+
+    nbrs: dict[str, set] = {}
+    for a, b in es:
+        if a == b:
+            continue
+        nbrs.setdefault(f"n{a}", set()).add(f"n{b}")
+        nbrs.setdefault(f"n{b}", set()).add(f"n{a}")
+    expected = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            common = nbrs[u] & nbrs[v]
+            if common:
+                expected[(u, v)] = round(len(common) / len(nbrs[u] | nbrs[v]), 6)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.floats(0.1, 9.9), min_size=3, max_size=3),
+    min_size=2, max_size=8))
+def test_kmeans_assignment_is_nearest_centroid(spark, vecs):
+    """After kmeans_fit, every vector's cluster is the argmax-cosine seed
+    under single-iteration fit (iters=1 → assignment against the raw seeds,
+    checkable without simulating the update step)."""
+    import math
+
+    from flink_release_1_14_5_comment_spark.pipeline.clustering import kmeans_fit
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k = min(2, len(rows))
+    got = {r.vec_id: r.cluster for r in kmeans_fit(df, k=k, iters=1).collect()}
+
+    seeds = rows[:k]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    for i, v in rows:
+        best = min(((-cos(v, sv), sc) for sc, sv in seeds))[1]
+        assert got[i] == best, (i, v, got[i], best)
