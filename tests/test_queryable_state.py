@@ -87,3 +87,41 @@ def test_batch_id_time_travel(spark, agg_checkpoint):
     at0 = qs.read_keyed_state(spark, agg_checkpoint, batch_id=0)
     got = {r["key_k"]: r["value_count"] for r in at0.collect()}
     assert got == {k: k + 1 for k in range(5)}
+
+
+def test_join_side_state_read(spark, tmp_path):
+    """Stream-stream join buffers both sides in the state store (the
+    Spark analog of the reference's JoinRecordStateViews) — the reader's
+    joinSide option exposes each side's buffered rows."""
+    import datetime
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    TS = datetime.datetime
+    base = tmp_path
+    ldir, rdir, ckpt = str(base / "l"), str(base / "r"), str(base / "ck")
+    _write_one_file(spark,
+                    [(1, TS(2024, 1, 1, 10, 0)), (2, TS(2024, 1, 1, 10, 5))],
+                    "k int, lts timestamp", ldir, "a.parquet")
+    _write_one_file(spark,
+                    [(1, TS(2024, 1, 1, 10, 1))],
+                    "k int, rts timestamp", rdir, "a.parquet")
+    ls = (spark.readStream.schema("k int, lts timestamp").parquet(ldir)
+          .withWatermark("lts", "1 hour"))
+    rs = (spark.readStream.schema("k int, rts timestamp").parquet(rdir)
+          .withWatermark("rts", "1 hour"))
+    joined = ls.join(
+        rs, (ls["k"] == rs["k"])
+        & (rs["rts"] >= ls["lts"] - F.expr("INTERVAL 10 MINUTES"))
+        & (rs["rts"] <= ls["lts"] + F.expr("INTERVAL 10 MINUTES")))
+    q = (joined.writeStream.format("noop").outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180)
+
+    left = qs.read_keyed_state(spark, ckpt, join_side="left", flatten=False)
+    right = qs.read_keyed_state(spark, ckpt, join_side="right", flatten=False)
+    lkeys = sorted(r["key"]["field0"] for r in left.collect())
+    rkeys = sorted(r["key"]["field0"] for r in right.collect())
+    assert lkeys == [1, 2]   # both left rows buffered
+    assert rkeys == [1]      # one right row buffered
