@@ -7,35 +7,43 @@ exactly this shape). The reference ships the same capability as
 ``flink-ml``'s iterative clustering on DataSet iterations
 (flink-libraries/flink-gelly's iteration machinery; SURVEY §2.9
 "Iterations (bulk)") — here it's Lloyd's algorithm as a driver loop of
-DataFrame ops, the canonical Spark formulation:
+DataFrame ops, the canonical Spark formulation (MLlib's KMeans broadcasts
+centroids the same way):
 
-* **assignment step**: the k centroids are a broadcast (k ≤ thousands —
-  always tiny next to the corpus); similarity is computed JVM-side via
-  `aggregate`/`zip_with` codegen lambdas — the corpus never shuffles;
-* **update step**: one shuffle per iteration, keyed by (cluster, dim) —
-  partial aggregation makes it a map-side combine, so the exchange carries
-  k × dims partial sums per task, not vectors.
+* **assignment step**: the k centroids are driver-held (k×dims doubles —
+  always tiny) and embedded as a LITERAL array-of-structs column, so the
+  argmax-cosine is a pure per-row codegen expression: the corpus never
+  shuffles, never even joins. (A first cut used crossJoin(broadcast) + a
+  row_number window — that shuffles the k×-replicated corpus every
+  iteration; this formulation removes that entirely.)
+* **update step**: the ONLY shuffle, once per iteration, keyed by
+  (cluster, dim) — partial aggregation makes it a map-side combine, so the
+  exchange carries k × dims partial sums per task, not vectors. The new
+  centroids (k rows) are collected to the driver for the next round's
+  literal — the same k×dims round-trip MLlib's iteration does.
 
-At 100 TB this is the textbook plan: per iteration, one broadcast + one
-map-side-combined shuffle of k×dims doubles. Spherical variant (cosine,
-not euclidean): embeddings are direction-normalized downstream, matching
-the ANN/near-dup modules.
+At 100 TB this is the textbook plan: per iteration, one codegen map over
+the corpus + one map-side-combined shuffle of k×dims doubles. Spherical
+variant (cosine, not euclidean): embeddings are direction-normalized
+downstream, matching the ANN/near-dup modules.
 
 Determinism contract (what makes the DuckDB oracle possible): init
 centroids = the k lowest vec_ids; cosine rounded to 6 decimals before the
-argmax with cluster-id tie-break; centroid components = round(sum, 6)/count
-(distributed float-sum reassociation cancels — see similarity._centroids).
+argmax with lowest-cluster-id tie-break (struct max over (csim, -cluster));
+centroid components = round(sum, 6)/count — distributed float-sum
+reassociation cancels, and driver collect preserves the exact IEEE doubles
+(see similarity._centroids).
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
 from flink_release_1_14_5_comment_spark.pipeline.similarity import (
-    _cosine_pre,
     _norm,
     _spread,
 )
@@ -45,10 +53,49 @@ ITERS = 3
 DIMS = 64
 
 
-def _update_centroids(assigned: DataFrame) -> DataFrame:
-    """Mean per (cluster, dim) → centroid arrays. One map-side-combined
-    shuffle of k×dims partials; empty clusters drop (same in the oracle)."""
-    return (
+def _assign_col(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """argmax-cosine cluster id as a pure codegen expression over a literal
+    centroid array (norms precomputed driver-side). Tie-break: struct max on
+    (csim, -cluster) == ORDER BY csim DESC, cluster ASC."""
+    lit = F.array(*[
+        F.struct(
+            F.lit(int(c)).alias("cluster"),
+            F.array(*[F.lit(float(x)) for x in v]).alias("cent"),
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in v))).alias("cnorm"),
+        )
+        for c, v in cents
+    ])
+    sims = F.transform(
+        lit,
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with("embedding", s["cent"],
+                               lambda x, y: x.cast("double") * y.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ) / (F.col("nrm") * s["cnorm"]),
+                6,
+            ).alias("csim"),
+            (-s["cluster"]).alias("negc"),
+        ),
+    )
+    best = F.array_max(sims)
+    return (-best["negc"]).cast("int")
+
+
+def kmeans_assign(vectors: DataFrame,
+                  cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid assignment by cosine — a zero-shuffle map.
+    `vectors` needs (vec_id, embedding, nrm); output adds `cluster`."""
+    return vectors.withColumn("cluster", _assign_col(cents))
+
+
+def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """Mean per (cluster, dim) → k driver-held centroid rows. One
+    map-side-combined shuffle of k×dims partials; empty clusters drop
+    (same in the oracle)."""
+    rows = (
         assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cluster", "pos")
         .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
@@ -56,23 +103,9 @@ def _update_centroids(assigned: DataFrame) -> DataFrame:
         .agg(F.transform(
             F.sort_array(F.collect_list(F.struct("pos", "cv"))),
             lambda s: s["cv"]).alias("cent"))
+        .collect()
     )
-
-
-def kmeans_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by cosine (argmax, cluster-id
-    tie-break). `vectors` needs (vec_id, embedding, nrm); output adds
-    `cluster`."""
-    cent = centroids.withColumn("cnorm", _norm("cent"))
-    scored = vectors.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "nrm", "cluster",
-        F.round(_cosine_pre("embedding", "cent", "nrm", "cnorm"), 6)
-        .alias("csim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cluster"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "nrm", "cluster"))
+    return [(r["cluster"], list(r["cent"])) for r in rows]
 
 
 def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
@@ -82,10 +115,11 @@ def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     would sample — any deterministic seed rule slots in here unchanged).
     """
     e = vectors.withColumn("nrm", _norm("embedding")).persist()
-    seeds = (e.orderBy("vec_id").limit(k)
-             .select(F.col("vec_id").cast("int").alias("cluster"),
-                     F.col("embedding").alias("cent")))
-    assigned = kmeans_assign(e, seeds)
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
+    ]
+    assigned = kmeans_assign(e, cents)
     for _ in range(iters - 1):
         assigned = kmeans_assign(e, _update_centroids(assigned))
     out = assigned.select("vec_id", "cluster")
@@ -100,8 +134,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster cardinality + mean intra-cluster similarity to the seed-id
-    centroid — the balance/coherence report a curation run reads before
+    """Cluster cardinality — the balance report a curation run reads before
     sampling per-cluster quotas."""
     t = register_views(spark, sf_dir)
     e = _spread(t["embeddings"]).select("vec_id", "embedding")

@@ -155,8 +155,12 @@ def test_round4_new_op_plan_shapes(spark, sf_dir):
 
     km = clustering.q_embedding_kmeans(spark, sf_dir)
     p = km._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in p  # broadcast centroids x corpus
-    assert "CartesianProduct" not in p
+    # assignment is a pure codegen map over literal centroids: no join of
+    # any kind, no window sort, and the only Exchange is the initial spread
+    # repartition — the corpus never shuffles for assignment.
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert p.count("Exchange") <= 1
 
     jac = graph.q_graph_jaccard(spark, sf_dir)
     p = jac._jdf.queryExecution().executedPlan().toString()
