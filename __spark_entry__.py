@@ -73,6 +73,13 @@ def _modules():
 # join_large/join_semi, topn, dedup_exact + stream_dedup_keepfirst,
 # agg_pricing_summary/agg_distinct).
 #
+# Round-4 last rotation: stream_changelog_topn (Retractable Top-N's full
+# two-batch changelog vs a top-set-diff oracle) replaces contamination_overlap
+# (3-round record; packing family anchored by pack_sequences), and
+# duplicate_spans (Lee-et-al exact-substring signal) replaces doc_winnow
+# (3-round record; SAME fingerprinting family, strictly richer query —
+# token_counts also anchors).
+#
 # Round-4 closing rotation: stream_regular_join (full-history stream-stream
 # join — the round's flagship operator, end-of-input changelog vs batch-join
 # oracle), embedding_kmeans (distributed Lloyd's, unrolled-CTE oracle) and
@@ -99,7 +106,7 @@ _PRIORITY = [
     "gopher_quality", "pii_scrub",
     "repetition_metrics", "boilerplate_ngrams", "split_assign",
     "chunk_tokens",
-    "multimodal_features", "pack_sequences", "contamination_overlap",
+    "multimodal_features", "pack_sequences",
     "embedding_kmeans",
     # relational core
     "agg_pricing_summary",
@@ -113,13 +120,14 @@ _PRIORITY = [
     "stream_window_tumble", "stream_interval_join",
     "stream_over_unbounded", "stream_dedup_keepfirst", "stream_asof_join",
     "stream_window_topn", "stream_group_agg", "stream_regular_join",
+    "stream_changelog_topn",
     "graph_pagerank", "graph_sssp", "graph_triangles",
     "graph_clustering_coeff",
     # analytic (TPC-DS-shape) + scale strategies
     "sales_rollup_nation_year",
     "skew_salted_join", "split_distinct_agg",
     # brief-explicit text ops: BPE-ish token counting, rolling-hash winnowing
-    "token_counts", "doc_winnow",
+    "token_counts", "duplicate_spans",
 ]
 
 
