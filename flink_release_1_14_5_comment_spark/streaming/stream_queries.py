@@ -16,6 +16,11 @@ and returns the materialized table. Determinism contracts:
   join (reference TimeIntervalJoin.java:51): inner matches emit as they
   arrive, so by end-of-input the result equals the batch band join
   regardless of watermark boundary effects (delays sized so nothing drops).
+* `stream_regular_join` — unbounded FULL-HISTORY join: append-only inner
+  inputs make the changelog pure +I, so end-of-input output == batch join.
+* `stream_changelog_topn` — the strongest contract in the file: the FULL
+  +I/+U/-D changelog across an EXACT two-batch split (final_dfs, not
+  sampled range partitioning) is reproduced in SQL as a top-set diff.
 
 Reference: the IT-case strategy in the reference's table-planner streaming
 tests — run the stream to completion, compare against batch SQL.

