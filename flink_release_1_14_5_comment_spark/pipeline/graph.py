@@ -560,7 +560,8 @@ def _symmetric_neighbors(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst",
-                  min_sim: float = 0.0) -> DataFrame:
+                  min_sim: float = 0.0,
+                  max_wedge_degree: int | None = None) -> DataFrame:
     """Neighborhood Jaccard similarity for vertex pairs sharing ≥1 neighbor
     (Gelly `JaccardIndex`): J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|.
 
@@ -570,15 +571,25 @@ def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst",
     step anywhere.
 
     Scale: wedge volume is Σ_z d(z)², quadratic in hub degree — the
-    identical caveat Gelly documents. At 100 TB: cap hub degree (drop or
-    sample nodes above a degree bound before wedging — standard practice),
-    or switch to the MinHash estimate in pipeline/dedup.py, which bounds
-    work per node at the signature width regardless of degree.
+    identical caveat Gelly documents. ``max_wedge_degree`` is the standard
+    mitigation: wedge CENTERS with degree above the cap are dropped before
+    the self-join, bounding per-center work at cap² (a hub shared by
+    "everyone" carries no similarity signal anyway — it is the graph
+    analog of a stopword). Similarities then under-count overlaps that run
+    through dropped hubs (|union| still uses true degrees, so capped
+    scores are a LOWER bound of the true Jaccard). The alternative exact
+    path at scale is the MinHash estimate in pipeline/dedup.py, which
+    bounds work per node at the signature width regardless of degree.
     """
     nbr = _symmetric_neighbors(edges, src, dst).persist()
+    wedge_src = nbr
+    if max_wedge_degree is not None:
+        center_deg = nbr.groupBy("nb").agg(F.count(F.lit(1)).alias("cd"))
+        wedge_src = (nbr.join(center_deg.filter(F.col("cd") <= max_wedge_degree)
+                              .select("nb"), "nb"))
     common = (
-        nbr.alias("l")
-        .join(nbr.alias("r"), (F.col("l.nb") == F.col("r.nb"))
+        wedge_src.alias("l")
+        .join(wedge_src.alias("r"), (F.col("l.nb") == F.col("r.nb"))
               & (F.col("l.node") < F.col("r.node")))
         .groupBy(F.col("l.node").alias("u"), F.col("r.node").alias("v"))
         .agg(F.count(F.lit(1)).alias("common"))

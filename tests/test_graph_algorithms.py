@@ -149,3 +149,26 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert got[0] == got[2] == got[4]
     assert got[1] == got[3] == got[5]
     assert got[0] != got[1]
+
+
+def test_jaccard_wedge_degree_cap(spark):
+    from flink_release_1_14_5_comment_spark.pipeline.graph import jaccard_index
+
+    # hub h neighbors everyone; m is a degree-2 center shared by u,v only
+    edges = spark.createDataFrame(
+        [("u", "h"), ("v", "h"), ("w", "h"), ("x", "h"),
+         ("u", "m"), ("v", "m")],
+        "src string, dst string")
+    full = {(r.u, r.v): r.jaccard
+            for r in jaccard_index(edges).collect()}
+    capped = {(r.u, r.v): r.jaccard
+              for r in jaccard_index(edges, max_wedge_degree=3).collect()}
+    # hub (degree 4) is dropped as a wedge center under the cap: pairs that
+    # ONLY share the hub (w,x / u,w / ...) disappear
+    assert ("w", "x") in full and ("w", "x") not in capped
+    # u,v still pair through m; |union| keeps true degrees (u:2, v:2,
+    # common drops to 1 of 2) → capped score is a lower bound
+    assert capped[("u", "v")] <= full[("u", "v")]
+    # (h, m) survives: its wedges run through the LOW-degree centers u and v
+    # — the cap drops hub-centered wedges, not the hub as a pair member
+    assert set(capped) == {("u", "v"), ("h", "m")}
