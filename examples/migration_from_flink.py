@@ -368,6 +368,37 @@ def clustering_migration(spark):
     kmeans_fit(vecs, k=2, iters=2).orderBy("vec_id").show()
 
 
+def savepoint_migration(spark):
+    """Flink:
+        bin/flink stop --savepointPath s3://sp/ <jobId>          // stop-with-savepoint
+        bin/flink run -s s3://sp/savepoint-xxxx app.jar          // SavepointRestoreSettings.forPath
+    Here: a committed checkpoint directory is the snapshot; trigger_savepoint
+    copies it, and any query started with the copy as checkpointLocation
+    resumes from the snapshot's state + source offsets (rewind semantics).
+    """
+    import shutil
+    import tempfile
+
+    from flink_release_1_14_5_comment_spark.streaming import savepoints as sp
+
+    d = tempfile.mkdtemp(prefix="sp_demo_")
+    data, ckpt = os.path.join(d, "data"), os.path.join(d, "ckpt")
+    try:
+        spark.createDataFrame([(1, 1), (1, 1), (2, 1)], "k int, v int") \
+            .write.parquet(data)
+        agg = (spark.readStream.schema("k int, v int").parquet(data)
+               .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.writeStream.format("noop").outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        spath = sp.trigger_savepoint(ckpt, os.path.join(d, "savepoint-0001"))
+        print("savepoint at", spath,
+              "— committed batch", sp.last_committed_batch(spath))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     spark = get_spark("migration-examples", cpus=8)
     sql_migration(spark)
@@ -383,4 +414,5 @@ if __name__ == "__main__":
     queryable_state_migration(spark)
     watermark_strategy_migration(spark)
     clustering_migration(spark)
+    savepoint_migration(spark)
     print("migration examples: all sections ran")

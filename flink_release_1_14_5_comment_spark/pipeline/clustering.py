@@ -187,12 +187,74 @@ ORACLE_Q_EMBEDDING_CLUSTER_SIZES = (
 )
 
 
+SEMANTIC_DUP_THRESHOLD = 0.4  # mirrors similarity.EMB_DUP_THRESHOLD
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs via CLUSTER-BOUNDED pairing: k-means assigns
+    every vector to a cell, exact cosine runs only WITHIN each cell, pairs
+    with sim ≥ 0.4 emit. The third sub-quadratic pairing strategy in the
+    repo, complementing MinHash bands (lexical) and sign-LSH bands
+    (similarity.q_dedup_embedding): candidate volume is Σ |cell|²/2 instead
+    of n²/2, and the cells are semantically meaningful (the same partition
+    a curation run uses for mixture balancing), so one clustering pays for
+    both jobs.
+
+    Recall caveat (same as IVF vs brute force): a near-dup pair split
+    across a cell boundary is missed — the standard fix is multi-probe
+    (assign each vector to its top-2 cells); the oracle mirrors the exact
+    single-assignment semantics, so the gate checks the plan faithfully.
+
+    Scale: pairing shuffles on the cluster id (k bounded partitions —
+    balance depends on cluster sizes; skewed cells → AQE skew-join or a
+    size cap, as with hot LSH buckets); vectors join back by id.
+    """
+    t = register_views(spark, sf_dir)
+    e = _spread(t["embeddings"]).select("vec_id", "embedding")
+    assign = kmeans_fit(e)
+    e_n = (e.withColumn("nrm", _norm("embedding"))
+           .join(assign, "vec_id"))
+    a = e_n.select(F.col("cluster"), F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("ea"), F.col("nrm").alias("na_"))
+    b = e_n.select(F.col("cluster"), F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("eb"), F.col("nrm").alias("nb_"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot / (F.col("na_") * F.col("nb_")), 4))
+        .filter(F.col("sim") >= SEMANTIC_DUP_THRESHOLD)
+        .select("cluster", "id_a", "id_b", "sim")
+    )
+
+
+ORACLE_Q_DEDUP_SEMANTIC = (
+    _kmeans_oracle_ctes()
+    + f"""
+SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 4) AS sim
+FROM a{ITERS} a JOIN a{ITERS} b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]), 4)
+      >= {SEMANTIC_DUP_THRESHOLD}
+"""
+)
+
+
 QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_cluster_sizes": q_embedding_cluster_sizes,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLE = {
     "embedding_kmeans": ORACLE_Q_EMBEDDING_KMEANS,
     "embedding_cluster_sizes": ORACLE_Q_EMBEDDING_CLUSTER_SIZES,
+    "dedup_semantic": ORACLE_Q_DEDUP_SEMANTIC,
 }
