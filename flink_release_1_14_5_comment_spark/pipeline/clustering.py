@@ -53,10 +53,10 @@ ITERS = 3
 DIMS = 64
 
 
-def _assign_col(cents: list[tuple[int, list[float]]]) -> F.Column:
-    """argmax-cosine cluster id as a pure codegen expression over a literal
-    centroid array (norms precomputed driver-side). Tie-break: struct max on
-    (csim, -cluster) == ORDER BY csim DESC, cluster ASC."""
+def _sims_col(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """array<struct<csim, negc>> of rounded cosines against a LITERAL
+    centroid array (norms precomputed driver-side). Struct order makes
+    max == argmax (csim DESC, cluster ASC)."""
     lit = F.array(*[
         F.struct(
             F.lit(int(c)).alias("cluster"),
@@ -65,7 +65,7 @@ def _assign_col(cents: list[tuple[int, list[float]]]) -> F.Column:
         )
         for c, v in cents
     ])
-    sims = F.transform(
+    return F.transform(
         lit,
         lambda s: F.struct(
             F.round(
@@ -80,7 +80,11 @@ def _assign_col(cents: list[tuple[int, list[float]]]) -> F.Column:
             (-s["cluster"]).alias("negc"),
         ),
     )
-    best = F.array_max(sims)
+
+
+def _assign_col(cents: list[tuple[int, list[float]]]) -> F.Column:
+    """argmax-cosine cluster id as a pure codegen expression."""
+    best = F.array_max(_sims_col(cents))
     return (-best["negc"]).cast("int")
 
 
@@ -108,8 +112,12 @@ def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     return [(r["cluster"], list(r["cent"])) for r in rows]
 
 
-def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
-    """Lloyd's k-means, fixed iteration count; returns (vec_id, cluster).
+def kmeans_centroids(vectors: DataFrame, k: int = K, iters: int = ITERS
+                     ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Train: returns (persisted normed vector frame, final centroid list)
+    — the centroids after iters-1 update rounds, i.e. the ones the iters-th
+    assignment scores against. Exposed separately so multi-probe / IVF-style
+    consumers can reuse the trained cells without refitting.
 
     Init = the k lowest vec_ids as seed centroids (deterministic; k-means++
     would sample — any deterministic seed rule slots in here unchanged).
@@ -119,12 +127,38 @@ def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
         (int(r["vec_id"]), list(r["embedding"]))
         for r in e.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
     ]
-    assigned = kmeans_assign(e, cents)
     for _ in range(iters - 1):
-        assigned = kmeans_assign(e, _update_centroids(assigned))
+        cents = _update_centroids(kmeans_assign(e, cents))
+    return e, cents
+
+
+def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
+    """Lloyd's k-means, fixed iteration count; returns (vec_id, cluster)."""
+    e, cents = kmeans_centroids(vectors, k, iters)
     # e stays cached: the returned frame is lazy and its final assignment
     # map still reads e — unpersisting here would recompute the norms pass.
-    return assigned.select("vec_id", "cluster")
+    return kmeans_assign(e, cents).select("vec_id", "cluster")
+
+
+def kmeans_assign_topm(vectors: DataFrame,
+                       cents: list[tuple[int, list[float]]],
+                       m: int) -> DataFrame:
+    """Multi-probe assignment: each vector's top-`m` clusters by cosine
+    (same rounding/tie-break as the argmax). Still a pure map — the sims
+    array sorts per row (ascending struct order; the LAST m entries are the
+    top-m, since max struct == argmax (csim, -cluster)) and explodes to
+    (vec_id, embedding, nrm, probe_rank, cluster), probe_rank 1 = best."""
+    lit_sims = F.array_sort(_sims_col(cents))
+    topm = F.slice(F.reverse(lit_sims), 1, m)
+    exploded = vectors.select(
+        "vec_id", "embedding", "nrm",
+        F.posexplode(topm).alias("pr", "s"),
+    )
+    return exploded.select(
+        "vec_id", "embedding", "nrm",
+        (F.col("pr") + 1).alias("probe_rank"),
+        (-F.col("s.negc")).cast("int").alias("cluster"),
+    )
 
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,14 +281,78 @@ WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
 )
 
 
+N_PROBES = 2
+
+
+def q_dedup_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_semantic` with MULTI-PROBE assignment (each vector probes its
+    top-2 cells) — the recall fix for pairs split across a cell boundary:
+    a pair is a candidate if ANY probed cell is shared. Candidates dedup to
+    (id_a, id_b) BEFORE the exact-cosine join, so a pair sharing both cells
+    scores once. Probe count trades recall vs candidate volume exactly like
+    IVF's nprobe (similarity.q_ann_ivf_topk)."""
+    t = register_views(spark, sf_dir)
+    e, cents = kmeans_centroids(
+        _spread(t["embeddings"]).select("vec_id", "embedding"))
+    probes = kmeans_assign_topm(e, cents, m=N_PROBES)
+    a = probes.select("cluster", F.col("vec_id").alias("id_a"))
+    b = probes.select("cluster", F.col("vec_id").alias("id_b"))
+    cand = (a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    e_n = e.select("vec_id", "embedding", "nrm")
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        cand.join(e_n.select(F.col("vec_id").alias("id_a"),
+                             F.col("embedding").alias("ea"),
+                             F.col("nrm").alias("na_")), "id_a")
+        .join(e_n.select(F.col("vec_id").alias("id_b"),
+                         F.col("embedding").alias("eb"),
+                         F.col("nrm").alias("nb_")), "id_b")
+        .withColumn("sim", F.round(dot / (F.col("na_") * F.col("nb_")), 4))
+        .filter(F.col("sim") >= SEMANTIC_DUP_THRESHOLD)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+ORACLE_Q_DEDUP_SEMANTIC_MULTIPROBE = (
+    _kmeans_oracle_ctes()
+    + f""",
+probe AS (SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cluster,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) DESC,
+      c.cluster) AS rn
+  FROM embeddings e CROSS JOIN c{ITERS - 1} c) WHERE rn <= {N_PROBES}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probe a JOIN probe b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 4) AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]), 4)
+      >= {SEMANTIC_DUP_THRESHOLD}
+"""
+)
+
+
 QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_cluster_sizes": q_embedding_cluster_sizes,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_multiprobe": q_dedup_semantic_multiprobe,
 }
 
 ORACLE = {
     "embedding_kmeans": ORACLE_Q_EMBEDDING_KMEANS,
     "embedding_cluster_sizes": ORACLE_Q_EMBEDDING_CLUSTER_SIZES,
     "dedup_semantic": ORACLE_Q_DEDUP_SEMANTIC,
+    "dedup_semantic_multiprobe": ORACLE_Q_DEDUP_SEMANTIC_MULTIPROBE,
 }

@@ -95,3 +95,18 @@ def test_multimodal_resize(spark, sf_dir):
     # deterministic fake: same input -> same bytes
     again = {r.media_id: bytes(r.resized) for r in resize_image(media, 128, 64).collect()}
     assert all(bytes(r.resized) == again[r.media_id] for r in rows)
+
+
+def test_semantic_multiprobe_is_superset(spark, sf_dir):
+    """Multi-probe candidates strictly contain the single-assignment ones:
+    every within-cell pair shares its members' best cells, which both
+    probes retain — so probing more cells can only ADD pairs (the recall
+    direction the docstring claims)."""
+    from flink_release_1_14_5_comment_spark.pipeline import clustering
+
+    single = {(r.id_a, r.id_b)
+              for r in clustering.q_dedup_semantic(spark, sf_dir).collect()}
+    multi = {(r.id_a, r.id_b)
+             for r in clustering.q_dedup_semantic_multiprobe(
+                 spark, sf_dir).collect()}
+    assert single <= multi
