@@ -619,6 +619,89 @@ WHERE n.id IS NULL
 """
 
 
+def q_stream_window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOP windows (1 h size / 30 min slide) in APPEND mode —
+    the sliding-window assigner's row multiplexing under the watermark
+    visibility rule (only windows with end <= final watermark emit)."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        agg = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n",
+                    "sum_value")
+        )
+        return _run_to_memory(agg)
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_WINDOW_HOP = """
+SELECT w_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - k * INTERVAL '30 minutes' AS w_start, event_type, value
+  FROM events, (SELECT unnest([0, 1]) AS k)
+)
+GROUP BY w_start, event_type
+HAVING w_start + INTERVAL '1 hour' <= (SELECT MAX(ts) FROM events)
+"""
+
+
+def q_stream_window_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountEvictor windows end-to-end (streaming/evictors.
+    tumble_agg_count_evictor; reference CountEvictor.java + WindowOperator
+    evict-before-emit): 1-hour tumble per user keeping only the LATEST 5
+    events, aggregated after eviction. With the replay in event-time order,
+    per-batch re-eviction composes to "last 5 by ts per window" — the SQL
+    top-5-per-window the oracle states. The two-batch finale (watermark
+    advancer above all data, then a dummy batch so event-time timers fire)
+    drains every open window, so ALL windows emit."""
+    from flink_release_1_14_5_comment_spark.streaming.evictors import (
+        tumble_agg_count_evictor,
+    )
+    import datetime as _dt
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    schema = "user_id long, ts timestamp, value double"
+    advancer = spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(hours=2), 0.0)], schema)
+    flusher = spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(hours=4), 0.0)], schema)
+    stream, tmp = sources.replay_as_stream(
+        spark, ev, n_chunks=2, order_col="ts",
+        final_dfs=[advancer, flusher])
+    try:
+        out = tumble_agg_count_evictor(
+            stream, ["user_id"], "ts", "value", size="1 hour", n_keep=5)
+        return (_run_to_memory(out)
+                .filter(F.col("user_id") >= 0)
+                .select("user_id", "w_start", "n_kept",
+                        F.round("sum_value", 2).alias("sum_value")))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_WINDOW_EVICTOR = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS w_start, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM events
+)
+SELECT user_id, w_start, CAST(COUNT(*) AS INT) AS n_kept,
+       ROUND(SUM(value), 2) AS sum_value
+FROM ranked WHERE rn <= 5
+GROUP BY user_id, w_start
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
@@ -633,6 +716,8 @@ QUERIES = {
     "stream_count_window_sliding": q_stream_count_window_sliding,
     "stream_regular_join": q_stream_regular_join,
     "stream_changelog_topn": q_stream_changelog_topn,
+    "stream_window_hop": q_stream_window_hop,
+    "stream_window_evictor": q_stream_window_evictor,
 }
 
 ORACLE = {
@@ -649,4 +734,6 @@ ORACLE = {
     "stream_count_window_sliding": ORACLE_Q_STREAM_COUNT_WINDOW_SLIDING,
     "stream_regular_join": ORACLE_Q_STREAM_REGULAR_JOIN,
     "stream_changelog_topn": ORACLE_Q_STREAM_CHANGELOG_TOPN,
+    "stream_window_hop": ORACLE_Q_STREAM_WINDOW_HOP,
+    "stream_window_evictor": ORACLE_Q_STREAM_WINDOW_EVICTOR,
 }
