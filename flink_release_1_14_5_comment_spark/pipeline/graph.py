@@ -515,6 +515,108 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node
 """
 
 
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Gelly `HITS.java`): per round,
+    hub(v) = Σ_{v→w} auth(w) and auth(w) = Σ_{v→w} hub(v), each L1-normalized.
+    Returns (node, hub, auth) after ``iters`` rounds.
+
+    Determinism contract (same discipline as the k-means oracle): every
+    per-node sum is rounded to 6 before use, the normalization total is the
+    rounded sum of rounded scores, and normalized scores round to 6 — so
+    the DuckDB unrolled-CTE oracle reproduces each round bit-for-bit
+    regardless of float-sum association order.
+
+    Scale: per round, two edge-frame shuffles (groupBy src, groupBy dst) —
+    the same O(iters) shuffle budget as PageRank; the normalization total
+    is a scalar driver aggregate, k-independent.
+    """
+    e = edges.select(src, dst).distinct().persist()
+    nodes = (e.select(F.col(src).alias("node"))
+             .union(e.select(F.col(dst).alias("node")))
+             .distinct().persist())
+    nodes.count()
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.round(F.sum(col), 6)).collect()[0][0]
+        out = raw.select("node", F.round(F.col(col) / F.lit(total), 6)
+                         .alias(col)).persist()
+        out.count()
+        return out
+
+    auth = nodes.withColumn("auth", F.lit(1.0))
+    hub = None
+    for _ in range(iters):
+        hub_raw = (
+            e.join(auth, F.col(dst) == F.col("node"))
+            .groupBy(src).agg(F.round(F.sum("auth"), 6).alias("hub"))
+            .withColumnRenamed(src, "node")
+        )
+        hub = _normalize(
+            nodes.join(hub_raw, "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")),
+            "hub")
+        auth_raw = (
+            e.join(hub, F.col(src) == F.col("node"))
+            .groupBy(dst).agg(F.round(F.sum("hub"), 6).alias("auth"))
+            .withColumnRenamed(dst, "node")
+        )
+        auth = _normalize(
+            nodes.join(auth_raw, "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth")),
+            "auth")
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubs & authorities on the DIRECTED supplier→customer trade graph
+    (suppliers score as hubs, customers as authorities), 3 rounds."""
+    t = register_views(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("S_"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C_"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges)
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    parts = [
+        f"WITH edges AS ({_TRADE_EDGES_CTE}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "a0 AS (SELECT node, 1.0 AS auth FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"h{i}raw AS (SELECT n.node, COALESCE((SELECT ROUND(SUM(a.auth), 6)"
+            f" FROM edges e JOIN a{i-1} a ON a.node = e.dst"
+            f" WHERE e.src = n.node), 0.0) AS hub FROM nodes n),"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, ROUND(hub / (SELECT ROUND(SUM(hub), 6)"
+            f" FROM h{i}raw), 6) AS hub FROM h{i}raw),"
+        )
+        parts.append(
+            f"a{i}raw AS (SELECT n.node, COALESCE((SELECT ROUND(SUM(h.hub), 6)"
+            f" FROM edges e JOIN h{i} h ON h.node = e.src"
+            f" WHERE e.dst = n.node), 0.0) AS auth FROM nodes n),"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, ROUND(auth / (SELECT ROUND(SUM(auth), 6)"
+            f" FROM a{i}raw), 6) AS auth FROM a{i}raw),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT h.node, h.hub, a.auth FROM h{iters} h JOIN a{iters} a"
+        f" ON a.node = h.node"
+    )
+    return "\n".join(parts)
+
+
 def clustering_coefficient(edges: DataFrame, src: str = "src",
                            dst: str = "dst") -> DataFrame:
     """Local clustering coefficient per node (Gelly
@@ -735,6 +837,7 @@ QUERIES = {
     "graph_clustering_coeff": q_graph_clustering_coeff,
     "graph_jaccard": q_graph_jaccard,
     "graph_adamic_adar": q_graph_adamic_adar,
+    "graph_hits": q_graph_hits,
 }
 
 ORACLE = {
@@ -746,4 +849,5 @@ ORACLE = {
     "graph_clustering_coeff": ORACLE_Q_GRAPH_CLUSTERING_COEFF,
     "graph_jaccard": ORACLE_Q_GRAPH_JACCARD,
     "graph_adamic_adar": ORACLE_Q_GRAPH_ADAMIC_ADAR,
+    "graph_hits": _hits_oracle(),
 }

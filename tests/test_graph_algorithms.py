@@ -172,3 +172,25 @@ def test_jaccard_wedge_degree_cap(spark):
     # (h, m) survives: its wedges run through the LOW-degree centers u and v
     # — the cap drops hub-centered wedges, not the hub as a pair member
     assert set(capped) == {("u", "v"), ("h", "m")}
+
+
+def test_hits_star_hub(spark):
+    from flink_release_1_14_5_comment_spark.pipeline.graph import hits
+
+    # h points at a1..a3; a solitary edge x->a1 gives x a small hub score.
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("x", "a1")],
+        "src string, dst string")
+    got = {r.node: (r.hub, r.auth) for r in hits(edges, iters=3).collect()}
+    # h is the dominant hub; pure authorities have hub 0
+    assert got["h"][0] > got["x"][0] > 0
+    assert got["a2"][0] == 0.0
+    # a1 (pointed at by both hubs) is the top authority
+    assert got["a1"][1] > got["a2"][1] > 0
+    assert got["a2"][1] == got["a3"][1]
+    # hubs with no in-edges have auth 0
+    assert got["h"][1] == 0.0 and got["x"][1] == 0.0
+    # L1-normalized (rounding tolerance)
+    import pytest as _pt
+    assert sum(v[0] for v in got.values()) == _pt.approx(1.0, abs=1e-4)
+    assert sum(v[1] for v in got.values()) == _pt.approx(1.0, abs=1e-4)
