@@ -702,6 +702,46 @@ GROUP BY user_id, w_start
 """
 
 
+def q_stream_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUMULATE (step=6 h, size=24 h) in COMPLETE mode: the
+    cumulative-window explode (operators/time_windows.cumulate — reference
+    CumulativeWindowAssigner.java:39) runs as a stateless projection on the
+    stream, the growing-window aggregate as a streaming group agg whose
+    final complete-mode emission equals the batch result. Complete mode is
+    the honest choice here: CUMULATE's early emissions are refinements of
+    the same growing window, which is exactly what Spark's complete/update
+    aggregation models (the reference emits per-step panes; the final pane
+    set is what the oracle can state)."""
+    from flink_release_1_14_5_comment_spark.operators.time_windows import (
+        cumulate,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        rows = cumulate(stream, "ts", step_minutes=360, size_minutes=1440)
+        agg = (rows.groupBy("w_start", "w_end", "event_type")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("value"), 2).alias("sum_value")))
+        return _run_to_memory(agg, mode="complete")
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_WINDOW_CUMULATE = """
+SELECT w_start, w_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT date_trunc('day', ts) AS w_start,
+         date_trunc('day', ts) + k * INTERVAL '6 hours' AS w_end,
+         event_type, value, ts
+  FROM events, (SELECT unnest([1, 2, 3, 4]) AS k)
+)
+WHERE ts < w_end
+GROUP BY w_start, w_end, event_type
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
@@ -718,6 +758,7 @@ QUERIES = {
     "stream_changelog_topn": q_stream_changelog_topn,
     "stream_window_hop": q_stream_window_hop,
     "stream_window_evictor": q_stream_window_evictor,
+    "stream_window_cumulate": q_stream_window_cumulate,
 }
 
 ORACLE = {
@@ -736,4 +777,5 @@ ORACLE = {
     "stream_changelog_topn": ORACLE_Q_STREAM_CHANGELOG_TOPN,
     "stream_window_hop": ORACLE_Q_STREAM_WINDOW_HOP,
     "stream_window_evictor": ORACLE_Q_STREAM_WINDOW_EVICTOR,
+    "stream_window_cumulate": ORACLE_Q_STREAM_WINDOW_CUMULATE,
 }
