@@ -711,7 +711,8 @@ def jaccard_index(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
-                min_score: float = 0.0) -> DataFrame:
+                min_score: float = 0.0,
+                max_wedge_degree: int | None = None) -> DataFrame:
     """Adamic-Adar link-prediction score (Gelly `AdamicAdar`):
     AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(d(z)) — common neighbors weighted by
     the rarity of the shared neighbor.
@@ -728,10 +729,15 @@ def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
     # them to a single node), so their weight value is unreachable — but the
     # projection still evaluates 1/ln(1) for those rows under ANSI mode, so
     # it must be guarded (plan order decides whether the join filters first).
-    weighted = nbr.join(
-        deg.select(F.col("node").alias("nb"),
-                   F.when(F.col("d") > 1, 1.0 / F.log(F.col("d")))
-                   .otherwise(F.lit(0.0)).alias("w")), "nb")
+    wdeg = deg.select(F.col("node").alias("nb"),
+                      F.when(F.col("d") > 1, 1.0 / F.log(F.col("d")))
+                      .otherwise(F.lit(0.0)).alias("w"), F.col("d"))
+    if max_wedge_degree is not None:
+        # same hub mitigation as jaccard_index: centers above the cap are
+        # dropped before wedging — scores become a lower bound that skips
+        # near-zero-weight hub contributions (1/ln(d) vanishes anyway).
+        wdeg = wdeg.filter(F.col("d") <= max_wedge_degree)
+    weighted = nbr.join(wdeg.drop("d"), "nb")
     out = (
         weighted.alias("l")
         .join(weighted.alias("r"), (F.col("l.nb") == F.col("r.nb"))

@@ -194,3 +194,44 @@ def test_hits_star_hub(spark):
     import pytest as _pt
     assert sum(v[0] for v in got.values()) == _pt.approx(1.0, abs=1e-4)
     assert sum(v[1] for v in got.values()) == _pt.approx(1.0, abs=1e-4)
+
+
+def test_kmeans_farthest_seeding_separates_clumped_ids(spark):
+    """Adversarial id layout: the two lowest vec_ids sit in the SAME bundle,
+    so lowest-id seeding starts both seeds there; farthest-point seeding
+    jumps to the orthogonal bundle and separates in one pass."""
+    from flink_release_1_14_5_comment_spark.pipeline.clustering import (
+        farthest_point_seeds,
+        kmeans_fit,
+    )
+    from flink_release_1_14_5_comment_spark.pipeline.similarity import _norm
+
+    rows = [(0, [1.0, 0.0]), (1, [0.99, 0.02]),  # bundle A holds ids 0,1
+            (2, [0.0, 1.0]), (3, [0.02, 0.99])]  # bundle B
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e = vecs.withColumn("nrm", _norm("embedding"))
+    seeds = farthest_point_seeds(e, k=2)
+    # seed 0 = vec 0 (bundle A); seed 1 must be from bundle B (max-min)
+    assert seeds[0][1] == [1.0, 0.0]
+    assert seeds[1][1] in ([0.0, 1.0], [0.02, 0.99])
+    got = {r.vec_id: r.cluster
+           for r in kmeans_fit(vecs, k=2, iters=2, seeding="farthest").collect()}
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+
+
+def test_adamic_adar_wedge_degree_cap(spark):
+    from flink_release_1_14_5_comment_spark.pipeline.graph import adamic_adar
+
+    # hub h (deg 4) and m (deg 2) both shared by u,v
+    edges = spark.createDataFrame(
+        [("u", "m"), ("v", "m"), ("u", "h"), ("v", "h"),
+         ("h", "p"), ("h", "q")],
+        "src string, dst string")
+    full = {(r.u, r.v): r.aa_score for r in adamic_adar(edges).collect()}
+    capped = {(r.u, r.v): r.aa_score
+              for r in adamic_adar(edges, max_wedge_degree=3).collect()}
+    # hub-centered wedges dropped: (u,v) keeps only m's 1/ln(2) contribution
+    import math
+    assert capped[("u", "v")] == pytest.approx(round(1 / math.log(2), 6),
+                                               abs=2e-6)
+    assert capped[("u", "v")] < full[("u", "v")]
