@@ -16,7 +16,8 @@ What we build here:
 Emulated beyond the original non-goal list (see watermarks.py): punctuated
 watermarks (marker-row driven, micro-batch granularity) and idle-source
 tolerance (per-input watermarks + multipleWatermarkPolicy=max). Queryable
-state is served by queryable_state.py over Spark's State Data Source.
+state is served by queryable_state.py over Spark's State Data Source;
+savepoints (snapshot + fork/rewind) by savepoints.py.
 Remaining documented non-goals: per-PARTITION idleness inside one source
 (Spark keeps a single combined watermark per source node) and wall-clock
 ProcessingTimeout/ContinuousProcessingTime triggers (nondeterministic under
