@@ -742,6 +742,81 @@ GROUP BY w_start, w_end, event_type
 """
 
 
+def q_stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WINDOW JOIN (reference WindowJoinOperator): clicks and
+    purchases of the same user landing in the same 1-hour tumbling window
+    pair up. Inner append-only inputs emit as windows match, so the
+    end-of-input result equals the batch same-window join — oracle-able
+    with no visibility filter."""
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        window_join_stream,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    cs, ctmp = sources.replay_as_stream(spark, clicks, n_chunks=2, order_col="c_ts")
+    bs, btmp = sources.replay_as_stream(spark, buys, n_chunks=2, order_col="p_ts")
+    try:
+        joined = window_join_stream(
+            cs, bs, ["k"], "c_ts", "p_ts", size="1 hour",
+            delay="40 days")
+        return _run_to_memory(
+            joined.select("w_start", "k", "click_id", "purchase_id"))
+    finally:
+        sources.cleanup(ctmp)
+        sources.cleanup(btmp)
+
+
+ORACLE_Q_STREAM_WINDOW_JOIN = """
+SELECT date_trunc('hour', c.ts) AS w_start, c.user_id AS k,
+       c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND date_trunc('hour', c.ts) = date_trunc('hour', p.ts)
+"""
+
+
+def q_stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOOKUP JOIN (reference LookupJoinRunner / dimension-table
+    join): the orders stream enriches against the static customer→nation
+    dimension, broadcast per micro-batch; per-nation order counts in
+    complete mode equal the batch rollup."""
+    from flink_release_1_14_5_comment_spark.streaming.lookup import lookup_join
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select(F.col("o_custkey").alias("c_custkey"),
+                                F.col("o_totalprice").alias("price"))
+    dim = (t["customer"].join(t["nation"],
+                              F.col("c_nationkey") == F.col("n_nationkey"))
+           .select("c_custkey", F.col("n_name").alias("nation")))
+    stream, tmp = sources.replay_as_stream(spark, orders, n_chunks=2,
+                                           order_col="c_custkey")
+    try:
+        enriched = lookup_join(stream, dim, "c_custkey", how="left")
+        agg = (enriched.groupBy("nation")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("price"), 2).alias("revenue")))
+        return _run_to_memory(agg, mode="complete")
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_LOOKUP_JOIN = """
+SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_interval_join": q_stream_interval_join,
@@ -759,6 +834,8 @@ QUERIES = {
     "stream_window_hop": q_stream_window_hop,
     "stream_window_evictor": q_stream_window_evictor,
     "stream_window_cumulate": q_stream_window_cumulate,
+    "stream_window_join": q_stream_window_join,
+    "stream_lookup_join": q_stream_lookup_join,
 }
 
 ORACLE = {
@@ -778,4 +855,6 @@ ORACLE = {
     "stream_window_hop": ORACLE_Q_STREAM_WINDOW_HOP,
     "stream_window_evictor": ORACLE_Q_STREAM_WINDOW_EVICTOR,
     "stream_window_cumulate": ORACLE_Q_STREAM_WINDOW_CUMULATE,
+    "stream_window_join": ORACLE_Q_STREAM_WINDOW_JOIN,
+    "stream_lookup_join": ORACLE_Q_STREAM_LOOKUP_JOIN,
 }
