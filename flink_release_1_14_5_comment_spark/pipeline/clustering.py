@@ -253,6 +253,124 @@ ORACLE_Q_EMBEDDING_CLUSTER_SIZES = (
 )
 
 
+SAMPLE_MOD = 3  # mini-batch keeps ~1/MOD of the corpus per round
+
+
+def _batch_member(i: int, mod: int = SAMPLE_MOD) -> F.Column:
+    """Deterministic mini-batch membership for round `i`: md5 of
+    "vec_id:i" — portable across Spark and DuckDB (same trick as
+    quality.q_split_assign), so the oracle can unroll the exact batches.
+    A fresh salt per round means every round sees an independent sample,
+    the property Sculley's mini-batch k-means relies on."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{i}"))),
+                1, 6),
+            16, 10,
+        ).cast("bigint") % mod
+    ) == 0
+
+
+def minibatch_kmeans_centroids(
+    vectors: DataFrame, k: int = K, iters: int = ITERS,
+    mod: int = SAMPLE_MOD,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Mini-batch k-means (Sculley, WWW 2010, distributed batch-mean
+    variant): each update round assigns only a deterministic ~1/mod sample
+    of the corpus and moves each centroid to the MEAN of its batch members;
+    centroids with no batch member carry over unchanged. Sculley's
+    sequential per-point learning-rate update (c ← (1-η)c + ηx) is
+    inherently order-dependent, so the distributed formulation every engine
+    uses (MLlib's miniBatchFraction on the old RDD KMeans did the same) is
+    the batch-mean: still an unbiased step toward the full-batch optimum,
+    but associative, shuffle-friendly, and exactly reproducible.
+
+    Why it exists next to full Lloyd's (`kmeans_centroids`): at 100 TB a
+    full assignment pass per iteration is the dominant cost; mini-batch
+    cuts per-round cost to |corpus|/mod map work + the same k×dims shuffle,
+    trading per-round progress for wall-clock — the standard knob when the
+    corpus outgrows full-pass iteration. Same determinism contract as the
+    full version (lowest-id seeds, 6-decimal rounding), so the DuckDB
+    oracle unrolls it exactly.
+    """
+    e = vectors.withColumn("nrm", _norm("embedding")).persist()
+    cents = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.orderBy("vec_id").limit(k)
+        .select("vec_id", "embedding").collect()
+    ]
+    for i in range(1, iters + 1):
+        batch = e.filter(_batch_member(i, mod))
+        upd = dict(_update_centroids(kmeans_assign(batch, cents)))
+        cents = [(c, upd.get(c, v)) for c, v in cents]
+    return e, cents
+
+
+def minibatch_kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS,
+                         mod: int = SAMPLE_MOD) -> DataFrame:
+    """Mini-batch training + one final full assignment pass →
+    (vec_id, cluster)."""
+    e, cents = minibatch_kmeans_centroids(vectors, k, iters, mod)
+    return kmeans_assign(e, cents).select("vec_id", "cluster")
+
+
+def q_embedding_kmeans_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment trained on deterministic ~1/3 mini-batches
+    (k=8, 3 rounds) — the scale path when full-pass Lloyd's is too slow."""
+    t = register_views(spark, sf_dir)
+    return minibatch_kmeans_fit(
+        _spread(t["embeddings"]).select("vec_id", "embedding"))
+
+
+def _minibatch_oracle_ctes(k: int = K, iters: int = ITERS,
+                           dims: int = DIMS, mod: int = SAMPLE_MOD) -> str:
+    """Unrolled mini-batch rounds in DuckDB: per round, assignment CTE
+    restricted to that round's md5-mod batch, centroid CTE = batch means
+    COALESCE'd over the previous centroids (empty-cell carry)."""
+    parts = [
+        f"WITH comp AS (SELECT vec_id, pos - 1 AS pos, embedding[pos] AS v\n"
+        f"  FROM embeddings, generate_series(1, {dims}) AS t(pos)),",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, list(v ORDER BY pos) AS cent\n"
+        f"  FROM comp WHERE vec_id < {k} GROUP BY vec_id),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cluster FROM (\n"
+            f"  SELECT e.vec_id, c.cluster,\n"
+            f"    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY\n"
+            f"      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) DESC,\n"
+            f"      c.cluster) AS rn\n"
+            f"  FROM embeddings e CROSS JOIN c{i - 1} c\n"
+            f"  WHERE CAST('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':{i}'), 1, 6)\n"
+            f"        AS BIGINT) % {mod} = 0) WHERE rn = 1),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent\n"
+            f"  FROM c{i - 1} p LEFT JOIN (\n"
+            f"    SELECT cluster, list(cv ORDER BY pos) AS cent FROM (\n"
+            f"      SELECT a.cluster, m.pos, ROUND(SUM(m.v), 6) / COUNT(*) AS cv\n"
+            f"      FROM a{i} a JOIN comp m ON m.vec_id = a.vec_id\n"
+            f"      GROUP BY a.cluster, m.pos) GROUP BY cluster) n\n"
+            f"  ON n.cluster = p.cluster),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts)
+
+
+ORACLE_Q_EMBEDDING_KMEANS_MINIBATCH = (
+    _minibatch_oracle_ctes()
+    + f"""
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cluster,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) DESC,
+      c.cluster) AS rn
+  FROM embeddings e CROSS JOIN c{ITERS} c) WHERE rn = 1
+"""
+)
+
+
 SEMANTIC_DUP_THRESHOLD = 0.4  # mirrors similarity.EMB_DUP_THRESHOLD
 
 
@@ -377,6 +495,7 @@ WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
 
 QUERIES = {
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_kmeans_minibatch": q_embedding_kmeans_minibatch,
     "embedding_cluster_sizes": q_embedding_cluster_sizes,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_multiprobe": q_dedup_semantic_multiprobe,
@@ -384,6 +503,7 @@ QUERIES = {
 
 ORACLE = {
     "embedding_kmeans": ORACLE_Q_EMBEDDING_KMEANS,
+    "embedding_kmeans_minibatch": ORACLE_Q_EMBEDDING_KMEANS_MINIBATCH,
     "embedding_cluster_sizes": ORACLE_Q_EMBEDDING_CLUSTER_SIZES,
     "dedup_semantic": ORACLE_Q_DEDUP_SEMANTIC,
     "dedup_semantic_multiprobe": ORACLE_Q_DEDUP_SEMANTIC_MULTIPROBE,

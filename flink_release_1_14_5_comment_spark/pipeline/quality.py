@@ -294,8 +294,44 @@ def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CHUNK_SPARK)
 
 
+# --- Source-level (URL/domain) quality filtering -------------------------
+# RefinedWeb (Penedo et al. 2023 §3.1) and C4 both gate documents by the
+# quality of their *origin* before any per-document scoring: a domain whose
+# pages are mostly duplicated or degenerate is dropped wholesale. The
+# per-source report aggregates three signals — corpus share, mean length,
+# within-source exact-dup fraction (md5 of the full text) — and emits the
+# keep/drop verdict. One hash shuffle keyed by `source` (bounded keys);
+# COUNT(DISTINCT md5) is Catalyst's expand-based distinct rewrite, still
+# map-side partial-agg'd. Identical SQL runs on both engines.
+_SOURCE_FILTER_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS mean_chars,
+       ROUND(1 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS dup_frac,
+       ROUND(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS short_frac,
+       (ROUND(1 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE), 4)
+          <= 0.2
+        AND ROUND(AVG(n_chars), 2) >= 150
+        AND ROUND(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+              / CAST(COUNT(*) AS DOUBLE), 4) <= 0.5) AS keep
+FROM documents
+GROUP BY source
+"""
+
+
+def q_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (URL/domain-level) quality gate: corpus share, mean doc
+    length, exact-dup and too-short fractions, and the keep/drop verdict a
+    curation run applies before per-document filters."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SOURCE_FILTER_SQL)
+
+
 QUERIES = {
     "repetition_metrics": q_repetition_metrics,
+    "source_quality_filter": q_source_quality_filter,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "split_assign": q_split_assign,
     "chunk_tokens": q_chunk_tokens,
@@ -303,6 +339,7 @@ QUERIES = {
 
 ORACLE = {
     "repetition_metrics": ORACLE_Q_REPETITION_METRICS,
+    "source_quality_filter": _SOURCE_FILTER_SQL,
     "boilerplate_ngrams": ORACLE_Q_BOILERPLATE_NGRAMS,
     "split_assign": ORACLE_Q_SPLIT_ASSIGN,
     "chunk_tokens": ORACLE_Q_CHUNK_TOKENS,

@@ -817,8 +817,55 @@ GROUP BY n.n_name
 """
 
 
+def q_stream_event_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EVENT-TIME SORT (reference RowTimeSortOperator.java:
+    buffer until the watermark passes, flush in timestamp order): events
+    keyed by event_type replay in two micro-batches; each emitted row
+    carries the per-key emission sequence number, so the oracle checks the
+    ORDER itself, not just the row set — seq must equal the per-key rank by
+    (ts, event_id). The two-batch finale (advancer row lifts the watermark
+    above all data, then per-key markers re-invoke every group under it)
+    drains the buffer, making the completed stream the full sorted relation.
+    """
+    from flink_release_1_14_5_comment_spark.streaming.event_sort import (
+        rowtime_sort,
+    )
+    import datetime as _dt
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "event_id", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    advancer = spark.createDataFrame(
+        [("~adv", -1, max_ts + _dt.timedelta(hours=1))],
+        "event_type string, event_id long, ts timestamp")
+    markers = (
+        ev.select("event_type").distinct()
+        .select("event_type", F.lit(-2).cast("long").alias("event_id"),
+                F.lit(max_ts + _dt.timedelta(hours=2)).alias("ts"))
+    )
+    stream, tmp = sources.replay_as_stream(
+        spark, ev, n_chunks=2, order_col="ts",
+        final_dfs=[advancer, markers])
+    try:
+        out = rowtime_sort(stream, ["event_type"], "ts", "event_id")
+        # markers/advancer sit above the final watermark and stay buffered;
+        # the guard keeps them out even if a trailing no-data batch flushed
+        return _run_to_memory(out).filter(F.col("event_id") >= 0)
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_EVENT_SORT = """
+SELECT event_type, event_id, ts,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) - 1 AS BIGINT) AS seq
+FROM events
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
+    "stream_event_sort": q_stream_event_sort,
     "stream_interval_join": q_stream_interval_join,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
@@ -840,6 +887,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_window_tumble": ORACLE_Q_STREAM_WINDOW_TUMBLE,
+    "stream_event_sort": ORACLE_Q_STREAM_EVENT_SORT,
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
