@@ -120,12 +120,14 @@ _PRIORITY = [
     "stream_window_tumble", "stream_interval_join",
     "stream_over_unbounded", "stream_dedup_keepfirst", "stream_asof_join",
     "stream_window_topn", "stream_group_agg", "stream_regular_join",
-    "stream_changelog_topn",
+    "stream_changelog_topn", "stream_event_sort",
     "graph_pagerank", "graph_sssp", "graph_triangles",
     "graph_clustering_coeff",
     # analytic (TPC-DS-shape) + scale strategies
+    # split_distinct_agg rotated OUT (official green in r03) for
+    # stream_event_sort — the streaming sort family's first official slot
     "sales_rollup_nation_year",
-    "skew_salted_join", "split_distinct_agg",
+    "skew_salted_join",
     # brief-explicit text ops: BPE-ish token counting, rolling-hash winnowing
     "token_counts", "duplicate_spans",
 ]
