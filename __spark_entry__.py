@@ -28,6 +28,7 @@ def _modules():
         scale,
         temporal_joins,
         time_windows,
+        tpch,
     )
     from flink_release_1_14_5_comment_spark.pipeline import (
         clustering,
@@ -42,7 +43,7 @@ def _modules():
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
     return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal,
-            time_windows, temporal_joins, patterns, analytic_shapes, scale,
+            time_windows, temporal_joins, patterns, analytic_shapes, tpch, scale,
             relational_ext, relational, stream_queries]
 
 

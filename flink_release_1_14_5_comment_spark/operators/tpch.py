@@ -1,0 +1,296 @@
+"""TPC-H query suite, adapted to the driver schema (SURVEY §5/§6: the
+reference's e2e gates are the TPC benches — TPC-H generator + ratio
+comparator in flink-end-to-end-tests/flink-tpch-test/.../TpchDataGenerator.
+java / TpchResultComparator.java, TPC-DS answer-set diff in
+flink-tpcds-test/.../TpcdsTestProgram.java:76-87; operators/analytic_shapes.py
+holds the TPC-DS-shape half).
+
+"Adapted" because the driver's testdata trims the spec schema: there is no
+partsupp table (drops Q2/Q9/Q11/Q16/Q20), no l_commitdate/l_receiptdate/
+l_shipmode (Q4/Q12/Q21 late-ness is re-expressed against o_orderdate), no
+o_shippriority/o_comment, c_phone/c_comment, p_container. Each query below
+keeps the ORIGINAL query's plan shape — the thing the reference's gate
+actually exercises — and notes its substitutions. Q1 and Q8 are omitted
+here because they already exist verbatim-shape as `agg_pricing_summary`
+(relational.py) and `nation_market_share` (analytic_shapes.py).
+
+Engine-parity design: every query is ONE ANSI-SQL string executed
+unmodified by BOTH Spark and DuckDB — the strongest possible oracle
+coupling (no dialect drift, aliases guaranteed identical). Money sums are
+rounded (doubles ~1e7 vs ulp error ~1e-9, far from .005 boundaries);
+thresholds derived from aggregates (Q17's 0.2*avg) are rounded to 6
+decimals before comparison so both engines apply the identical cutoff.
+
+Scale notes (what Catalyst does with these shapes at 100 TB):
+* Dimension chains (Q3/Q5/Q7/Q10) broadcast nation/region/customer/
+  supplier under the 10 MB threshold; the lineitem scan carries the
+  pushed date filters (PushedFilters in .explain) so partition/row-group
+  pruning bounds IO.
+* EXISTS/NOT EXISTS (Q4/Q21/Q22) decorrelate to semi/anti hash joins on
+  the correlation key — no per-row subquery execution.
+* Q15's MAX-of-view and Q17's per-part average reuse one aggregated frame
+  against itself; Q13 is the two-level agg (per-key count then histogram),
+  both levels map-side combined.
+* Q19's disjunctive predicate stays a single scan + filter: Catalyst
+  folds the OR of conjunctions into one codegen predicate, no union of
+  three scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+# --- Q3: shipping priority (o_shippriority → o_orderpriority) -------------
+TPCH_Q3 = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+# --- Q4: order priority checking (commit<receipt → shipped >30d late) -----
+TPCH_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# --- Q5: local supplier volume --------------------------------------------
+TPCH_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+# --- Q6: forecasting revenue change ---------------------------------------
+TPCH_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# --- Q7: volume shipping between two nations ------------------------------
+TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# --- Q10: returned item reporting (c_address/phone/comment dropped) -------
+TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       ROUND(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# --- Q12: shipping modes / late lines (shipmode → priority class; ---------
+#     commit/receipt lateness → shipped >90d after order date)
+TPCH_Q12 = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'high' ELSE 'low' END AS priority_class,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(COUNT(*) AS BIGINT) AS line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'high' ELSE 'low' END
+ORDER BY priority_class
+"""
+
+# --- Q13: customer order-count distribution (o_comment filter dropped) ----
+TPCH_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# --- Q14: promotion effect (p_type LIKE 'PROMO%' → p_type = 'PROMO') ------
+TPCH_Q14 = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+# --- Q15: top supplier (revenue view + MAX subquery) ----------------------
+TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# --- Q17: small-quantity-order revenue (p_container → brand-only gate) ----
+TPCH_Q17 = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT ROUND(0.2 * AVG(l_quantity), 6)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+# --- Q18: large volume customers ------------------------------------------
+TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+# --- Q19: discounted revenue, disjunction of conjunctions -----------------
+#     (shipmode/shipinstruct clauses dropped; brand/size/quantity kept)
+TPCH_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+        AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+        AND l_quantity BETWEEN 20 AND 30))
+"""
+
+# --- Q21: suppliers who kept orders waiting (receipt>commit → -------------
+#     shipped >60d after order date; the sole-late-supplier double
+#     EXISTS/NOT EXISTS correlation is the query's point and is kept)
+TPCH_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+# --- Q22: global sales opportunity (phone country code → nation; ----------
+#     positive-balance average + NOT EXISTS anti-join kept; the testdata
+#     gives every customer at least one lifetime order, so "has never
+#     ordered" is re-expressed as "dormant: no order since 2000-01-01" —
+#     the anti-join is now on a filtered build side, same plan shape)
+TPCH_Q22 = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+_SQL = {
+    "tpch_q3": TPCH_Q3,
+    "tpch_q4": TPCH_Q4,
+    "tpch_q5": TPCH_Q5,
+    "tpch_q6": TPCH_Q6,
+    "tpch_q7": TPCH_Q7,
+    "tpch_q10": TPCH_Q10,
+    "tpch_q12": TPCH_Q12,
+    "tpch_q13": TPCH_Q13,
+    "tpch_q14": TPCH_Q14,
+    "tpch_q15": TPCH_Q15,
+    "tpch_q17": TPCH_Q17,
+    "tpch_q18": TPCH_Q18,
+    "tpch_q19": TPCH_Q19,
+    "tpch_q21": TPCH_Q21,
+    "tpch_q22": TPCH_Q22,
+}
+
+
+def _make_query(sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+    return q
+
+
+QUERIES = {name: _make_query(sql) for name, sql in _SQL.items()}
+ORACLE = dict(_SQL)
