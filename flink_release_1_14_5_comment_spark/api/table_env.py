@@ -22,6 +22,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_release_1_14_5_comment_spark.api.sql_translate import (
+    translate_flink_sql,
+)
 from flink_release_1_14_5_comment_spark.session import get_spark
 from flink_release_1_14_5_comment_spark.streaming.watermarks import parse_watermark_ddl
 
@@ -92,10 +95,12 @@ class TableEnvironment:
         if m:
             self._create_table(m.group(1), m.group("cols"), m.group("opts"))
             return None
-        return Table(self.spark.sql(stripped), self)
+        return Table(self.spark.sql(translate_flink_sql(stripped)), self)
 
     def sql_query(self, sql: str) -> "Table":
-        return Table(self.spark.sql(sql.strip().rstrip(";")), self)
+        return Table(
+            self.spark.sql(translate_flink_sql(sql.strip().rstrip(";"))),
+            self)
 
     def _create_table(self, name: str, cols: str, opts: str) -> None:
         options = dict(_OPT_RE.findall(opts))

@@ -1,0 +1,176 @@
+"""Flink window-SQL → Spark-SQL translation (api/sql_translate.py):
+legacy group windows, auxiliary accessors, and window TVFs, each checked
+against an independently built DataFrame equivalent on the events table.
+Reference syntax: FlinkSqlOperatorTable.java:923-992 (legacy),
+SqlTumbleTableFunction / window TVFs (FLIP-145)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.api.sql_translate import (
+    translate_flink_sql,
+)
+from flink_release_1_14_5_comment_spark.api.table_env import TableEnvironment
+from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    ev = load_tables(spark, SF)["events"].select(
+        "event_id", "event_type", "ts", "value")
+    ev.createOrReplaceTempView("ev")
+    return TableEnvironment(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_passthrough_untouched():
+    sql = "SELECT event_type, COUNT(*) FROM ev GROUP BY event_type"
+    assert translate_flink_sql(sql) == sql
+
+
+def test_legacy_tumble(env, spark):
+    got = env.sql_query("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start,
+               event_type, COUNT(*) AS n
+        FROM ev
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+    """).to_data_frame()
+    want = (
+        spark.table("ev")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_legacy_tumble_end_and_rowtime(env, spark):
+    got = env.sql_query("""
+        SELECT TUMBLE_END(ts, INTERVAL '1' HOUR) AS w_end,
+               TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rt,
+               COUNT(*) AS n
+        FROM ev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+    """).to_data_frame()
+    want = (
+        spark.table("ev").groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.end").alias("w_end"),
+                (F.col("window.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("rt"),
+                "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_legacy_hop_flips_argument_order(env, spark):
+    # Flink: HOP(ts, slide=30m, size=1h); Spark: window(ts, size, slide)
+    got = env.sql_query("""
+        SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS w_start,
+               COUNT(*) AS n
+        FROM ev GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+    """).to_data_frame()
+    want = (
+        spark.table("ev").groupBy(F.window("ts", "1 hour", "30 minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w_start"), "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_legacy_session(env, spark):
+    got = env.sql_query("""
+        SELECT event_type, SESSION_START(ts, INTERVAL '30' MINUTE) AS s_start,
+               COUNT(*) AS n
+        FROM ev GROUP BY event_type, SESSION(ts, INTERVAL '30' MINUTE)
+    """).to_data_frame()
+    want = (
+        spark.table("ev")
+        .groupBy("event_type", F.session_window("ts", "30 minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("session_window.start").alias("s_start"), "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_tvf_tumble(env, spark):
+    got = env.sql_query("""
+        SELECT window_start, window_end, event_type, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end, event_type
+    """).to_data_frame()
+    want = (
+        spark.table("ev")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"), "event_type", "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_tvf_hop(env, spark):
+    # Flink TVF arg order: slide then size
+    got = env.sql_query("""
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '30' MINUTE,
+                       INTERVAL '1' HOUR))
+        GROUP BY window_start
+    """).to_data_frame()
+    want = (
+        spark.table("ev").groupBy(F.window("ts", "1 hour", "30 minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_tvf_hop_row_multiplicity(env, spark):
+    # every row lands in exactly size/slide windows
+    got = env.sql_query("""
+        SELECT COUNT(*) AS n
+        FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '30' MINUTE,
+                       INTERVAL '1' HOUR))
+    """).to_data_frame().collect()[0]["n"]
+    base = spark.table("ev").count()
+    assert got == 2 * base
+
+
+def test_tvf_cumulate(env, spark):
+    # step 1h, size 4h: a row at offset o inside its 4h frame appears in
+    # windows ending at every full hour strictly after o, up to 4h
+    got = env.sql_query("""
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+                            INTERVAL '4' HOUR))
+        GROUP BY window_start, window_end
+    """).to_data_frame()
+    from flink_release_1_14_5_comment_spark.operators.time_windows import (
+        cumulate,
+    )
+
+    assigned = cumulate(spark.table("ev"), "ts", 60, 240).select(
+        F.col("w_start").alias("window_start"),
+        F.col("w_end").alias("window_end"))
+    want = (assigned.groupBy("window_start", "window_end")
+            .agg(F.count(F.lit(1)).alias("n")))
+    assert _rows(got) == _rows(want)
+
+
+def test_tvf_window_bounds_contain_ts(env, spark):
+    bad = env.sql_query("""
+        SELECT COUNT(*) AS n
+        FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '30' MINUTE,
+                       INTERVAL '1' HOUR))
+        WHERE ts < window_start OR ts >= window_end
+    """).to_data_frame().collect()[0]["n"]
+    assert bad == 0
