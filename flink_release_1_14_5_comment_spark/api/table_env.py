@@ -95,12 +95,20 @@ class TableEnvironment:
         if m:
             self._create_table(m.group(1), m.group("cols"), m.group("opts"))
             return None
-        return Table(self.spark.sql(translate_flink_sql(stripped)), self)
+        return self.sql_query(stripped)
 
     def sql_query(self, sql: str) -> "Table":
-        return Table(
-            self.spark.sql(translate_flink_sql(sql.strip().rstrip(";"))),
-            self)
+        stripped = sql.strip().rstrip(";")
+        if re.search(r"\bMATCH_RECOGNIZE\b", stripped, re.IGNORECASE):
+            from flink_release_1_14_5_comment_spark.streaming.match_recognize import (
+                match_recognize_sql,
+                parse_match_recognize_sql,
+            )
+
+            tbl = parse_match_recognize_sql(stripped)["table"]
+            return Table(
+                match_recognize_sql(self.spark.table(tbl), stripped), self)
+        return Table(self.spark.sql(translate_flink_sql(stripped)), self)
 
     def _create_table(self, name: str, cols: str, opts: str) -> None:
         options = dict(_OPT_RE.findall(opts))

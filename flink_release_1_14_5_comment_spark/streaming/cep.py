@@ -337,7 +337,32 @@ def cep(
                 out[key_cols[i]] = key[i]
             yield out[key_cols + ["match_start", "match_end", "step_ids"] + measure_names]
 
-    return (
-        df.groupBy(*key_cols)
-        .applyInPandasWithState(fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)
-    )
+    if df.isStreaming:
+        return (
+            df.groupBy(*key_cols)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout)
+        )
+
+    # Batch: each key's full history arrives as ONE group, so the identical
+    # NFA loop runs with an in-memory state shim — the reference's batch
+    # MATCH_RECOGNIZE is likewise the same NFA over sorted bounded input
+    # (MatchCodeGenerator reuses the CepOperator machinery).
+    out_cols = (key_cols + ["match_start", "match_end", "step_ids"]
+                + measure_names)
+
+    class _BatchState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    def batch_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = list(fn(key, iter([pdf]), _BatchState()))
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(columns=out_cols)
+
+    return df.groupBy(*key_cols).applyInPandas(batch_fn, out_schema)

@@ -165,3 +165,107 @@ def match_recognize(
     return cep(df, built, partition_by, order_by, id_col,
                after_match=parse_after_match(after_match),
                measures=parsed_measures)
+
+
+# --- SQL-text front door ---------------------------------------------------
+# Flink users write MATCH_RECOGNIZE as SQL (reference SQL bridge
+# StreamExecMatch.java:89; grammar FlinkSqlOperatorTable.java:1153-1159
+# aux functions). This parser maps the clause subset the API supports onto
+# match_recognize(); anything richer raises with a pointer to the API.
+
+_MR_OUTER = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(?P<tbl>\w+)\s+MATCH_RECOGNIZE\s*\("
+    r"(?P<body>.*)\)\s*(?:AS\s+\w+)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MR_UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _mr_clause(body: str, name: str, stop: str) -> str | None:
+    m = re.search(rf"\b{name}\s+(.*?)\s*(?={stop}|$)", body,
+                  re.IGNORECASE | re.DOTALL)
+    return m.group(1).strip() if m else None
+
+
+def parse_match_recognize_sql(sql: str) -> dict:
+    """SELECT * FROM t MATCH_RECOGNIZE (...) → kwargs for match_recognize()
+    plus the source table name under 'table'."""
+    outer = _MR_OUTER.match(sql.strip().rstrip(";"))
+    if not outer:
+        raise ValueError(
+            "unsupported MATCH_RECOGNIZE shape: expected "
+            "SELECT * FROM <table> MATCH_RECOGNIZE (...) [AS alias]")
+    body = outer.group("body")
+
+    part = _mr_clause(body, "PARTITION BY",
+                      r"ORDER\s+BY|MEASURES|PATTERN|AFTER|DEFINE")
+    order = _mr_clause(body, "ORDER BY",
+                       r"MEASURES|ONE\s+ROW|AFTER|PATTERN|DEFINE")
+    if not order:
+        raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
+    measures_raw = _mr_clause(body, "MEASURES",
+                              r"ONE\s+ROW|AFTER|PATTERN|DEFINE")
+    after = _mr_clause(body, "AFTER MATCH", r"PATTERN|DEFINE")
+    pat = re.search(r"PATTERN\s*\(\s*(.*?)\s*\)", body,
+                    re.IGNORECASE | re.DOTALL)
+    if not pat:
+        raise ValueError("MATCH_RECOGNIZE requires PATTERN (...)")
+    within = re.search(
+        r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?",
+        body, re.IGNORECASE)
+    define_raw = _mr_clause(body, "DEFINE", r"$")
+    if not define_raw:
+        raise ValueError("MATCH_RECOGNIZE requires DEFINE")
+
+    define: dict[str, str] = {}
+    for item in define_raw.split(","):
+        m = re.match(r"^\s*(\w+)\s+AS\s+(.*?)\s*$", item,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported DEFINE item: {item!r}")
+        define[m.group(1)] = m.group(2)
+
+    measures: dict[str, str] = {}
+    if measures_raw:
+        for item in measures_raw.split(","):
+            m = re.match(r"^\s*(.*?)\s+AS\s+(\w+)\s*$", item,
+                         re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise ValueError(f"unsupported MEASURES item: {item!r}")
+            measures[m.group(2)] = m.group(1)
+
+    out = {
+        "table": outer.group("tbl"),
+        "partition_by": ([c.strip() for c in part.split(",")] if part else []),
+        "order_by": order,
+        "pattern": " ".join(pat.group(1).split()),
+        "define": define,
+        "measures": measures or None,
+    }
+    if after:
+        out["after_match"] = after
+    if within:
+        out["within_seconds"] = int(within.group(1)) * _MR_UNIT_S[
+            within.group(2).upper()]
+    return out
+
+
+def match_recognize_sql(df: DataFrame, sql: str,
+                        id_col: str | None = None) -> DataFrame:
+    """Run SQL-text MATCH_RECOGNIZE against `df` (already resolved from the
+    FROM table). `id_col`: unique row id used in the match output's
+    step-id lists; when None a per-partition ROW_NUMBER over the ORDER BY
+    column is synthesized (ties broken arbitrarily — pass a real id column
+    when the order column is not unique per partition)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    kw = parse_match_recognize_sql(sql)
+    kw.pop("table")
+    if id_col is None:
+        id_col = "__mr_id"
+        w = Window.partitionBy(*(kw["partition_by"] or [F.lit(1)])).orderBy(
+            kw["order_by"])
+        df = df.withColumn(id_col, F.row_number().over(w).cast("long"))
+    return match_recognize(df, id_col=id_col, **kw)
