@@ -119,12 +119,68 @@ def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
+def q_cep_nfa_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP NFA itself on the BATCH path (cep() via applyInPandas —
+    reference reuses CepOperator for bounded MATCH_RECOGNIZE): V→C→P within
+    24 h under NO SKIP, with a MEASURES projection (SUM(P.value) = the
+    matched purchase's value, exercising capture+aggregate). Same
+    closed-form first-match oracle as stream_cep_funnel (two correlated
+    MINs), extended to fetch the matched purchase's value — this
+    hash-checks run seeding, first-match absorption, horizon pruning AND
+    the measures pipeline on bounded input. Tie assumption as there:
+    microsecond timestamps are collision-free in the testdata."""
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import (
+        match_recognize,
+    )
+
+    t = register_views(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_id", "ts", "event_type", "value")
+    return match_recognize(
+        ev,
+        partition_by=["user_id"], order_by="ts",
+        pattern="V C P",
+        define={"V": "event_type = 'view'", "C": "event_type = 'click'",
+                "P": "event_type = 'purchase'"},
+        measures={"purchase_value": "SUM(P.value)"},
+        after_match="NO SKIP",
+        within_seconds=24 * 3600,
+        id_col="event_id",
+    ).select("user_id", "match_start", "match_end", "purchase_value")
+
+
+ORACLE_Q_CEP_NFA_BATCH = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type='view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type='click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+vc AS (
+  SELECT v.user_id, v.ts AS v_ts,
+         (SELECT MIN(c.ts) FROM c WHERE c.user_id = v.user_id AND c.ts > v.ts
+           AND c.ts <= v.ts + INTERVAL '24 hours') AS c_ts
+  FROM v
+), vcp AS (
+  SELECT user_id, v_ts, c_ts,
+         (SELECT MIN(p.ts) FROM p WHERE p.user_id = vc.user_id
+           AND p.ts > vc.c_ts
+           AND p.ts <= vc.v_ts + INTERVAL '24 hours') AS p_ts
+  FROM vc WHERE c_ts IS NOT NULL
+)
+SELECT vcp.user_id, v_ts AS match_start, p_ts AS match_end,
+       pv.value AS purchase_value
+FROM vcp
+JOIN events pv ON pv.user_id = vcp.user_id AND pv.ts = vcp.p_ts
+              AND pv.event_type = 'purchase'
+WHERE p_ts IS NOT NULL
+"""
+
+
 QUERIES = {
     "funnel_match": q_funnel_match,
     "sessionize_paths": q_sessionize_paths,
+    "cep_nfa_batch": q_cep_nfa_batch,
 }
 
 ORACLE = {
     "funnel_match": ORACLE_Q_FUNNEL_MATCH,
     "sessionize_paths": ORACLE_Q_SESSIONIZE_PATHS,
+    "cep_nfa_batch": ORACLE_Q_CEP_NFA_BATCH,
 }
