@@ -33,6 +33,10 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _OPT_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<tbl>\w+)\s+(?P<query>SELECT\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 # Flink suffix aggregations for Table.select after group_by (Table API style).
 _SUFFIX_AGGS = {"sum", "avg", "count", "min", "max", "stddev_pop", "stddev_samp"}
@@ -81,6 +85,7 @@ class TableEnvironment:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or get_spark()
         self._watermarks: dict[str, tuple[str, str]] = {}  # table -> (col, delay)
+        self._sinks: dict[str, dict] = {}  # filesystem tables → write info
         register_flink_dialect(self.spark)
 
     @classmethod
@@ -95,7 +100,22 @@ class TableEnvironment:
         if m:
             self._create_table(m.group(1), m.group("cols"), m.group("opts"))
             return None
+        m = _INSERT_RE.match(stripped)
+        if m:
+            self._insert_into(m.group("tbl"),
+                              self.sql_query(m.group("query")).to_data_frame(),
+                              overwrite=m.group("mode").upper() == "OVERWRITE")
+            return None
         return self.sql_query(stripped)
+
+    def create_statement_set(self) -> "StatementSet":
+        """Reference TableEnvironment.createStatementSet
+        (flink-table-api-java .../TableEnvironment.java): batch several
+        INSERT statements and submit together. Divergence (documented):
+        Flink compiles one job DAG with shared source scans; here the
+        statements execute sequentially — shared-scan reuse comes from
+        Spark's own caching if the caller persists the common frame."""
+        return StatementSet(self)
 
     def sql_query(self, sql: str) -> "Table":
         stripped = sql.strip().rstrip(";")
@@ -125,10 +145,22 @@ class TableEnvironment:
         if connector == "filesystem":
             fmt = options.get("format", "parquet")
             path = options["path"]
-            reader = self.spark.read
-            if fmt == "csv":
-                reader = reader.option("header", options.get("csv.include-header", "true"))
-            df = getattr(reader, fmt)(path)
+            self._sinks[name] = {"path": path, "format": fmt,
+                                 "options": options, "cols": cols}
+            import os as _os
+
+            if _os.path.isfile(path) or (
+                    _os.path.isdir(path) and _os.listdir(path)):
+                reader = self.spark.read
+                if fmt == "csv":
+                    reader = reader.option("header", options.get("csv.include-header", "true"))
+                df = getattr(reader, fmt)(path)
+            else:
+                # SINK-table DDL (CREATE TABLE then INSERT INTO — the
+                # standard Flink flow): nothing to scan yet, register an
+                # empty view from the DECLARED schema so downstream DDL/
+                # queries resolve; the first INSERT re-registers over data.
+                df = self.spark.createDataFrame([], self._ddl_schema(cols))
         elif connector in ("datagen", "values"):
             raise NotImplementedError(f"connector {connector!r}: use spark.createDataFrame + register_table")
         elif connector in ("kafka", "upsert-kafka"):
@@ -145,6 +177,50 @@ class TableEnvironment:
         if wm:
             self._watermarks[name] = wm
         df.createOrReplaceTempView(name)
+
+    def _ddl_schema(self, cols: str):
+        """DECLARED physical columns → StructType (skips WATERMARK /
+        PRIMARY KEY / computed `AS` columns)."""
+        from pyspark.sql import types as T
+
+        from flink_release_1_14_5_comment_spark.types_map import (
+            flink_type_to_spark,
+        )
+
+        fields = []
+        for item in _split_top_level(cols):
+            up = item.upper().strip()
+            if (up.startswith("WATERMARK") or up.startswith("PRIMARY KEY")
+                    or up.startswith("CONSTRAINT") or " AS " in f" {up} "):
+                continue
+            parts = item.strip().split(None, 1)
+            if len(parts) != 2:
+                continue
+            fname, ftype = parts
+            ftype = re.sub(r"\s+NOT\s+NULL\s*$", "", ftype, flags=re.IGNORECASE)
+            fields.append(T.StructField(fname.strip("`"),
+                                        flink_type_to_spark(ftype.strip()), True))
+        return T.StructType(fields)
+
+    def _insert_into(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
+        """INSERT INTO/OVERWRITE a filesystem table (reference FileSink /
+        CommonExecSink): task-committed write through the Spark committer
+        (cluster-safe), then the temp view re-registers over the files."""
+        sink = self._sinks.get(name)
+        if sink is None:
+            raise ValueError(
+                f"INSERT target {name!r} is not a filesystem table created "
+                "via CREATE TABLE ... WITH ('connector'='filesystem', ...)")
+        writer = df.write.mode("overwrite" if overwrite else "append")
+        if sink["format"] == "csv":
+            writer = writer.option("header", sink["options"].get(
+                "csv.include-header", "true"))
+        getattr(writer, sink["format"])(sink["path"])
+        reader = self.spark.read
+        if sink["format"] == "csv":
+            reader = reader.option("header", sink["options"].get(
+                "csv.include-header", "true"))
+        getattr(reader, sink["format"])(sink["path"]).createOrReplaceTempView(name)
 
     # -- catalog -----------------------------------------------------------
 
@@ -261,3 +337,40 @@ def _split_top_level(s: str) -> list[str]:
     if cur:
         out.append("".join(cur).strip())
     return [x for x in out if x]
+
+
+class StatementSet:
+    """Batched INSERT execution (reference StatementSetImpl,
+    flink-table-api-java .../internal/StatementSetImpl.java): collect
+    INSERT statements, submit together with .execute(). Statements run
+    sequentially here (Flink merges them into one DAG with shared scans —
+    persist() the shared frame for the same effect in Spark)."""
+
+    def __init__(self, env: TableEnvironment):
+        self._env = env
+        self._stmts: list[tuple[str, object, bool]] = []
+
+    def add_insert_sql(self, sql: str) -> "StatementSet":
+        m = _INSERT_RE.match(sql.strip().rstrip(";"))
+        if not m:
+            raise ValueError(f"not an INSERT statement: {sql!r}")
+        self._stmts.append((m.group("tbl"), m.group("query"),
+                            m.group("mode").upper() == "OVERWRITE"))
+        return self
+
+    def add_insert(self, target: str, table: "Table",
+                   overwrite: bool = False) -> "StatementSet":
+        self._stmts.append((target, table, overwrite))
+        return self
+
+    def execute(self) -> list[str]:
+        """Run every buffered INSERT; returns the target table names in
+        execution order (the reference returns a TableResult per job)."""
+        done = []
+        for target, src, overwrite in self._stmts:
+            df = (src.to_data_frame() if isinstance(src, Table)
+                  else self._env.sql_query(src).to_data_frame())
+            self._env._insert_into(target, df, overwrite=overwrite)
+            done.append(target)
+        self._stmts.clear()
+        return done

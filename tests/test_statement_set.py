@@ -1,0 +1,81 @@
+"""INSERT INTO/OVERWRITE on filesystem tables + StatementSet
+(api/table_env.py; reference CommonExecSink / StatementSetImpl.java)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_14_5_comment_spark.api.table_env import TableEnvironment
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    env = TableEnvironment(spark)
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, tag string, v double")
+    env.register_table("src", src)
+    return env
+
+
+def test_create_sink_then_insert(env, tmp_path):
+    path = str(tmp_path / "sink1")
+    env.execute_sql(f"""
+        CREATE TABLE sink1 (id BIGINT, tag STRING, v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    # sink table registers empty with the DECLARED schema
+    assert env.from_path("sink1").to_data_frame().count() == 0
+    env.execute_sql("INSERT INTO sink1 SELECT id, tag, v FROM src WHERE v > 15")
+    got = sorted(r.id for r in env.from_path("sink1").to_data_frame().collect())
+    assert got == [2, 3]
+    # append semantics
+    env.execute_sql("INSERT INTO sink1 SELECT id, tag, v FROM src WHERE id = 1")
+    assert env.from_path("sink1").to_data_frame().count() == 3
+    # overwrite semantics
+    env.execute_sql("INSERT OVERWRITE sink1 SELECT id, tag, v FROM src WHERE id = 1")
+    assert [r.id for r in env.from_path("sink1").to_data_frame().collect()] == [1]
+    assert os.path.isdir(path)
+
+
+def test_insert_into_non_sink_raises(env):
+    with pytest.raises(ValueError, match="filesystem table"):
+        env.execute_sql("INSERT INTO src SELECT * FROM src")
+
+
+def test_statement_set_multi_insert(env, tmp_path):
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    env.execute_sql(f"CREATE TABLE sink_a (tag STRING, total DOUBLE) WITH "
+                    f"('connector'='filesystem','path'='{pa}','format'='parquet')")
+    env.execute_sql(f"CREATE TABLE sink_b (n BIGINT) WITH "
+                    f"('connector'='filesystem','path'='{pb}','format'='parquet')")
+    ss = env.create_statement_set()
+    ss.add_insert_sql(
+        "INSERT INTO sink_a SELECT tag, SUM(v) AS total FROM src GROUP BY tag")
+    ss.add_insert_sql("INSERT INTO sink_b SELECT COUNT(*) AS n FROM src")
+    assert ss.execute() == ["sink_a", "sink_b"]
+    a = {r.tag: r.total for r in env.from_path("sink_a").to_data_frame().collect()}
+    assert a == {"a": 40.0, "b": 20.0}
+    assert env.from_path("sink_b").to_data_frame().collect()[0].n == 3
+    # buffered statements clear after execute
+    assert ss.execute() == []
+
+
+def test_statement_set_add_insert_table(env, tmp_path):
+    p = str(tmp_path / "c")
+    env.execute_sql(f"CREATE TABLE sink_c (id BIGINT, tag STRING, v DOUBLE) WITH "
+                    f"('connector'='filesystem','path'='{p}','format'='parquet')")
+    t = env.sql_query("SELECT id, tag, v FROM src WHERE tag = 'a'")
+    env.create_statement_set().add_insert("sink_c", t).execute()
+    assert env.from_path("sink_c").to_data_frame().count() == 2
+
+
+def test_statement_set_rejects_non_insert(env):
+    with pytest.raises(ValueError, match="INSERT"):
+        env.create_statement_set().add_insert_sql("SELECT 1")
