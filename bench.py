@@ -50,6 +50,8 @@ HEADLINE = [
     "grouping_sets",
     "sales_rollup_nation_year",
     "nation_market_share",
+    "tpch_q5",   # classic 6-table dim-chain join (broadcast-audited)
+    "tpch_q18",  # large-volume HAVING-subquery + top-100
     "window_tumble",
     "window_hop",
     "window_session",

@@ -399,9 +399,88 @@ def savepoint_migration(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def window_sql_migration(spark):
+    """Flink window SQL — BOTH generations run unchanged:
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR), count(*)
+        FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR);          -- legacy
+        SELECT window_start, count(*) FROM TABLE(
+          HOP(TABLE events, DESCRIPTOR(ts), INTERVAL '30' MINUTE,
+              INTERVAL '1' HOUR)) GROUP BY window_start;             -- TVF
+    api/sql_translate.py rewrites them onto window()/session_window()
+    and floor-arithmetic TVF subqueries."""
+    tenv = TableEnvironment.create(spark)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events_w")
+    tenv.execute_sql("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w, COUNT(*) AS n
+        FROM events_w GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+    """).to_data_frame().show(3)
+    tenv.execute_sql("""
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE events_w, DESCRIPTOR(ts), INTERVAL '30' MINUTE,
+                       INTERVAL '1' HOUR))
+        GROUP BY window_start
+    """).to_data_frame().show(3)
+
+
+def match_recognize_sql_migration(spark):
+    """Flink: SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id
+    ORDER BY ts MEASURES COUNT(C) AS clicks PATTERN (V C+ P) DEFINE ...)
+    — the SQL text routes onto the CEP NFA automatically."""
+    tenv = TableEnvironment.create(spark)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events_mr")
+    tenv.execute_sql("""
+        SELECT * FROM events_mr MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES COUNT(C) AS clicks
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V C+ P)
+          WITHIN INTERVAL '1' DAY
+          DEFINE V AS event_type = 'view',
+                 C AS event_type = 'click',
+                 P AS event_type = 'purchase'
+        )
+    """).to_data_frame().show(3)
+
+
+def statement_set_migration(spark):
+    """Flink: StatementSet ss = tEnv.createStatementSet();
+    ss.addInsertSql(...); ss.addInsertSql(...); ss.execute();"""
+    import tempfile
+
+    tenv = TableEnvironment.create(spark)
+    d = tempfile.mkdtemp(prefix="graft_stmtset_")
+    tenv.execute_sql(f"""
+        CREATE TABLE by_status (o_orderstatus STRING, n BIGINT)
+        WITH ('connector'='filesystem','path'='{d}/by_status','format'='parquet')
+    """)
+    tenv.execute_sql(f"""
+        CREATE TABLE by_prio (o_orderpriority STRING, n BIGINT)
+        WITH ('connector'='filesystem','path'='{d}/by_prio','format'='parquet')
+    """)
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "orders_ss")
+    (tenv.create_statement_set()
+     .add_insert_sql("INSERT INTO by_status SELECT o_orderstatus, COUNT(*) AS n "
+                     "FROM orders_ss GROUP BY o_orderstatus")
+     .add_insert_sql("INSERT INTO by_prio SELECT o_orderpriority, COUNT(*) AS n "
+                     "FROM orders_ss GROUP BY o_orderpriority")
+     .execute())
+    print("statement set wrote",
+          tenv.from_path("by_status").to_data_frame().count(), "+",
+          tenv.from_path("by_prio").to_data_frame().count(), "rows")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     spark = get_spark("migration-examples", cpus=8)
     sql_migration(spark)
+    window_sql_migration(spark)
+    match_recognize_sql_migration(spark)
+    statement_set_migration(spark)
     table_api_migration(spark)
     datastream_migration(spark)
     cep_migration(spark)

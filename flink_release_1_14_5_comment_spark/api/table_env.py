@@ -108,6 +108,13 @@ class TableEnvironment:
             return None
         return self.sql_query(stripped)
 
+    def explain_sql(self, sql: str) -> str:
+        """Reference TableEnvironment.explainSql (TableEnvironmentImpl.
+        java): the plan report for a query — parsed/analyzed/optimized
+        logical plans + the physical plan, Catalyst's counterpart of
+        Flink's AST/logical/physical explain sections."""
+        return self.sql_query(sql).explain()
+
     def create_statement_set(self) -> "StatementSet":
         """Reference TableEnvironment.createStatementSet
         (flink-table-api-java .../TableEnvironment.java): batch several
@@ -321,6 +328,12 @@ class Table:
 
     def to_pandas(self):
         return self._df.toPandas()
+
+    def explain(self) -> str:
+        """Reference Table.explain() — returns the full plan report
+        (parsed → analyzed → optimized → physical) as a string, the
+        Catalyst counterpart of Flink's AST/logical/physical sections."""
+        return self._df._jdf.queryExecution().toString()
 
 
 def _split_top_level(s: str) -> list[str]:
