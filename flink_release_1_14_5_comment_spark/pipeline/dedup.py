@@ -499,8 +499,98 @@ GROUP BY n.lang
 """
 
 
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit: MinHash-band candidate pairs measured against the
+    EXACT Jaccard ≥ 0.4 ground truth — the recall/precision report every
+    production dedup pipeline publishes before trusting its banding config
+    (b=4, r=2 here; Broder's S-curve gives the expected recall, this query
+    measures the actual one on the corpus).
+
+    Ground truth is computed sub-quadratically: explode shingle sets →
+    self-join on the shingle hash (only docs SHARING a shingle pair up —
+    never all-pairs) → per-pair intersection counts → Jaccard from
+    inclusion-exclusion. Same shape as the LSH verify join, so the audit
+    costs roughly one extra shuffle over the pipeline it audits. At 100 TB
+    run it on a stratified sample (corpus_sample) — the S-curve estimate it
+    validates is corpus-independent.
+
+    One-row output: candidate volume, truth volume, hits, recall (share of
+    true near-dup pairs the bands caught) and candidate precision (share of
+    candidates that verify) — the two knobs a banding config trades."""
+    sh = shingle_docs(spark, sf_dir).persist()
+    sig = minhash_signatures(sh)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.s0") == F.col("b.s0"))
+               & (F.col("a.s1") == F.col("b.s1"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("x"))
+    inter = (
+        ex.alias("ea").join(
+            ex.alias("eb"),
+            (F.col("ea.x") == F.col("eb.x"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")))
+        .groupBy(F.col("ea.doc_id").alias("doc_a"),
+                 F.col("eb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+                >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.intersect(cand)
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true", "n_cand", "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_cand"), 4).alias("cand_precision"),
+        )
+    )
+
+
+ORACLE_Q_DEDUP_RECALL_EVAL = f"""
+WITH docs AS ({ORACLE_DOCS_CTE}), sh AS ({ORACLE_SH_CTE}),
+sig AS ({ORACLE_SIG_CTE}), cand AS ({ORACLE_CAND_CTE}),
+ex AS (SELECT doc_id, unnest(sh) AS x FROM sh),
+inter AS (
+  SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS i
+  FROM ex ea JOIN ex eb ON ea.x = eb.x AND ea.doc_id < eb.doc_id
+  GROUP BY ea.doc_id, eb.doc_id),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM truth), 4)
+         AS recall,
+       ROUND((SELECT COUNT(*) FROM hit) / (SELECT COUNT(*) FROM cand), 4)
+         AS cand_precision
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_recall_eval": q_dedup_recall_eval,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_overlap": q_dedup_ngram_overlap,
     "dedup_simhash": q_dedup_simhash,
@@ -511,6 +601,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": ORACLE_Q_DEDUP_EXACT,
+    "dedup_recall_eval": ORACLE_Q_DEDUP_RECALL_EVAL,
     "dedup_minhash_lsh": ORACLE_Q_DEDUP_MINHASH_LSH,
     "dedup_ngram_overlap": ORACLE_Q_DEDUP_NGRAM_OVERLAP,
     "dedup_simhash": ORACLE_Q_DEDUP_SIMHASH,
