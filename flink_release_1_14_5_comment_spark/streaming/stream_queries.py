@@ -863,9 +863,61 @@ FROM events
 """
 
 
+def q_stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in ONE streaming query: 1-hour tumble
+    aggregation feeding a 4-hour rollup — two windowed agg states in the
+    same topology. SURVEY §7 flagged 'multi-aggregate chains' as a hard
+    part (Flink chains stateful ops freely via retractions; old Spark
+    allowed one stateful op per query) — Spark 4's multiple-stateful-
+    operator support runs the chain natively in append mode: the outer
+    groupBy windows over the inner result's `window` struct column, and
+    the watermark propagates through both states.
+
+    Append-mode visibility: an outer 4-hour window emits iff its end <=
+    final watermark (max ts, 0s delay); every inner 1-hour window it
+    contains closed no later, so the completed stream equals the batch
+    4-hour rollup under the same HAVING rule — the oracle below."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        hourly = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.sum("value").alias("hour_value"))
+        )
+        rolled = (
+            hourly.groupBy(F.window("window", "4 hours").alias("w4"),
+                           "event_type")
+            .agg(F.round(F.sum("hour_value"), 2).alias("sum_value"),
+                 F.count(F.lit(1)).alias("n_hours"))
+            .select(F.col("w4.start").alias("w_start"), "event_type",
+                    "sum_value", "n_hours")
+        )
+        return _run_to_memory(rolled)
+    finally:
+        sources.cleanup(tmp)
+
+
+# 4-hour rollup + append-mode visibility (outer end <= max ts); n_hours
+# counts the DISTINCT 1-hour buckets that had data — the inner agg's rows.
+ORACLE_Q_STREAM_CHAINED_WINDOW_AGG = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 14400) * 14400 * 1000000
+                           AS BIGINT)) AS w_start,
+       event_type,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+FROM events
+GROUP BY floor(epoch(ts) / 14400), event_type
+HAVING make_timestamp(CAST(floor(epoch(ts) / 14400) * 14400 * 1000000
+                           AS BIGINT)) + INTERVAL '4 hours'
+       <= (SELECT MAX(ts) FROM events)
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_event_sort": q_stream_event_sort,
+    "stream_chained_window_agg": q_stream_chained_window_agg,
     "stream_interval_join": q_stream_interval_join,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
@@ -888,6 +940,7 @@ QUERIES = {
 ORACLE = {
     "stream_window_tumble": ORACLE_Q_STREAM_WINDOW_TUMBLE,
     "stream_event_sort": ORACLE_Q_STREAM_EVENT_SORT,
+    "stream_chained_window_agg": ORACLE_Q_STREAM_CHAINED_WINDOW_AGG,
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
