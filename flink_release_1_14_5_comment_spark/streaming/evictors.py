@@ -109,6 +109,75 @@ def _evicting_tumble(
     )
 
 
+def processing_timeout_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    timeout_ms: int,
+    clear_on_timeout: bool = True,
+) -> DataFrame:
+    """ProcessingTimeoutTrigger emulation (reference
+    `ProcessingTimeoutTrigger.java`: wrap an inner trigger and FIRE when a
+    wall-clock timeout since the (first|latest) element expires — the
+    classic "flush an idle key" trigger over GlobalWindows). Per key, rows
+    buffer in state and each batch RESETS a processing-time timeout of
+    ``timeout_ms`` (= resetTimerOnNewRecord=true); when the key goes idle
+    past the timeout, Spark's no-data micro-batches (SPARK-24156: a
+    stateful query with processing-time timeouts keeps scheduling batches)
+    invoke the function with ``state.hasTimedOut`` and the buffered window
+    fires. ``clear_on_timeout`` mirrors shouldClearOnTimeout.
+
+    This is inherently WALL-CLOCK-driven — exactly why the remaining
+    processing-time trigger family was long documented out; the emulation
+    is still deterministic in WHAT it emits (the buffered rows per key),
+    only WHEN is wall-clock, and the test asserts content, not timing.
+
+    ContinuousProcessingTimeTrigger needs no custom operator at all:
+    update-mode aggregation + ``trigger(processingTime=interval)`` IS
+    repeated wall-clock firing of the current window contents — micro-batch
+    cadence = firing cadence (documented ⚙️ config, COVERAGE §2.9).
+
+    Scale: state per key = buffered scalars since last flush + Spark's
+    timer; keys partition across executors, no extra shuffle.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + ["n_rows int", "sum_value double"]
+    )
+    state_schema = "vals array<double>"
+    n_keys = len(key_cols)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            vals = list(state.get[0]) if state.exists else []
+            if clear_on_timeout:
+                state.remove()
+            else:
+                state.setTimeoutDuration(timeout_ms)
+            if vals:
+                yield pd.DataFrame([{
+                    **{key_cols[i]: key[i] for i in range(n_keys)},
+                    "n_rows": len(vals),
+                    "sum_value": float(sum(vals)),
+                }])
+            return
+        dfs = [p for p in pdfs if not p.empty]
+        batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+        vals = list(state.get[0]) if state.exists else []
+        if not batch.empty:
+            vals.extend(float(v) for v in batch[value_col])
+        state.update((vals,))
+        state.setTimeoutDuration(timeout_ms)
+        return
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.ProcessingTimeTimeout)
+    )
+
+
 def tumble_agg_count_evictor(
     df: DataFrame,
     key_cols: list[str],

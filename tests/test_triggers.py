@@ -174,3 +174,38 @@ def test_continuous_event_time_trigger(spark):
         ]
     finally:
         sources.cleanup(tmp)
+
+
+def test_processing_timeout_trigger_fires_on_idle(spark, tmp_path):
+    """ProcessingTimeoutTrigger: keys flush after wall-clock idleness.
+    Content is asserted exactly; the firing INSTANT is wall-clock (that's
+    the trigger's definition), so the test polls with a generous bound."""
+    import time
+
+    from flink_release_1_14_5_comment_spark.streaming.evictors import (
+        processing_timeout_agg,
+    )
+
+    rows = [(1, _ts(0), 10.0), (1, _ts(1), 11.0), (2, _ts(2), 5.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    d = str(tmp_path / "pt_src")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = processing_timeout_agg(stream, ["k"], "value", timeout_ms=1500)
+    name = "pt" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(processingTime="500 milliseconds")
+         .start())
+    try:
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline and len(got) < 2:
+            got = {r.k: (r.n_rows, r.sum_value)
+                   for r in spark.table(name).collect()}
+            time.sleep(1)
+        assert got == {1: (2, 21.0), 2: (1, 5.0)}
+        # idle keys cleared on timeout: nothing fires twice
+        time.sleep(4)
+        assert spark.table(name).count() == 2
+    finally:
+        q.stop()
