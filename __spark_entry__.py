@@ -122,8 +122,11 @@ _PRIORITY = [
     "stream_over_unbounded", "stream_dedup_keepfirst", "stream_asof_join",
     "stream_window_topn", "stream_group_agg", "stream_regular_join",
     "stream_changelog_topn", "stream_event_sort",
-    "graph_pagerank", "graph_sssp", "graph_triangles",
-    "graph_clustering_coeff",
+    # graph_triangles / graph_clustering_coeff rotated OUT (sweep-green,
+    # non-anchor) for the round's two flagship additions: the chained
+    # stateful-operator query and the TPC-H suite's representative
+    "graph_pagerank", "graph_sssp",
+    "stream_chained_window_agg", "tpch_q5",
     # analytic (TPC-DS-shape) + scale strategies
     # split_distinct_agg rotated OUT (official green in r03) for
     # stream_event_sort — the streaming sort family's first official slot
