@@ -52,3 +52,27 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == src.count()
     assert back.exceptAll(src.select(*back.columns)).count() == 0
+
+
+def test_metadata_columns(spark, sf_dir):
+    """Flink's SupportsReadingMetadata (metadata virtual columns in DDL:
+    `file.path`, `file.name` ...) ≈ Spark's `_metadata` struct on file
+    sources — file_path/file_name/file_size/file_modification_time."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+          .select("n_nationkey", F.col("_metadata.file_path").alias("fp"),
+                  F.col("_metadata.file_size").alias("fs")))
+    rows = df.collect()
+    assert all(r.fp.endswith(".parquet") and r.fs > 0 for r in rows)
+    assert len(rows) == 25
+
+
+# Note on SupportsAggregatePushDown (SURVEY §2.1): Spark's JDBC aggregate
+# pushdown exists only on the DSv2 JDBCTableCatalog path and is
+# dialect-gated; the bundled embedded Derby dialect's identifier-case
+# handling breaks the v2 catalog table lookup, so the capability can't be
+# exercised against the only database this environment ships. Documented
+# as ⚙️ (config: spark.sql.catalog.<c>.pushDownAggregate=true on MySQL/
+# Postgres/H2-class dialects); filter/projection/limit/partition pushdown
+# ARE asserted above and in tests/test_scale.py.
