@@ -16,6 +16,9 @@ Stages (each is an oracle-gated operator — see pipeline/*.py):
   9. train/val/test split  — deterministic md5-mod fold assignment
  10. chunking + packing    — 32/24 sliding windows, token-budget bins
  11. mixing                — deterministic stratified sampling
+ 12. source gating         — RefinedWeb-style per-domain keep/drop verdict
+ 13. banding audit         — LSH recall/precision vs exact-Jaccard truth
+ 14. semantic clustering   — mini-batch k-means over embeddings (scale knob)
 """
 
 from __future__ import annotations
@@ -77,6 +80,16 @@ def main() -> None:
 
     print("== 11. deterministic stratified sampling for the final mix ==")
     text_analysis.q_corpus_sample(spark, SF_DIR).show(5)
+
+    print("== 12. source-level quality gate (RefinedWeb-style) ==")
+    quality.q_source_quality_filter(spark, SF_DIR).filter("NOT keep").show(5)
+
+    print("== 13. LSH banding audit: recall vs exact-Jaccard ground truth ==")
+    dedup.q_dedup_recall_eval(spark, SF_DIR).show()
+
+    print("== 14. mini-batch k-means cluster assignment (corpus-scale knob) ==")
+    from flink_release_1_14_5_comment_spark.pipeline import clustering
+    clustering.q_embedding_kmeans_minibatch(spark, SF_DIR).groupBy("cluster").count().orderBy("cluster").show()
 
     print("== cleaned-corpus summary (quality + exact + near-dup composed) ==")
     dedup.q_corpus_clean(spark, SF_DIR).show()
