@@ -174,3 +174,49 @@ def test_tvf_window_bounds_contain_ts(env, spark):
         WHERE ts < window_start OR ts >= window_end
     """).to_data_frame().collect()[0]["n"]
     assert bad == 0
+
+
+# --- property-based robustness (pure string-level, no Spark session) ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_units = st.sampled_from(["SECOND", "MINUTE", "HOUR", "DAY"])
+_n = st.integers(min_value=1, max_value=48)
+_col = st.sampled_from(["ts", "event_time", "order_ts"])
+_tbl = st.sampled_from(["ev", "orders_t", "t1"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(tbl=_tbl, col=_col, n=_n, unit=_units)
+def test_prop_tvf_tumble_always_rewrites(tbl, col, n, unit):
+    sql = (f"SELECT window_start, COUNT(*) FROM TABLE(TUMBLE(TABLE {tbl}, "
+           f"DESCRIPTOR({col}), INTERVAL '{n}' {unit})) GROUP BY window_start")
+    out = translate_flink_sql(sql)
+    assert "TUMBLE" not in out.upper()
+    assert "window_start" in out and f"FROM {tbl}" in out
+    # size arithmetic is the exact micros value
+    us = n * {"SECOND": 10**6, "MINUTE": 60 * 10**6,
+              "HOUR": 3600 * 10**6, "DAY": 86400 * 10**6}[unit]
+    assert str(us) in out
+
+
+@settings(max_examples=200, deadline=None)
+@given(col=_col, slide_n=_n, size_mult=st.integers(1, 4), unit=_units)
+def test_prop_legacy_hop_flips_order(col, slide_n, size_mult, unit):
+    size_n = slide_n * size_mult
+    sql = (f"SELECT COUNT(*) FROM ev GROUP BY HOP({col}, "
+           f"INTERVAL '{slide_n}' {unit}, INTERVAL '{size_n}' {unit})")
+    out = translate_flink_sql(sql)
+    assert out == (f"SELECT COUNT(*) FROM ev GROUP BY window({col}, "
+                   f"'{size_n} {unit.lower()}', '{slide_n} {unit.lower()}')")
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x7f),
+    max_size=80))
+def test_prop_plain_sql_passthrough(text):
+    # SQL with none of the window keywords is byte-identical after translate
+    sql = f"SELECT {text!r} FROM t WHERE a > 1"
+    assert translate_flink_sql(sql) == sql
