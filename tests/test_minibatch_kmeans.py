@@ -107,3 +107,28 @@ def test_assignment_plan_stays_shuffle_free(spark, vectors):
     e = vectors.withColumn("nrm", _norm("embedding"))
     plan = kmeans_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_recall_eval_shingle_df_cap(spark):
+    """Hot-shingle cap in the recall-audit truth join (wedge-blowup guard):
+    with the cap, a pair whose overlap is ONLY the ultra-common shingle
+    drops out of the truth set; uncapped it stays."""
+    from flink_release_1_14_5_comment_spark.pipeline.dedup import _recall_eval
+
+    # docs 1/2 share only shingle 100 (in every doc → df=4);
+    # docs 3/4 share their entire 3-shingle set (true near-dups)
+    rows = [
+        (1, [100, 1, 2]), (2, [100, 3, 4]),
+        (3, [100, 7, 8]), (4, [100, 7, 8]),
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, sh array<bigint>")
+    uncapped = _recall_eval(sh).collect()[0]
+    capped = _recall_eval(sh, max_shingle_df=3).collect()[0]
+    # uncapped truth: (3,4) at J=1.0; (1,2)=1/5 and others below 0.4
+    assert uncapped.n_true == 1
+    # cap drops shingle 100 from pair generation: (3,4) still found via
+    # shingles 7/8; pairs overlapping ONLY on 100 never generate
+    assert capped.n_true == 1
+    # sanity on the truth-side candidate volume shrink: with the cap,
+    # docs 1/2 produce no intersection row at all
+    assert capped.n_hit <= capped.n_true
