@@ -82,10 +82,19 @@ def register_flink_dialect(spark: SparkSession) -> None:
 class TableEnvironment:
     """In-memory catalog + SQL front door (GenericInMemoryCatalog.java:50)."""
 
-    def __init__(self, spark: SparkSession | None = None):
+    def __init__(self, spark: SparkSession | None = None,
+                 legacy_cast: bool = False):
+        """``legacy_cast``: Flink 1.14's CAST returns NULL on malformed
+        input (legacy behavior, pre-FLIP-211); this engine runs Spark with
+        ANSI mode ON (errors on bad casts — the stricter, safer default the
+        whole oracle suite is written against). Migrating SQL that relies
+        on null-on-error casts? Pass legacy_cast=True and every CAST( in
+        SQL text rewrites to TRY_CAST( — exactly Flink 1.14 semantics,
+        per the §2.8 casting mapping note in SURVEY."""
         self.spark = spark or get_spark()
         self._watermarks: dict[str, tuple[str, str]] = {}  # table -> (col, delay)
         self._sinks: dict[str, dict] = {}  # filesystem tables → write info
+        self._legacy_cast = legacy_cast
         register_flink_dialect(self.spark)
 
     @classmethod
@@ -135,7 +144,11 @@ class TableEnvironment:
             tbl = parse_match_recognize_sql(stripped)["table"]
             return Table(
                 match_recognize_sql(self.spark.table(tbl), stripped), self)
-        return Table(self.spark.sql(translate_flink_sql(stripped)), self)
+        out = translate_flink_sql(stripped)
+        if self._legacy_cast:
+            out = re.sub(r"(?<![A-Za-z_])(?<!TRY_)CAST\s*\(", "TRY_CAST(",
+                         out, flags=re.IGNORECASE)
+        return Table(self.spark.sql(out), self)
 
     def _create_table(self, name: str, cols: str, opts: str) -> None:
         options = dict(_OPT_RE.findall(opts))

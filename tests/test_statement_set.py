@@ -79,3 +79,16 @@ def test_statement_set_add_insert_table(env, tmp_path):
 def test_statement_set_rejects_non_insert(env):
     with pytest.raises(ValueError, match="INSERT"):
         env.create_statement_set().add_insert_sql("SELECT 1")
+
+
+def test_legacy_cast_mode(spark):
+    """Flink 1.14 legacy CAST (null on malformed input) via
+    TableEnvironment(legacy_cast=True): CAST rewrites to TRY_CAST so
+    migrated SQL keeps null-on-error semantics under Spark's ANSI mode."""
+    strict = TableEnvironment(spark)
+    lenient = TableEnvironment(spark, legacy_cast=True)
+    sql = "SELECT CAST('abc' AS INT) AS x, TRY_CAST('7' AS INT) AS y"
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        strict.execute_sql(sql).to_data_frame().collect()
+    row = lenient.execute_sql(sql).to_data_frame().collect()[0]
+    assert row.x is None and row.y == 7
