@@ -6,13 +6,24 @@ flink-tpcds-test/.../TpcdsTestProgram.java:76-87; operators/analytic_shapes.py
 holds the TPC-DS-shape half).
 
 "Adapted" because the driver's testdata trims the spec schema: there is no
-partsupp table (drops Q2/Q9/Q11/Q16/Q20), no l_commitdate/l_receiptdate/
-l_shipmode (Q4/Q12/Q21 late-ness is re-expressed against o_orderdate), no
-o_shippriority/o_comment, c_phone/c_comment, p_container. Each query below
-keeps the ORIGINAL query's plan shape — the thing the reference's gate
-actually exercises — and notes its substitutions. Q1 and Q8 are omitted
-here because they already exist verbatim-shape as `agg_pricing_summary`
-(relational.py) and `nation_market_share` (analytic_shapes.py).
+partsupp table, no l_commitdate/l_receiptdate/l_shipmode (Q4/Q12/Q21
+late-ness is re-expressed against o_orderdate), no o_shippriority/o_comment,
+c_phone/c_comment, p_container. Each query below keeps the ORIGINAL query's
+plan shape — the thing the reference's gate actually exercises — and notes
+its substitutions. Q1 and Q8 are omitted here because they already exist
+verbatim-shape as `agg_pricing_summary` (relational.py) and
+`nation_market_share` (analytic_shapes.py).
+
+The five partsupp queries (Q2/Q9/Q11/Q16/Q20) DERIVE partsupp from
+lineitem: every traded (l_partkey, l_suppkey) pair is a part-supplier
+relationship, ps_supplycost := min unit price ever charged (rounded to 6
+decimals so both engines compare identical thresholds), ps_availqty :=
+total quantity traded. One extra map-side-combined groupBy per query; the
+CTE text is shared verbatim by Spark and DuckDB so the surrogate is
+oracle-identical by construction. Correlated MIN (Q2), profit expression
+(Q9), HAVING-vs-global-fraction (Q11), NOT-IN + COUNT DISTINCT (Q16) and
+the nested IN + correlated scalar agg (Q20) all keep their spec plan
+shapes.
 
 Engine-parity design: every query is ONE ANSI-SQL string executed
 unmodified by BOTH Spark and DuckDB — the strongest possible oracle
@@ -41,6 +52,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
+
+# Shared surrogate for the five partsupp-dependent queries (see module
+# docstring). At 100 TB this is one hash-partitioned groupBy over
+# (l_partkey, l_suppkey) — ~part×supp cardinality, uniform keys — and
+# Catalyst prunes lineitem to the four columns the CTE touches.
+_PS_CTE = """WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ROUND(MIN(l_extendedprice / l_quantity), 6) AS ps_supplycost,
+         ROUND(SUM(l_quantity), 2) AS ps_availqty
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)"""
+
+# --- Q2: minimum-cost supplier (partsupp derived; p_mfgr/addresses absent;
+#     size/type predicates adapted to the generator's vocabulary) ----------
+TPCH_Q2 = _PS_CTE + """
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+       ps_supplycost
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
 
 # --- Q3: shipping priority (o_shippriority → o_orderpriority) -------------
 TPCH_Q3 = """
@@ -116,6 +159,34 @@ GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """
 
+# --- Q9: product type profit (partsupp derived; p_name color LIKE kept) ---
+#     Unlike the all-positive revenue sums elsewhere, the profit expression
+#     CANCELS (price minus cost), so a double SUM's partition-order error
+#     can flip a ROUND boundary between engines/runs — and rounding the
+#     double product to decimal hits genuine midpoint ties where Spark
+#     (HALF_UP) and DuckDB disagree by one ulp of scale. Fix: compute the
+#     whole amount in DECIMAL from the sources (price/discount are exact
+#     2-decimals, quantity integral, supplycost exact 6-decimals — casts
+#     are tie-free), so every row and the sum are exact in both engines.
+TPCH_Q9 = _PS_CTE + """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18, 2))
+           * (CAST(1 AS DECIMAL(3, 2)) - CAST(l_discount AS DECIMAL(4, 2)))
+           - CAST(ps_supplycost AS DECIMAL(18, 6))
+           * CAST(l_quantity AS DECIMAL(18, 0)) AS amount
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
 # --- Q10: returned item reporting (c_address/phone/comment dropped) -------
 TPCH_Q10 = """
 SELECT c_custkey, c_name,
@@ -129,6 +200,22 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
+"""
+
+# --- Q11: important stock (partsupp derived; GERMANY → NATION_3; both -----
+#     HAVING sides rounded to 6 so the fraction threshold is engine-exact)
+TPCH_Q11 = _PS_CTE + """
+SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS part_value
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+GROUP BY ps_partkey
+HAVING ROUND(SUM(ps_supplycost * ps_availqty), 6) > (
+  SELECT ROUND(SUM(ps_supplycost * ps_availqty) * 0.001, 6)
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3')
+ORDER BY part_value DESC, ps_partkey
 """
 
 # --- Q12: shipping modes / late lines (shipmode → priority class; ---------
@@ -187,6 +274,22 @@ WHERE s_suppkey = supplier_no
 ORDER BY s_suppkey
 """
 
+# --- Q16: parts/supplier relationship (partsupp derived; the --------------
+#     '%Customer%Complaints%' comment exclusion → negative-balance
+#     suppliers, same NOT-IN anti-join shape; COUNT DISTINCT kept)
+TPCH_Q16 = _PS_CTE + """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 14, 23, 25, 29, 36, 49)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
 # --- Q17: small-quantity-order revenue (p_container → brand-only gate) ----
 TPCH_Q17 = """
 SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
@@ -224,6 +327,26 @@ WHERE p_partkey = l_partkey
         AND l_quantity BETWEEN 10 AND 20)
     OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
         AND l_quantity BETWEEN 20 AND 30))
+"""
+
+# --- Q20: potential part promotion (partsupp derived; 'forest%' → ---------
+#     'small%'; spec's 0.5×year-volume availqty gate becomes 2×year-volume
+#     because the surrogate availqty is all-time volume — same nested
+#     IN + correlated scalar-agg plan shape, restored selectivity)
+TPCH_Q20 = _PS_CTE + """
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > (
+        SELECT 2.0 * SUM(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+ORDER BY s_name
 """
 
 # --- Q21: suppliers who kept orders waiting (receipt>commit → -------------
@@ -267,19 +390,24 @@ ORDER BY n_name
 """
 
 _SQL = {
+    "tpch_q2": TPCH_Q2,
     "tpch_q3": TPCH_Q3,
     "tpch_q4": TPCH_Q4,
     "tpch_q5": TPCH_Q5,
     "tpch_q6": TPCH_Q6,
     "tpch_q7": TPCH_Q7,
+    "tpch_q9": TPCH_Q9,
     "tpch_q10": TPCH_Q10,
+    "tpch_q11": TPCH_Q11,
     "tpch_q12": TPCH_Q12,
     "tpch_q13": TPCH_Q13,
     "tpch_q14": TPCH_Q14,
     "tpch_q15": TPCH_Q15,
+    "tpch_q16": TPCH_Q16,
     "tpch_q17": TPCH_Q17,
     "tpch_q18": TPCH_Q18,
     "tpch_q19": TPCH_Q19,
+    "tpch_q20": TPCH_Q20,
     "tpch_q21": TPCH_Q21,
     "tpch_q22": TPCH_Q22,
 }
