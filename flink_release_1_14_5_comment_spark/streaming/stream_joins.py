@@ -201,7 +201,12 @@ def regular_join_stream(
       * left +I row  → joins against every stored right row; under
         ``how="left"`` an unmatched left row emits a null-padded +I that is
         RETRACTED (-D) the moment its first right match arrives (the
-        OuterJoinRecordStateView numOfAssociations dance).
+        OuterJoinRecordStateView numOfAssociations dance). ``how="right"``
+        mirrors this for unmatched right rows, and ``how="full"`` pads BOTH
+        sides — when the first row arrives on a previously-empty side, every
+        pad the other side had emitted is retracted, and when a side drains
+        back to empty its partners' pads are re-emitted, matching the
+        reference's AbstractStreamingJoinOperator outer bookkeeping.
       * -D input rows (an optional ``__op`` column, default "+I") remove the
         matching row from state and retract (-D) every join row it produced.
       * idle-key TTL: ``ttl`` (e.g. "1 hour") clears a key's state after that
@@ -221,9 +226,10 @@ def regular_join_stream(
     partitioned by join key across executors; a skewed key concentrates on
     one task, same as the reference's keyed state.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "full"):
         raise NotImplementedError(f"regular_join_stream: how={how!r}")
-    outer = how == "left"
+    pad_left = how in ("left", "full")    # unmatched LEFT rows null-padded
+    pad_right = how in ("right", "full")  # unmatched RIGHT rows null-padded
     skip = {*key_cols, "__op"} | ({seq_col} if seq_col else set())
     lcols = [c for c in left.columns if c not in skip]
     rcols = [c for c in right.columns if c not in skip]
@@ -296,40 +302,42 @@ def regular_join_stream(
             for side, rowop, payload in batch[
                 ["__side", "__rowop", "__payload"]
             ].itertuples(index=False, name=None):
+                # One symmetric handler: `mine`/`other` are this row's own
+                # and opposite state lists; pad_mine pads THIS side's
+                # unmatched rows, pad_other the opposite side's. emit()
+                # takes (left_payload, right_payload), so the left side
+                # passes (payload, other_row) and the right side flips.
                 if side == "L":
-                    if rowop == "+I":
-                        if rpay:
-                            out.extend(emit("+I", payload, rp) for rp in rpay)
-                        elif outer:
-                            out.append(emit("+I", payload, None))
-                        lpay.append(payload)
-                    else:  # -D: retract this left row and everything it joined
-                        try:
-                            i = lpay.index(payload)
-                        except ValueError:
-                            continue  # retraction for a row we never saw
-                        if rpay:
-                            out.extend(emit("-D", payload, rp) for rp in rpay)
-                        elif outer:
-                            out.append(emit("-D", payload, None))
-                        del lpay[i]
+                    mine, other = lpay, rpay
+                    pad_mine, pad_other = pad_left, pad_right
+                    pair = lambda op, op_mine, op_other: emit(op, op_mine, op_other)  # noqa: E731
                 else:
-                    if rowop == "+I":
-                        for lp in lpay:
-                            if outer and not rpay:  # first match: retract pad
-                                out.append(emit("-D", lp, None))
-                            out.append(emit("+I", lp, payload))
-                        rpay.append(payload)
-                    else:
-                        try:
-                            i = rpay.index(payload)
-                        except ValueError:
-                            continue
-                        del rpay[i]
-                        for lp in lpay:
-                            out.append(emit("-D", lp, payload))
-                            if outer and not rpay:  # last match gone: re-pad
-                                out.append(emit("+I", lp, None))
+                    mine, other = rpay, lpay
+                    pad_mine, pad_other = pad_right, pad_left
+                    pair = lambda op, op_mine, op_other: emit(op, op_other, op_mine)  # noqa: E731
+                if rowop == "+I":
+                    if other:
+                        if pad_other and not mine:
+                            # the other side's rows were all unmatched →
+                            # their pads die with this first match
+                            out.extend(pair("-D", None, o) for o in other)
+                        out.extend(pair("+I", payload, o) for o in other)
+                    elif pad_mine:
+                        out.append(pair("+I", payload, None))
+                    mine.append(payload)
+                else:  # -D: retract this row and everything it joined
+                    try:
+                        i = mine.index(payload)
+                    except ValueError:
+                        continue  # retraction for a row we never saw
+                    del mine[i]
+                    if other:
+                        out.extend(pair("-D", payload, o) for o in other)
+                        if pad_other and not mine:
+                            # this side drained: other rows unmatched again
+                            out.extend(pair("+I", None, o) for o in other)
+                    elif pad_mine:
+                        out.append(pair("-D", payload, None))
         if lpay or rpay:
             state.update((lpay, rpay))
             if ttl_ms is not None:

@@ -118,10 +118,89 @@ def test_ttl_accepted_and_correct_within_window(spark):
             sources.cleanup(t)
 
 
+def test_right_outer_pads_unmatched_right(spark):
+    """Mirror of the left-outer case: the retract-R(x) script means x's join
+    rows die; y arrives while a is present so it is never padded, and the
+    unmatched-left key-2 row contributes nothing under how="right"."""
+    ls, rs, tmps = _script(spark)
+    try:
+        out = regular_join_stream(ls, rs, ["k"], how="right", seq_col="__seq")
+        ops, live, rows = _changelog(_mem(out))
+        assert live == {("a", "y")}
+        # +I(a,x) -D(a,x) +I(a,y); no pads (a precedes every right row)
+        assert ops["+I"] == 2 and ops["-D"] == 1
+    finally:
+        for t in tmps:
+            sources.cleanup(t)
+
+
+def test_right_outer_pad_retract_on_first_left_match(spark):
+    """Right rows arrive FIRST → padded; the late left row retracts both
+    pads and emits the join rows (numOfAssociations flip, mirrored).
+    Each replay source advances one file per trigger, so micro-batch k
+    unions chunk k of BOTH sides; the key-99 filler keeps the real left
+    row out of batch 1, and __seq orders y before a inside batch 2."""
+    left = spark.createDataFrame(
+        [(99, "filler", 0), (1, "a", 3)], "k long, lval string, __seq long")
+    right = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "k long, rval string, __seq long")
+    ls, ltmp = sources.replay_as_stream(spark, left, n_chunks=2, order_col="__seq")
+    rs, rtmp = sources.replay_as_stream(spark, right, n_chunks=2, order_col="__seq")
+    try:
+        out = regular_join_stream(ls, rs, ["k"], how="right", seq_col="__seq")
+        ops, live, _ = _changelog(_mem(out))
+        assert live == {("a", "x"), ("a", "y")}
+        # +I(null,x) +I(null,y) -D both pads, +I(a,x) +I(a,y);
+        # the unmatched key-99 left row emits nothing under how="right"
+        assert ops["+I"] == 4 and ops["-D"] == 2
+    finally:
+        sources.cleanup(ltmp)
+        sources.cleanup(rtmp)
+
+
+def test_full_outer_pads_both_sides(spark):
+    """Full outer: the L(a)-R(x)-retract(x)-R(y) script plus the unmatched
+    left key keeps BOTH sides' pads live where appropriate."""
+    ls, rs, tmps = _script(spark)
+    try:
+        out = regular_join_stream(ls, rs, ["k"], how="full", seq_col="__seq")
+        ops, live, _ = _changelog(_mem(out))
+        assert live == {("a", "y"), ("b", None)}
+        # left-outer's 5 +I / 3 -D; right rows always match a on arrival,
+        # so no right pads appear
+        assert ops["+I"] == 5 and ops["-D"] == 3
+    finally:
+        for t in tmps:
+            sources.cleanup(t)
+
+
+def test_full_outer_repad_when_side_drains(spark):
+    """Retracting the ONLY left row under full outer re-pads the surviving
+    right rows (the drain → re-pad transition on the opposite side)."""
+    left = spark.createDataFrame(
+        [(1, "a", "+I", 2), (1, "a", "-D", 4)],
+        "k long, lval string, __op string, __seq long")
+    right = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 3)], "k long, rval string, __seq long")
+    ls, ltmp = sources.replay_as_stream(spark, left, n_chunks=2, order_col="__seq")
+    rs, rtmp = sources.replay_as_stream(spark, right, n_chunks=2, order_col="__seq")
+    try:
+        out = regular_join_stream(ls, rs, ["k"], how="full", seq_col="__seq")
+        ops, live, _ = _changelog(_mem(out))
+        # end state: a gone, x and y live as right pads
+        assert live == {(None, "x"), (None, "y")}
+        # +I(null,x) [x first, padded] -D pad +I(a,x) [a arrives]
+        # +I(a,y) [y joins a directly] -D(a,x) -D(a,y) +I(null,x) +I(null,y)
+        assert ops["+I"] == 5 and ops["-D"] == 3
+    finally:
+        sources.cleanup(ltmp)
+        sources.cleanup(rtmp)
+
+
 def test_overlapping_payload_rejected(spark):
     df = spark.createDataFrame([(1, "v")], "k long, val string")
     with pytest.raises(ValueError, match="disjoint"):
         regular_join_stream(df, df, ["k"])
     with pytest.raises(NotImplementedError):
         regular_join_stream(
-            df, df.withColumnRenamed("val", "val2"), ["k"], how="full")
+            df, df.withColumnRenamed("val", "val2"), ["k"], how="cross")
