@@ -359,3 +359,143 @@ def regular_join_stream(
         u.groupBy(*key_cols)
         .applyInPandasWithState(step, out_schema, state_schema, "append", timeout)
     )
+
+
+def semi_anti_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    how: str = "semi",
+    ttl: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Unbounded full-history streaming SEMI / ANTI join with retractions —
+    the reference's StreamingSemiAntiJoinOperator: output is the LEFT rows
+    only, as a changelog keyed on whether the right side currently holds
+    ANY row for the key.
+
+      * ``how="semi"``: a left row is live while the right side is
+        non-empty. The right count's 0→1 transition births every stored
+        left row (+I each); 1→0 (last right row retracted) kills them (-D).
+      * ``how="anti"``: the exact mirror — live while the right side is
+        EMPTY, so 0→1 retracts and 1→0 re-emits.
+      * -D inputs on either side are honored (spurious retractions of
+        never-seen rows are ignored, like JoinRecordStateView's no-op).
+      * ``ttl`` / ``seq_col`` behave as in :func:`regular_join_stream`.
+
+    Output schema: ``op string`` + key cols + left payload (right payload
+    never appears — that is the semi/anti contract).
+
+    Scale: right-side state could be just a per-key count, but retractable
+    inputs need the payload multiset to drop spurious -Ds, so both sides
+    keep their history (the reference stores both sides too); ``ttl`` is
+    the unbounded-state answer, exactly as for the regular join.
+    """
+    if how not in ("semi", "anti"):
+        raise NotImplementedError(f"semi_anti_join_stream: how={how!r}")
+    semi = how == "semi"
+    skip = {*key_cols, "__op"} | ({seq_col} if seq_col else set())
+    lcols = [c for c in left.columns if c not in skip]
+    rcols = [c for c in right.columns if c not in skip]
+    ldt = dict(left.dtypes)
+    out_schema = ", ".join(
+        ["op string"]
+        + [f"{c} {ldt[c]}" for c in key_cols]
+        + [f"{c} {ldt[c]}" for c in lcols]
+    )
+    ts_cols = [c for c in lcols if ldt[c].startswith("timestamp")]
+    state_schema = "lpay array<string>, rpay array<string>"
+    ttl_ms = None
+    if ttl is not None:
+        from flink_release_1_14_5_comment_spark.streaming.evictors import _parse_seconds
+
+        ttl_ms = int(_parse_seconds(ttl) * 1000)
+    n_keys = len(key_cols)
+
+    def pack(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+        op = F.col("__op") if "__op" in df.columns else F.lit("+I")
+        seq = F.col(seq_col) if seq_col else F.lit(0)
+        return df.select(
+            *key_cols,
+            F.lit(side).alias("__side"),
+            op.alias("__rowop"),
+            seq.cast("long").alias("__seq"),
+            F.to_json(F.struct(*cols)).alias("__payload"),
+        )
+
+    u = pack(left, lcols, "L").unionByName(pack(right, rcols, "R"))
+
+    def step(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        dfs = [p for p in pdfs if not p.empty]
+        batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+        lpay, rpay = (
+            (list(x) for x in state.get) if state.exists else ([], [])
+        )
+        lpay, rpay = list(lpay), list(rpay)
+        keyvals = {key_cols[i]: key[i] for i in range(n_keys)}
+
+        def emit(op: str, lp: str) -> dict:
+            row = dict(keyvals)
+            row["op"] = op
+            row.update({c: json.loads(lp).get(c) for c in lcols})
+            return row
+
+        out: list[dict] = []
+        if not batch.empty:
+            if seq_col:
+                batch = batch.sort_values("__seq", kind="stable")
+            for side, rowop, payload in batch[
+                ["__side", "__rowop", "__payload"]
+            ].itertuples(index=False, name=None):
+                if side == "L":
+                    if rowop == "+I":
+                        if bool(rpay) == semi:
+                            out.append(emit("+I", payload))
+                        lpay.append(payload)
+                    else:
+                        try:
+                            i = lpay.index(payload)
+                        except ValueError:
+                            continue
+                        if bool(rpay) == semi:
+                            out.append(emit("-D", payload))
+                        del lpay[i]
+                else:
+                    if rowop == "+I":
+                        if not rpay:  # 0→1: every left row flips liveness
+                            op = "+I" if semi else "-D"
+                            out.extend(emit(op, lp) for lp in lpay)
+                        rpay.append(payload)
+                    else:
+                        try:
+                            i = rpay.index(payload)
+                        except ValueError:
+                            continue
+                        del rpay[i]
+                        if not rpay:  # 1→0: flip back
+                            op = "-D" if semi else "+I"
+                            out.extend(emit(op, lp) for lp in lpay)
+        if lpay or rpay:
+            state.update((lpay, rpay))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            pdf = pd.DataFrame(out)
+            for c in ts_cols:
+                if c in pdf.columns:
+                    pdf[c] = pd.to_datetime(pdf[c])
+            yield pdf
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None else GroupStateTimeout.NoTimeout
+    )
+    return (
+        u.groupBy(*key_cols)
+        .applyInPandasWithState(step, out_schema, state_schema, "append", timeout)
+    )

@@ -17,6 +17,7 @@ sys.path.insert(0, "/root/repo")
 from flink_release_1_14_5_comment_spark.streaming import sources
 from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
     regular_join_stream,
+    semi_anti_join_stream,
 )
 
 TS = datetime.datetime(2024, 3, 1, 12, 0, 0)
@@ -195,6 +196,44 @@ def test_full_outer_repad_when_side_drains(spark):
     finally:
         sources.cleanup(ltmp)
         sources.cleanup(rtmp)
+
+
+def _semi_changelog(df):
+    rows = df.collect()
+    ops = Counter(r.op for r in rows)
+    net = Counter()
+    for r in rows:
+        net[r.lval] += 1 if r.op == "+I" else -1
+    assert all(n in (0, 1) for n in net.values()), net
+    return ops, {v for v, n in net.items() if n == 1}
+
+
+def test_semi_join_stream_flips_on_right_count(spark):
+    """StreamingSemiAntiJoinOperator semi semantics: left rows are born at
+    the right side's 0→1 transition, die at 1→0, reborn when y arrives."""
+    ls, rs, tmps = _script(spark)
+    try:
+        out = semi_anti_join_stream(ls, rs, ["k"], how="semi", seq_col="__seq")
+        ops, live = _semi_changelog(_mem(out))
+        assert live == {"a"}          # y keeps key 1 matched at end-of-input
+        assert ops["+I"] == 2 and ops["-D"] == 1
+    finally:
+        for t in tmps:
+            sources.cleanup(t)
+
+
+def test_anti_join_stream_mirror(spark):
+    """Anti is the exact mirror: +I while the right side is empty, retract
+    on first match, re-emit when the last right row is retracted."""
+    ls, rs, tmps = _script(spark)
+    try:
+        out = semi_anti_join_stream(ls, rs, ["k"], how="anti", seq_col="__seq")
+        ops, live = _semi_changelog(_mem(out))
+        assert live == {"b"}          # key 1 ends matched → a not in anti
+        assert ops["+I"] == 3 and ops["-D"] == 2
+    finally:
+        for t in tmps:
+            sources.cleanup(t)
 
 
 def test_overlapping_payload_rejected(spark):
