@@ -18,6 +18,8 @@ and returns the materialized table. Determinism contracts:
   regardless of watermark boundary effects (delays sized so nothing drops).
 * `stream_regular_join` — unbounded FULL-HISTORY join: append-only inner
   inputs make the changelog pure +I, so end-of-input output == batch join.
+* `stream_semi_join` — full-history retractable SEMI join: append-only
+  inputs pin the right count to 0→1, so output == batch EXISTS semi join.
 * `stream_changelog_topn` — the strongest contract in the file: the FULL
   +I/+U/-D changelog across an EXACT two-batch split (final_dfs, not
   sampled range partitioning) is reproduced in SQL as a top-set diff.
@@ -547,6 +549,61 @@ WHERE o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-02-01'
 """
 
 
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded full-history streaming SEMI join (reference
+    StreamingSemiAntiJoinOperator): lineitems of Jan+Feb-1995 orders stream
+    on the left, Jan-1995 orders on the right; a left row is emitted once
+    the right side holds ANY row for its key — whether the match arrived
+    before or after it (both sides' full history is keyed state). With
+    append-only inputs the per-key right count only ever transitions 0→1,
+    so the changelog is pure +I and end-of-input output equals the batch
+    EXISTS semi join — the oracle contract. Retraction-driven die/reborn
+    flips are covered by the scripted pytest harness.
+    """
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        semi_anti_join_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    jan = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01"))
+    janfeb = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-03-01"))
+    left = (t["lineitem"]
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    "l_linenumber",
+                    F.col("l_quantity").cast("int").alias("qty"))
+            .join(janfeb.select(F.col("o_orderkey").alias("orderkey")),
+                  "orderkey", "semi"))
+    right = jan.select(F.col("o_orderkey").alias("orderkey"),
+                       F.col("o_custkey").alias("custkey"))
+    ls, ltmp = sources.replay_as_stream(spark, left, n_chunks=2,
+                                        order_col="orderkey")
+    rs, rtmp = sources.replay_as_stream(spark, right, n_chunks=2,
+                                        order_col="orderkey")
+    try:
+        out = semi_anti_join_stream(ls, rs, ["orderkey"], how="semi")
+        return _run_to_memory(out)
+    finally:
+        sources.cleanup(ltmp)
+        sources.cleanup(rtmp)
+
+
+ORACLE_Q_STREAM_SEMI_JOIN = """
+SELECT '+I' AS op, l.l_orderkey AS orderkey, l.l_linenumber,
+       CAST(l.l_quantity AS INT) AS qty
+FROM lineitem l
+WHERE EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-02-01')
+  AND EXISTS (
+    SELECT 1 FROM orders o2 WHERE o2.o_orderkey = l.l_orderkey
+      AND o2.o_orderdate >= '1995-01-01' AND o2.o_orderdate < '1995-03-01')
+"""
+
+
 def q_stream_changelog_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retractable/Updatable streaming Top-N (reference
     UpdatableTopNFunction.java / RetractableTopNFunction.java) with its FULL
@@ -929,6 +986,7 @@ QUERIES = {
     "stream_group_agg": q_stream_group_agg,
     "stream_count_window_sliding": q_stream_count_window_sliding,
     "stream_regular_join": q_stream_regular_join,
+    "stream_semi_join": q_stream_semi_join,
     "stream_changelog_topn": q_stream_changelog_topn,
     "stream_window_hop": q_stream_window_hop,
     "stream_window_evictor": q_stream_window_evictor,
@@ -952,6 +1010,7 @@ ORACLE = {
     "stream_group_agg": ORACLE_Q_STREAM_GROUP_AGG,
     "stream_count_window_sliding": ORACLE_Q_STREAM_COUNT_WINDOW_SLIDING,
     "stream_regular_join": ORACLE_Q_STREAM_REGULAR_JOIN,
+    "stream_semi_join": ORACLE_Q_STREAM_SEMI_JOIN,
     "stream_changelog_topn": ORACLE_Q_STREAM_CHANGELOG_TOPN,
     "stream_window_hop": ORACLE_Q_STREAM_WINDOW_HOP,
     "stream_window_evictor": ORACLE_Q_STREAM_WINDOW_EVICTOR,
