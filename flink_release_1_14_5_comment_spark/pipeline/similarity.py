@@ -7,6 +7,9 @@
 * LSH-bucketed ANN — the scale path: deterministic sign-projection buckets
   turn the cross join into an equi-join on bucket id. Recall trades off with
   bucket count; candidates within a bucket are scored exactly.
+* IVF (coarse cells + nprobe) and PQ (product-quantized ADC scan) — the
+  FAISS index family re-expressed as DataFrame plans; composing the two
+  (restrict the PQ scan to IVF candidates) is IVF-PQ.
 
 All arithmetic is done in DOUBLE after casting the float components, with
 results rounded before ranking so the DuckDB oracle (list_cosine_similarity)
@@ -480,6 +483,122 @@ WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[
 """
 
 
+# --- Product quantization (FAISS IndexPQ; Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011) -------------------
+# The 64-dim vector splits into PQ_M=4 subspaces of 16 dims; each subspace
+# gets a codebook of 10 sub-centroids (trained, like the IVF coarse stage,
+# on the deterministic label groups so the DuckDB oracle reproduces training
+# exactly — real deployments run k-means here, pipeline/clustering.py).
+# A vector is stored as 4 small codes; a query precomputes an ADC table
+# (inner product of each query subvector with every sub-centroid, M×K
+# values) and the scan scores a candidate by summing 4 table lookups —
+# never touching raw corpus vectors.
+#
+# 100 TB story: the codes frame is ~64× smaller than the float corpus
+# (4 codes vs 64 floats), the ADC table broadcasts (M×K×n_queries rows),
+# and scoring is an equi-join on (sub, code) + a 4-row-per-pair sum — no
+# 64-dim folds in the scan. Composing with the IVF cell restriction
+# (semi-join candidates on q_ann_ivf_topk's `assign`) gives IVF-PQ.
+# Determinism: every distance/inner-product is ROUND(SUM(component),6)
+# group-aggregated identically in both engines, and the final M-term sum
+# runs in exact DECIMAL(12,6) so aggregation order cannot flip a rank.
+PQ_M = 4
+PQ_SUBDIM = 64 // PQ_M
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN top-3: encode corpus to 4 sub-codes, score queries by
+    summed ADC inner products, rank per query."""
+    t = register_views(spark, sf_dir)
+    e = _spread(t["embeddings"])
+    comp = (
+        e.select("vec_id", "label",
+                 F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "v"))
+        .withColumn("sub", (F.col("pos") / PQ_SUBDIM).cast("int"))
+    )
+    cb = (
+        comp.groupBy(F.col("label").alias("code"), "pos")
+        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
+        .select("code", "pos", "cv")
+    )
+    sq = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+    enc = (
+        comp.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.round(F.sum(sq), 6).alias("d2"))
+    )
+    wenc = W.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        enc.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1).select("vec_id", "sub", "code")
+    )
+    adc = (
+        comp.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "pos", "sub", "v")
+        .join(F.broadcast(cb), "pos")
+        .groupBy("qid", "sub", "code")
+        .agg(F.round(F.sum(F.col("v") * F.col("cv")), 6).alias("ip"))
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("ip").cast("decimal(12,6)")).cast("double")
+             .alias("approx_ip"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "approx_ip")
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("approx_ip").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+ORACLE_Q_ANN_PQ_TOPK = f"""
+WITH comp AS (
+  SELECT vec_id, label, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, 64) AS t(pos)
+),
+cb AS (
+  SELECT label AS code, pos, ROUND(SUM(v), 6) / COUNT(*) AS cv
+  FROM comp GROUP BY label, pos
+),
+enc AS (
+  SELECT c.vec_id, c.pos // {PQ_SUBDIM} AS sub, cb.code,
+         ROUND(SUM((c.v - cb.cv) * (c.v - cb.cv)), 6) AS d2
+  FROM comp c JOIN cb ON cb.pos = c.pos
+  GROUP BY c.vec_id, c.pos // {PQ_SUBDIM}, cb.code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn
+    FROM enc)
+  WHERE rn = 1
+),
+adc AS (
+  SELECT c.vec_id AS qid, c.pos // {PQ_SUBDIM} AS sub, cb.code,
+         ROUND(SUM(c.v * cb.cv), 6) AS ip
+  FROM comp c JOIN cb ON cb.pos = c.pos
+  WHERE c.vec_id < {N_QUERIES}
+  GROUP BY c.vec_id, c.pos // {PQ_SUBDIM}, cb.code
+),
+scored AS (
+  SELECT a.qid, k.vec_id AS neighbor_id,
+         CAST(SUM(CAST(a.ip AS DECIMAL(12, 6))) AS DOUBLE) AS approx_ip
+  FROM codes k JOIN adc a ON a.sub = k.sub AND a.code = k.code
+  WHERE k.vec_id <> a.qid
+  GROUP BY a.qid, k.vec_id
+)
+SELECT qid, neighbor_id, approx_ip, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY approx_ip DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the banded-LSH ANN path against the exact kNN baseline —
     the standard ANN quality metric (what FAISS-style systems report).
@@ -572,6 +691,7 @@ QUERIES = {
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
     "dedup_embedding": q_dedup_embedding,
@@ -583,6 +703,7 @@ ORACLE = {
     "ann_lsh_buckets": ORACLE_Q_ANN_LSH_BUCKETS,
     "ann_lsh_topk": ORACLE_Q_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_Q_ANN_IVF_TOPK,
+    "ann_pq_topk": ORACLE_Q_ANN_PQ_TOPK,
     "embedding_quantize": ORACLE_Q_EMBEDDING_QUANTIZE,
     "embedding_stats": ORACLE_Q_EMBEDDING_STATS,
     "dedup_embedding": ORACLE_Q_DEDUP_EMBEDDING,
