@@ -189,3 +189,27 @@ def test_incremental_dedup_prefilter_broadcasts(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_partsupp_suite_plan_shapes(spark, sf_dir):
+    """Plan audit for the derived-partsupp TPC-H queries: the surrogate CTE
+    must not change the spec plan shapes — dim chains broadcast, Q16's
+    NOT IN decorrelates to an anti join, Q20's nested IN to a semi join,
+    and nothing degenerates into a cartesian product."""
+    from flink_release_1_14_5_comment_spark.operators import tpch
+
+    expect = {
+        # name: (min BroadcastHashJoin, must-have join marker or None)
+        "tpch_q2": (5, None),       # part/supplier/nation/region chain ×2 sides
+        "tpch_q9": (4, None),       # part/supplier/orders/nation around lineitem
+        "tpch_q11": (3, None),      # supplier/nation on both HAVING branches
+        "tpch_q16": (1, "Anti"),    # NOT IN (negative-balance suppliers)
+        "tpch_q20": (3, "Semi"),    # nested IN chains
+    }
+    for name, (min_bhj, marker) in expect.items():
+        p = tpch.QUERIES[name](spark, sf_dir) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in p, name
+        assert p.count("BroadcastHashJoin") >= min_bhj, (name, p.count("BroadcastHashJoin"))
+        if marker:
+            assert marker in p, name
