@@ -203,9 +203,14 @@ LIMIT 20
 """
 
 # --- Q11: important stock (partsupp derived; GERMANY → NATION_3; both -----
-#     HAVING sides rounded to 6 so the fraction threshold is engine-exact)
+#     HAVING sides rounded to 6 so the fraction threshold is engine-exact;
+#     the output value sums exact DECIMALs — supplycost is an exact
+#     6-decimal, availqty an exact 2-decimal, so the product/sum carry no
+#     float error and no ROUND midpoint can split the engines)
 TPCH_Q11 = _PS_CTE + """
-SELECT ps_partkey, ROUND(SUM(ps_supplycost * ps_availqty), 2) AS part_value
+SELECT ps_partkey,
+       CAST(SUM(CAST(ps_supplycost AS DECIMAL(18, 6))
+                * CAST(ps_availqty AS DECIMAL(18, 2))) AS DOUBLE) AS part_value
 FROM partsupp, supplier, nation
 WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
   AND n_name = 'NATION_3'
