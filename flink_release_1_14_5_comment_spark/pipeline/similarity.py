@@ -8,8 +8,9 @@
   turn the cross join into an equi-join on bucket id. Recall trades off with
   bucket count; candidates within a bucket are scored exactly.
 * IVF (coarse cells + nprobe) and PQ (product-quantized ADC scan) — the
-  FAISS index family re-expressed as DataFrame plans; composing the two
-  (restrict the PQ scan to IVF candidates) is IVF-PQ.
+  FAISS index family re-expressed as DataFrame plans; `ann_ivfpq_topk`
+  composes them (IVF candidates scored by ADC sums) into the standard
+  billion-scale serving layout.
 
 All arithmetic is done in DOUBLE after casting the float components, with
 results rounded before ranking so the DuckDB oracle (list_cosine_similarity)
@@ -599,6 +600,142 @@ WHERE rn <= 3
 """
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-3 (FAISS IndexIVFPQ): the IVF coarse stage restricts
+    candidates to the query's N_PROBE cells, then the PQ-ADC stage scores
+    them from 4 sub-codes — raw corpus vectors are touched by NEITHER
+    stage's scan path at serving time (cells and codes are the index).
+    At 100 TB the probe touches NPROBE/|cells| of the codes frame, itself
+    ~64× smaller than the float corpus — the standard billion-scale
+    serving layout. Same determinism scheme as the component queries."""
+    t = register_views(spark, sf_dir)
+    e = _spread(t["embeddings"])
+    # IVF coarse stage (as q_ann_ivf_topk)
+    cent = _centroids(e).withColumn("cnorm", _norm("cent"))
+    e_n = e.withColumn("nrm", _norm("embedding"))
+    cscore = e_n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell",
+        F.round(_cosine_pre("embedding", "cent", "nrm", "cnorm"), 6).alias("csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    ranked = cscore.withColumn("rn", F.row_number().over(w)).persist()
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell")
+    qcells = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("qid"), "cell")
+    )
+    cand = (
+        assign.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    # PQ fine stage (as q_ann_pq_topk)
+    comp = (
+        e.select("vec_id", "label",
+                 F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "v"))
+        .withColumn("sub", (F.col("pos") / PQ_SUBDIM).cast("int"))
+    )
+    cb = (
+        comp.groupBy(F.col("label").alias("code"), "pos")
+        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
+        .select("code", "pos", "cv")
+    )
+    sq = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
+    enc = (
+        comp.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.round(F.sum(sq), 6).alias("d2"))
+    )
+    wenc = W.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        enc.withColumn("rn", F.row_number().over(wenc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+    )
+    adc = (
+        comp.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), "pos", "sub", "v")
+        .join(F.broadcast(cb), "pos")
+        .groupBy("qid", "sub", "code")
+        .agg(F.round(F.sum(F.col("v") * F.col("cv")), 6).alias("ip"))
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(adc), ["qid", "sub", "code"])
+        .groupBy("qid", "neighbor_id")
+        .agg(F.sum(F.col("ip").cast("decimal(12,6)")).cast("double")
+             .alias("approx_ip"))
+    )
+    wk = W.partitionBy("qid").orderBy(F.col("approx_ip").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+ORACLE_Q_ANN_IVFPQ_TOPK = f"""
+WITH comp AS (
+  SELECT vec_id, label, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, 64) AS t(pos)
+),
+cb AS (
+  SELECT label AS code, pos, ROUND(SUM(v), 6) / COUNT(*) AS cv
+  FROM comp GROUP BY label, pos
+),
+cent AS (SELECT code AS cell, list(cv ORDER BY pos) AS cent FROM cb GROUP BY code),
+ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+  FROM (SELECT e.vec_id, c.cell,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cent), 6) AS csim
+        FROM embeddings e CROSS JOIN cent c)
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+qcells AS (SELECT vec_id AS qid, cell FROM ranked
+           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+cand AS (
+  SELECT DISTINCT q.qid, a.vec_id AS neighbor_id
+  FROM qcells q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id <> q.qid
+),
+enc AS (
+  SELECT c.vec_id, c.pos // {PQ_SUBDIM} AS sub, cb.code,
+         ROUND(SUM((c.v - cb.cv) * (c.v - cb.cv)), 6) AS d2
+  FROM comp c JOIN cb ON cb.pos = c.pos
+  GROUP BY c.vec_id, c.pos // {PQ_SUBDIM}, cb.code
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, sub, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn
+    FROM enc)
+  WHERE rn = 1
+),
+adc AS (
+  SELECT c.vec_id AS qid, c.pos // {PQ_SUBDIM} AS sub, cb.code,
+         ROUND(SUM(c.v * cb.cv), 6) AS ip
+  FROM comp c JOIN cb ON cb.pos = c.pos
+  WHERE c.vec_id < {N_QUERIES}
+  GROUP BY c.vec_id, c.pos // {PQ_SUBDIM}, cb.code
+),
+scored AS (
+  SELECT cd.qid, cd.neighbor_id,
+         CAST(SUM(CAST(a.ip AS DECIMAL(12, 6))) AS DOUBLE) AS approx_ip
+  FROM cand cd
+  JOIN codes k ON k.neighbor_id = cd.neighbor_id
+  JOIN adc a ON a.qid = cd.qid AND a.sub = k.sub AND a.code = k.code
+  GROUP BY cd.qid, cd.neighbor_id
+)
+SELECT qid, neighbor_id, approx_ip, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY approx_ip DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+"""
+
+
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the banded-LSH ANN path against the exact kNN baseline —
     the standard ANN quality metric (what FAISS-style systems report).
@@ -692,6 +829,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "embedding_quantize": q_embedding_quantize,
     "embedding_stats": q_embedding_stats,
     "dedup_embedding": q_dedup_embedding,
@@ -704,6 +842,7 @@ ORACLE = {
     "ann_lsh_topk": ORACLE_Q_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_Q_ANN_IVF_TOPK,
     "ann_pq_topk": ORACLE_Q_ANN_PQ_TOPK,
+    "ann_ivfpq_topk": ORACLE_Q_ANN_IVFPQ_TOPK,
     "embedding_quantize": ORACLE_Q_EMBEDDING_QUANTIZE,
     "embedding_stats": ORACLE_Q_EMBEDDING_STATS,
     "dedup_embedding": ORACLE_Q_DEDUP_EMBEDDING,
