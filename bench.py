@@ -52,6 +52,7 @@ HEADLINE = [
     "nation_market_share",
     "tpch_q5",   # classic 6-table dim-chain join (broadcast-audited)
     "tpch_q18",  # large-volume HAVING-subquery + top-100
+    "tpch_q9",   # derived-partsupp profit: extra groupBy + 5-way join
     "window_tumble",
     "window_hop",
     "window_session",
@@ -73,6 +74,8 @@ HEADLINE = [
     "chunk_tokens",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "embedding_kmeans",
     "text_stats",
     "funnel_match",
