@@ -185,6 +185,102 @@ def co_group_stream(
     )
 
 
+def _join_transition(
+    side: str,
+    rowop: str,
+    payload: str,
+    lpay: list,
+    rpay: list,
+    pad_left: bool,
+    pad_right: bool,
+) -> list[tuple]:
+    """Pure changelog transition for one arriving event of the full-history
+    equi-join (factored out of the stateful step so the semantics are unit-
+    and property-testable without a streaming runtime — see
+    tests/test_property_based.py). Mutates lpay/rpay in place and returns
+    the emissions as (op, left_payload | None, right_payload | None).
+
+    One symmetric handler: `mine`/`other` are the arriving side's own and
+    opposite state lists; pad_mine pads THIS side's unmatched rows,
+    pad_other the opposite side's."""
+    if side == "L":
+        mine, other = lpay, rpay
+        pad_mine, pad_other = pad_left, pad_right
+        pair = lambda op, m, o: (op, m, o)  # noqa: E731
+    else:
+        mine, other = rpay, lpay
+        pad_mine, pad_other = pad_right, pad_left
+        pair = lambda op, m, o: (op, o, m)  # noqa: E731
+    out: list[tuple] = []
+    if rowop == "+I":
+        if other:
+            if pad_other and not mine:
+                # the other side's rows were all unmatched → their pads
+                # die with this first match
+                out.extend(pair("-D", None, o) for o in other)
+            out.extend(pair("+I", payload, o) for o in other)
+        elif pad_mine:
+            out.append(pair("+I", payload, None))
+        mine.append(payload)
+    else:  # -D: retract this row and everything it joined
+        try:
+            i = mine.index(payload)
+        except ValueError:
+            return out  # retraction for a row we never saw
+        del mine[i]
+        if other:
+            out.extend(pair("-D", payload, o) for o in other)
+            if pad_other and not mine:
+                # this side drained: other rows unmatched again
+                out.extend(pair("+I", None, o) for o in other)
+        elif pad_mine:
+            out.append(pair("-D", payload, None))
+    return out
+
+
+def _semi_anti_transition(
+    side: str,
+    rowop: str,
+    payload: str,
+    lpay: list,
+    rpay: list,
+    semi: bool,
+) -> list[tuple]:
+    """Pure changelog transition for the streaming semi/anti join: returns
+    (op, left_payload) emissions; left-row liveness flips on the right
+    side's 0→1 / 1→0 count transitions. Mutates lpay/rpay in place."""
+    out: list[tuple] = []
+    if side == "L":
+        if rowop == "+I":
+            if bool(rpay) == semi:
+                out.append(("+I", payload))
+            lpay.append(payload)
+        else:
+            try:
+                i = lpay.index(payload)
+            except ValueError:
+                return out
+            if bool(rpay) == semi:
+                out.append(("-D", payload))
+            del lpay[i]
+    else:
+        if rowop == "+I":
+            if not rpay:  # 0→1: every left row flips liveness
+                op = "+I" if semi else "-D"
+                out.extend((op, lp) for lp in lpay)
+            rpay.append(payload)
+        else:
+            try:
+                i = rpay.index(payload)
+            except ValueError:
+                return out
+            del rpay[i]
+            if not rpay:  # 1→0: flip back
+                op = "-D" if semi else "+I"
+                out.extend((op, lp) for lp in lpay)
+    return out
+
+
 def regular_join_stream(
     left: DataFrame,
     right: DataFrame,
@@ -302,42 +398,11 @@ def regular_join_stream(
             for side, rowop, payload in batch[
                 ["__side", "__rowop", "__payload"]
             ].itertuples(index=False, name=None):
-                # One symmetric handler: `mine`/`other` are this row's own
-                # and opposite state lists; pad_mine pads THIS side's
-                # unmatched rows, pad_other the opposite side's. emit()
-                # takes (left_payload, right_payload), so the left side
-                # passes (payload, other_row) and the right side flips.
-                if side == "L":
-                    mine, other = lpay, rpay
-                    pad_mine, pad_other = pad_left, pad_right
-                    pair = lambda op, op_mine, op_other: emit(op, op_mine, op_other)  # noqa: E731
-                else:
-                    mine, other = rpay, lpay
-                    pad_mine, pad_other = pad_right, pad_left
-                    pair = lambda op, op_mine, op_other: emit(op, op_other, op_mine)  # noqa: E731
-                if rowop == "+I":
-                    if other:
-                        if pad_other and not mine:
-                            # the other side's rows were all unmatched →
-                            # their pads die with this first match
-                            out.extend(pair("-D", None, o) for o in other)
-                        out.extend(pair("+I", payload, o) for o in other)
-                    elif pad_mine:
-                        out.append(pair("+I", payload, None))
-                    mine.append(payload)
-                else:  # -D: retract this row and everything it joined
-                    try:
-                        i = mine.index(payload)
-                    except ValueError:
-                        continue  # retraction for a row we never saw
-                    del mine[i]
-                    if other:
-                        out.extend(pair("-D", payload, o) for o in other)
-                        if pad_other and not mine:
-                            # this side drained: other rows unmatched again
-                            out.extend(pair("+I", None, o) for o in other)
-                    elif pad_mine:
-                        out.append(pair("-D", payload, None))
+                out.extend(
+                    emit(op, lp, rp)
+                    for op, lp, rp in _join_transition(
+                        side, rowop, payload, lpay, rpay, pad_left, pad_right)
+                )
         if lpay or rpay:
             state.update((lpay, rpay))
             if ttl_ms is not None:
@@ -450,34 +515,11 @@ def semi_anti_join_stream(
             for side, rowop, payload in batch[
                 ["__side", "__rowop", "__payload"]
             ].itertuples(index=False, name=None):
-                if side == "L":
-                    if rowop == "+I":
-                        if bool(rpay) == semi:
-                            out.append(emit("+I", payload))
-                        lpay.append(payload)
-                    else:
-                        try:
-                            i = lpay.index(payload)
-                        except ValueError:
-                            continue
-                        if bool(rpay) == semi:
-                            out.append(emit("-D", payload))
-                        del lpay[i]
-                else:
-                    if rowop == "+I":
-                        if not rpay:  # 0→1: every left row flips liveness
-                            op = "+I" if semi else "-D"
-                            out.extend(emit(op, lp) for lp in lpay)
-                        rpay.append(payload)
-                    else:
-                        try:
-                            i = rpay.index(payload)
-                        except ValueError:
-                            continue
-                        del rpay[i]
-                        if not rpay:  # 1→0: flip back
-                            op = "-D" if semi else "+I"
-                            out.extend(emit(op, lp) for lp in lpay)
+                out.extend(
+                    emit(op, lp)
+                    for op, lp in _semi_anti_transition(
+                        side, rowop, payload, lpay, rpay, semi)
+                )
         if lpay or rpay:
             state.update((lpay, rpay))
             if ttl_ms is not None:

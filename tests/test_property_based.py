@@ -162,3 +162,73 @@ def test_kmeans_assignment_is_nearest_centroid(spark, vecs):
     for i, v in rows:
         best = min(((-cos(v, sv), sc) for sc, sv in seeds))[1]
         assert got[i] == best, (i, v, got[i], best)
+
+
+# --- Full-history stream-join transition semantics -------------------------
+# The pure per-event transitions (stream_joins._join_transition /
+# _semi_anti_transition) are the whole semantics of the streaming joins; the
+# Spark harness tests replay a handful of scripts, these fuzz thousands.
+# Invariant: after any event sequence, the NET changelog (multiset of +I
+# minus -D) must equal the declarative join of the surviving state — and
+# no pair's count may ever go negative (no over-retractions). Counts >1
+# are legitimate: duplicate identical input rows each produce their own
+# live output row, exactly as the reference's multiset state views do.
+
+from collections import Counter
+
+from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+    _join_transition,
+    _semi_anti_transition,
+)
+
+# event: (side L/R, op +I/-D, payload 0..3). Small payload space forces
+# duplicate payloads and spurious retractions.
+_join_events = st.lists(
+    st.tuples(st.sampled_from("LR"), st.sampled_from(["+I", "-D"]),
+              st.integers(0, 3).map(str)),
+    min_size=0, max_size=24,
+)
+
+
+def _expected_join(lpay, rpay, pad_left, pad_right):
+    exp = Counter()
+    for lp in lpay:
+        if rpay:
+            for rp in rpay:
+                exp[(lp, rp)] += 1
+        elif pad_left:
+            exp[(lp, None)] += 1
+    if not lpay and pad_right:
+        for rp in rpay:
+            exp[(None, rp)] += 1
+    return exp
+
+
+@given(events=_join_events, how=st.sampled_from(["inner", "left", "right", "full"]))
+@settings(max_examples=400, deadline=None)
+def test_join_transition_net_changelog_matches_join_of_state(events, how):
+    pad_left = how in ("left", "full")
+    pad_right = how in ("right", "full")
+    lpay, rpay = [], []
+    net = Counter()
+    for side, op, payload in events:
+        for eop, lp, rp in _join_transition(
+                side, op, payload, lpay, rpay, pad_left, pad_right):
+            net[(lp, rp)] += 1 if eop == "+I" else -1
+            assert net[(lp, rp)] >= 0, (net[(lp, rp)], events)
+    exp = _expected_join(lpay, rpay, pad_left, pad_right)
+    assert +net == +exp, (events, how, +net, +exp)
+
+
+@given(events=_join_events, semi=st.booleans())
+@settings(max_examples=400, deadline=None)
+def test_semi_anti_transition_net_changelog_matches_state(events, semi):
+    lpay, rpay = [], []
+    net = Counter()
+    for side, op, payload in events:
+        for eop, lp in _semi_anti_transition(
+                side, op, payload, lpay, rpay, semi):
+            net[lp] += 1 if eop == "+I" else -1
+            assert net[lp] >= 0, (events,)
+    live = Counter(lpay) if bool(rpay) == semi else Counter()
+    assert +net == +live, (events, semi, +net, +live)
