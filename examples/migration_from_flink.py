@@ -214,6 +214,60 @@ def regular_join_migration(spark):
         sources.cleanup(st)
 
 
+def semi_anti_join_migration(spark):
+    """Flink:
+        // StreamingSemiAntiJoinOperator: EXISTS / NOT EXISTS on two streams
+        SELECT * FROM Orders o WHERE EXISTS
+          (SELECT 1 FROM Shipments s WHERE s.order_id = o.id)
+    """
+    import datetime
+
+    from flink_release_1_14_5_comment_spark.streaming import sources
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        semi_anti_join_stream,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, "o-100", ts, 1), (2, "o-200", ts, 2)],
+        "k long, order_ref string, o_ts timestamp, __seq long")
+    ships = spark.createDataFrame(
+        [(1, "ship-a", "+I", 3), (1, "ship-a", "-D", 4)],
+        "k long, ship_ref string, __op string, __seq long")
+    os_, ot = sources.replay_as_stream(spark, orders, n_chunks=1, order_col="__seq")
+    ss, st = sources.replay_as_stream(spark, ships, n_chunks=2, order_col="__seq")
+    try:
+        # semi: order 1 is born when ship-a arrives, dies when it retracts
+        out = semi_anti_join_stream(os_, ss, ["k"], how="semi", seq_col="__seq")
+        q = (out.writeStream.format("memory").queryName("saj")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        spark.table("saj").orderBy("k", "op").show(10)
+    finally:
+        sources.cleanup(ot)
+        sources.cleanup(st)
+
+
+def tpch_partsupp_migration(spark):
+    """Flink:
+        // flink-tpch-test runs spec TPC-H; Q2/Q9/Q11/Q16/Q20 need partsupp.
+        // Here partsupp derives from lineitem's (partkey, suppkey) pairs —
+        // same plan shapes, oracle-identical CTE text in both engines.
+    """
+    from flink_release_1_14_5_comment_spark.operators import tpch
+
+    tpch.QUERIES["tpch_q11"](spark, SF_DIR).show(5)
+
+
+def ann_pq_migration(spark):
+    """No Flink counterpart (the reference has no vector ops) — the PQ/IVF-PQ
+    family serves the LLM-pipeline similarity brief: codes are ~64x smaller
+    than the float corpus and ADC scoring never touches raw vectors."""
+    from flink_release_1_14_5_comment_spark.pipeline import similarity
+
+    similarity.QUERIES["ann_ivfpq_topk"](spark, SF_DIR).show(5)
+
+
 def persistent_catalog_migration(spark):
     """Flink:
         HiveCatalog catalog = new HiveCatalog("hive", "default", "<conf-dir>");
@@ -487,6 +541,9 @@ if __name__ == "__main__":
     connectors_migration(spark)
     co_group_migration(spark)
     regular_join_migration(spark)
+    semi_anti_join_migration(spark)
+    tpch_partsupp_migration(spark)
+    ann_pq_migration(spark)
     persistent_catalog_migration(spark)
     kafka_migration(spark)
     graph_migration(spark)
