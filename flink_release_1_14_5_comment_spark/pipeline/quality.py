@@ -329,8 +329,103 @@ def q_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SOURCE_FILTER_SQL)
 
 
+# --- LM-perplexity filtering (CCNet-style) ---------------------------------
+# CCNet (Wenzek et al. 2020) and the Gopher/LLaMA pipelines score documents
+# with an in-domain language model and drop the high-perplexity tail. Here
+# the LM is a bigram model TRAINED ON THE CORPUS ITSELF in the same query
+# (counts + add-1/2 smoothing — Lidstone), entirely in SQL:
+#
+#   p(w2 | w1) = (c(w1 w2) + 0.5) / (c(w1 ·) + 0.5 · |V|)
+#   doc score  = mean over the doc's bigrams of −ln p   (avg NLL; ppl = e^s)
+#
+# Scale (100 TB): training = two hash-partial-agg'd groupBys over the bigram
+# frame (vocab-bounded output); scoring = one hash join of the bigram frame
+# against the count tables (uniform keys) — linear in corpus token count,
+# zero Python. Determinism: counts are integers so every probability is the
+# same double in both engines; ln/exp ulp drift dies in ROUND 6; the
+# per-source mean sums per-doc scores as exact DECIMAL(18,6) so summation
+# order cannot shift a rounded digit.
+_LM_FLAG_NLL = 5.0  # docs with avg bigram NLL above this are flagged
+
+_LM_PERPLEXITY_SPARK = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS_SPARK} AS words FROM documents
+), big AS (
+  SELECT doc_id, source, bg.w1, bg.w2
+  FROM d LATERAL VIEW explode(
+    transform(sequence(1, size(words) - 1),
+              i -> struct(element_at(words, i) AS w1,
+                          element_at(words, i + 1) AS w2))
+  ) t AS bg
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM big
+), per_doc AS (
+  SELECT b.doc_id, b.source,
+         ROUND(AVG(-LN((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS nll
+  FROM big b
+  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN v
+  GROUP BY b.doc_id, b.source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(18, 6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_nll,
+       CAST(SUM(CASE WHEN nll > {_LM_FLAG_NLL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+ORACLE_Q_LM_PERPLEXITY = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS_DUCK} AS words FROM documents
+), big AS (
+  -- generate_series can't lateral-join a column in DuckDB; build the
+  -- bigram list per row (words are space-free post-split, so ' ' is a
+  -- safe pair separator) exactly like ORACLE_Q_REPETITION_METRICS
+  SELECT doc_id, source,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM d, unnest(list_transform(generate_series(1, len(words) - 1),
+                                i -> words[i] || ' ' || words[i + 1])) AS t(bg)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM big
+), per_doc AS (
+  SELECT b.doc_id, b.source,
+         ROUND(AVG(-LN((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS nll
+  FROM big b
+  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1
+  CROSS JOIN v
+  GROUP BY b.doc_id, b.source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(18, 6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_nll,
+       CAST(SUM(CASE WHEN nll > {_LM_FLAG_NLL} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LM-perplexity report: mean bigram NLL under a corpus-
+    trained Lidstone bigram model and the count of high-perplexity docs —
+    the CCNet-style quality signal, LM training and scoring in one query."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LM_PERPLEXITY_SPARK)
+
+
 QUERIES = {
     "repetition_metrics": q_repetition_metrics,
+    "lm_perplexity": q_lm_perplexity,
     "source_quality_filter": q_source_quality_filter,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "split_assign": q_split_assign,
@@ -339,6 +434,7 @@ QUERIES = {
 
 ORACLE = {
     "repetition_metrics": ORACLE_Q_REPETITION_METRICS,
+    "lm_perplexity": ORACLE_Q_LM_PERPLEXITY,
     "source_quality_filter": _SOURCE_FILTER_SQL,
     "boilerplate_ngrams": ORACLE_Q_BOILERPLATE_NGRAMS,
     "split_assign": ORACLE_Q_SPLIT_ASSIGN,
