@@ -213,3 +213,15 @@ def test_tpch_partsupp_suite_plan_shapes(spark, sf_dir):
         assert p.count("BroadcastHashJoin") >= min_bhj, (name, p.count("BroadcastHashJoin"))
         if marker:
             assert marker in p, name
+
+
+def test_lm_perplexity_plan_shape(spark, sf_dir):
+    """The LM filter must train+score without a cartesian: count tables
+    join by hash, and the only nested-loop is the broadcast of the 1-row
+    vocabulary-size frame."""
+    from flink_release_1_14_5_comment_spark.pipeline import quality
+
+    p = quality.q_lm_perplexity(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoop") <= 1  # the scalar |V| frame only
