@@ -33,6 +33,15 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _OPT_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+# DDL generated-column items: `name AS expr` (computed) and
+# `name TYPE METADATA [FROM 'key'] [VIRTUAL]` (metadata column)
+_COMPUTED_COL_RE = re.compile(r"^`?(\w+)`?\s+AS\s+(.+)$",
+                              re.IGNORECASE | re.DOTALL)
+_METADATA_COL_RE = re.compile(
+    r"^`?(\w+)`?\s+([A-Za-z]+(?:\(\d+(?:\s*,\s*\d+)?\))?)\s+METADATA"
+    r"(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?$",
+    re.IGNORECASE,
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<tbl>\w+)\s+(?P<query>SELECT\b.*|VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -174,12 +183,14 @@ class TableEnvironment:
                 reader = self.spark.read
                 if fmt == "csv":
                     reader = reader.option("header", options.get("csv.include-header", "true"))
-                df = getattr(reader, fmt)(path)
+                df = self._apply_generated_columns(getattr(reader, fmt)(path), cols)
             else:
                 # SINK-table DDL (CREATE TABLE then INSERT INTO — the
                 # standard Flink flow): nothing to scan yet, register an
                 # empty view from the DECLARED schema so downstream DDL/
                 # queries resolve; the first INSERT re-registers over data.
+                # Generated columns are read-side (Flink: not insertable)
+                # so the declared-schema view skips them.
                 df = self.spark.createDataFrame([], self._ddl_schema(cols))
         elif connector in ("datagen", "values"):
             raise NotImplementedError(f"connector {connector!r}: use spark.createDataFrame + register_table")
@@ -198,6 +209,54 @@ class TableEnvironment:
             self._watermarks[name] = wm
         df.createOrReplaceTempView(name)
 
+    def _apply_generated_columns(self, df: DataFrame, cols: str) -> DataFrame:
+        """Computed columns (``total AS price * qty``, FLIP-70) and METADATA
+        columns (``fp STRING METADATA FROM 'file.path'``,
+        SupportsReadingMetadata) from CREATE TABLE DDL, applied to the
+        scanned frame in declaration order. Flink's filesystem metadata
+        keys map onto Spark's ``_metadata`` struct; ``PROCTIME()``
+        translates to ``current_timestamp()`` (the proctime attribute).
+        Reference: computed columns resolve in the planner
+        (flink-table-planner DefaultSchemaResolver), metadata keys in
+        the connector (FileSystemTableSource metadata support)."""
+        from pyspark.sql import functions as F
+
+        from flink_release_1_14_5_comment_spark.types_map import (
+            flink_type_to_spark,
+        )
+
+        meta_keys = {
+            "file.path": "file_path",
+            "file.name": "file_name",
+            "file.size": "file_size",
+            "file.modification-time": "file_modification_time",
+        }
+        for item in _split_top_level(cols):
+            text = item.strip()
+            up = text.upper()
+            if (up.startswith("WATERMARK") or up.startswith("PRIMARY KEY")
+                    or up.startswith("CONSTRAINT")):
+                continue
+            mm = _METADATA_COL_RE.match(text)
+            if mm:
+                name, ftype, key = mm.group(1), mm.group(2), mm.group(3)
+                skey = meta_keys.get((key or name).lower())
+                if skey is None:
+                    raise NotImplementedError(
+                        f"metadata key {key or name!r}: filesystem connector "
+                        f"supports {sorted(meta_keys)}")
+                df = df.withColumn(
+                    name, F.col(f"_metadata.{skey}")
+                    .cast(flink_type_to_spark(ftype)))
+                continue
+            cm = _COMPUTED_COL_RE.match(text)
+            if cm:
+                name, expr = cm.group(1), cm.group(2).strip()
+                expr = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()",
+                              expr, flags=re.IGNORECASE)
+                df = df.withColumn(name, F.expr(expr))
+        return df
+
     def _ddl_schema(self, cols: str):
         """DECLARED physical columns → StructType (skips WATERMARK /
         PRIMARY KEY / computed `AS` columns)."""
@@ -211,7 +270,8 @@ class TableEnvironment:
         for item in _split_top_level(cols):
             up = item.upper().strip()
             if (up.startswith("WATERMARK") or up.startswith("PRIMARY KEY")
-                    or up.startswith("CONSTRAINT") or " AS " in f" {up} "):
+                    or up.startswith("CONSTRAINT") or " AS " in f" {up} "
+                    or " METADATA" in f"{up} "):
                 continue
             parts = item.strip().split(None, 1)
             if len(parts) != 2:

@@ -168,3 +168,40 @@ def test_flink_dialect_functions(spark):
     assert row["tr"] == -1.23
     assert row["rt"] == "hi"
     assert row["jv"] == "5" and row["je"] is False
+
+
+def test_computed_and_metadata_columns(spark, sf_dir):
+    """FLIP-70 computed columns and SupportsReadingMetadata METADATA
+    columns in CREATE TABLE DDL: applied to the scanned frame in
+    declaration order; PROCTIME() becomes the wall-clock attribute;
+    filesystem metadata keys map onto Spark's _metadata struct."""
+    from flink_release_1_14_5_comment_spark.api import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(f"""
+        CREATE TABLE orders_gen (
+            o_orderkey BIGINT,
+            o_totalprice DOUBLE,
+            double_price AS o_totalprice * 2,
+            proc AS PROCTIME(),
+            fp STRING METADATA FROM 'file.path',
+            fsize BIGINT METADATA FROM 'file.size'
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/orders.parquet', 'format' = 'parquet')
+    """)
+    row = tenv.sql_query(
+        "SELECT o_totalprice, double_price, proc, fp, fsize "
+        "FROM orders_gen LIMIT 1").to_data_frame().collect()[0]
+    assert row.double_price == row.o_totalprice * 2
+    assert row.proc is not None
+    assert row.fp.endswith("orders.parquet")
+    assert row.fsize > 0
+
+    # unknown metadata key fails loudly, not silently
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="metadata key"):
+        tenv.execute_sql(f"""
+            CREATE TABLE bad_meta (x STRING METADATA FROM 'topic')
+            WITH ('connector' = 'filesystem',
+                  'path' = '{sf_dir}/orders.parquet', 'format' = 'parquet')
+        """)
