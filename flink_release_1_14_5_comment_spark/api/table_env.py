@@ -46,6 +46,19 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<tbl>\w+)\s+(?P<query>SELECT\b.*|VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(?P<query>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_DESCRIBE_RE = re.compile(
+    r"^\s*(SHOW\s+TABLES|SHOW\s+VIEWS|SHOW\s+FUNCTIONS|DESCRIBE\s+\w+|DESC\s+\w+)\s*$",
+    re.IGNORECASE,
+)
 
 # Flink suffix aggregations for Table.select after group_by (Table API style).
 _SUFFIX_AGGS = {"sum", "avg", "count", "min", "max", "stddev_pop", "stddev_samp"}
@@ -124,6 +137,26 @@ class TableEnvironment:
                               self.sql_query(m.group("query")).to_data_frame(),
                               overwrite=m.group("mode").upper() == "OVERWRITE")
             return None
+        m = _CREATE_VIEW_RE.match(stripped)
+        if m:
+            # reference TableEnvironment CREATE [TEMPORARY] VIEW — a named
+            # query in the session catalog (CatalogViewImpl); here a Spark
+            # temp view over the translated query's frame (lazy, re-planned
+            # per use exactly like the reference's view expansion)
+            self.sql_query(m.group("query")).to_data_frame() \
+                .createOrReplaceTempView(m.group(1))
+            return None
+        m = _DROP_RE.match(stripped)
+        if m:
+            self.spark.catalog.dropTempView(m.group(1))
+            self._sinks.pop(m.group(1), None)
+            self._watermarks.pop(m.group(1), None)
+            return None
+        if _SHOW_DESCRIBE_RE.match(stripped):
+            # SHOW TABLES / SHOW VIEWS / SHOW FUNCTIONS / DESCRIBE t —
+            # Spark's catalog commands return the same report shapes the
+            # reference prints (TableEnvironment.executeSql passthrough)
+            return Table(self.spark.sql(stripped), self)
         return self.sql_query(stripped)
 
     def explain_sql(self, sql: str) -> str:

@@ -205,3 +205,31 @@ def test_computed_and_metadata_columns(spark, sf_dir):
             WITH ('connector' = 'filesystem',
                   'path' = '{sf_dir}/orders.parquet', 'format' = 'parquet')
         """)
+
+
+def test_view_show_describe_drop_ddl(spark, sf_dir):
+    """CREATE VIEW / SHOW TABLES / DESCRIBE / DROP TABLE through
+    execute_sql — the reference TableEnvironment's catalog statements."""
+    from flink_release_1_14_5_comment_spark.api import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(f"""
+        CREATE TABLE orders_cat (x INT) WITH ('connector' = 'filesystem',
+            'path' = '{sf_dir}/orders.parquet', 'format' = 'parquet')
+    """)
+    tenv.execute_sql(
+        "CREATE TEMPORARY VIEW big_orders AS "
+        "SELECT * FROM orders_cat WHERE o_totalprice > 100000")
+    n = tenv.sql_query("SELECT COUNT(*) AS n FROM big_orders") \
+        .to_data_frame().collect()[0].n
+    assert n > 0
+    shown = {r.tableName for r in
+             tenv.execute_sql("SHOW TABLES").to_data_frame().collect()}
+    assert {"orders_cat", "big_orders"} <= shown
+    desc = tenv.execute_sql("DESCRIBE big_orders").to_data_frame().collect()
+    assert any(r.col_name == "o_totalprice" for r in desc)
+    tenv.execute_sql("DROP VIEW big_orders")
+    tenv.execute_sql("DROP TABLE IF EXISTS orders_cat")
+    left = {r.tableName for r in
+            tenv.execute_sql("SHOW TABLES").to_data_frame().collect()}
+    assert "big_orders" not in left and "orders_cat" not in left
