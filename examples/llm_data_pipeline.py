@@ -91,6 +91,12 @@ def main() -> None:
     from flink_release_1_14_5_comment_spark.pipeline import clustering
     clustering.q_embedding_kmeans_minibatch(spark, SF_DIR).groupBy("cluster").count().orderBy("cluster").show()
 
+    print("== 15. LM-perplexity filter (CCNet-style, corpus-trained bigram LM) ==")
+    quality.q_lm_perplexity(spark, SF_DIR).orderBy("source").show(5)
+
+    print("== 16. IVF-PQ similarity serving (codes-only scan, ADC scoring) ==")
+    similarity.q_ann_ivfpq_topk(spark, SF_DIR).show(5)
+
     print("== cleaned-corpus summary (quality + exact + near-dup composed) ==")
     dedup.q_corpus_clean(spark, SF_DIR).show()
 
