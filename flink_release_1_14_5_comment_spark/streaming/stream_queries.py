@@ -20,6 +20,10 @@ and returns the materialized table. Determinism contracts:
   inputs make the changelog pure +I, so end-of-input output == batch join.
 * `stream_semi_join` — full-history retractable SEMI join: append-only
   inputs pin the right count to 0→1, so output == batch EXISTS semi join.
+* `stream_anti_join` — the ANTI mirror with its FULL retraction changelog
+  checked: right rows arrive strictly after every left batch (final_dfs),
+  so the changelog is exactly {+I all left} ∪ {-D Jan-matched left} — both
+  halves reproduced in SQL.
 * `stream_changelog_topn` — the strongest contract in the file: the FULL
   +I/+U/-D changelog across an EXACT two-batch split (final_dfs, not
   sampled range partitioning) is reproduced in SQL as a top-set diff.
@@ -604,6 +608,67 @@ WHERE EXISTS (
 """
 
 
+def q_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history streaming ANTI join with its FULL retraction changelog
+    oracle-checked: left lineitems (Jan+Feb-1995 orders) replay in two
+    batches; the real right rows (Jan-1995 orders) ride the final_dfs path
+    so they arrive strictly AFTER every left batch (a key-(-1) filler keeps
+    batch 1's right side inert), and __seq orders left before right inside
+    the last batch. The changelog is then closed-form: every left row is
+    born (+I) while its key's right side is empty, and the late right
+    arrival retracts (-D) exactly the Jan-matched rows — both halves
+    reproduced in SQL. End state = the batch NOT EXISTS anti join."""
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        semi_anti_join_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    jan = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01"))
+    janfeb = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-03-01"))
+    left = (t["lineitem"]
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    "l_linenumber",
+                    F.col("l_quantity").cast("int").alias("qty"))
+            .join(janfeb.select(F.col("o_orderkey").alias("orderkey")),
+                  "orderkey", "semi")
+            .withColumn("__seq", F.lit(1)))
+    right_real = jan.select(F.col("o_orderkey").alias("orderkey"),
+                            F.lit(2).alias("__seq"))
+    right_filler = spark.createDataFrame([(-1, 0)], "orderkey long, __seq int")
+    ls, ltmp = sources.replay_as_stream(spark, left, n_chunks=2,
+                                        order_col="orderkey")
+    rs, rtmp = sources.replay_as_stream(spark, right_filler, n_chunks=1,
+                                        final_dfs=[right_real])
+    try:
+        out = semi_anti_join_stream(ls, rs, ["orderkey"], how="anti",
+                                    seq_col="__seq")
+        return _run_to_memory(out)
+    finally:
+        sources.cleanup(ltmp)
+        sources.cleanup(rtmp)
+
+
+ORACLE_Q_STREAM_ANTI_JOIN = """
+WITH left_rows AS (
+  SELECT l.l_orderkey AS orderkey, l.l_linenumber,
+         CAST(l.l_quantity AS INT) AS qty
+  FROM lineitem l
+  WHERE EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-03-01'))
+SELECT '+I' AS op, orderkey, l_linenumber, qty FROM left_rows
+UNION ALL
+SELECT '-D' AS op, orderkey, l_linenumber, qty FROM left_rows lr
+WHERE EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = lr.orderkey
+    AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-02-01')
+"""
+
+
 def q_stream_changelog_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retractable/Updatable streaming Top-N (reference
     UpdatableTopNFunction.java / RetractableTopNFunction.java) with its FULL
@@ -987,6 +1052,7 @@ QUERIES = {
     "stream_count_window_sliding": q_stream_count_window_sliding,
     "stream_regular_join": q_stream_regular_join,
     "stream_semi_join": q_stream_semi_join,
+    "stream_anti_join": q_stream_anti_join,
     "stream_changelog_topn": q_stream_changelog_topn,
     "stream_window_hop": q_stream_window_hop,
     "stream_window_evictor": q_stream_window_evictor,
@@ -1011,6 +1077,7 @@ ORACLE = {
     "stream_count_window_sliding": ORACLE_Q_STREAM_COUNT_WINDOW_SLIDING,
     "stream_regular_join": ORACLE_Q_STREAM_REGULAR_JOIN,
     "stream_semi_join": ORACLE_Q_STREAM_SEMI_JOIN,
+    "stream_anti_join": ORACLE_Q_STREAM_ANTI_JOIN,
     "stream_changelog_topn": ORACLE_Q_STREAM_CHANGELOG_TOPN,
     "stream_window_hop": ORACLE_Q_STREAM_WINDOW_HOP,
     "stream_window_evictor": ORACLE_Q_STREAM_WINDOW_EVICTOR,
