@@ -1,0 +1,143 @@
+"""CDC changelog formats: debezium-json, canal-json, maxwell-json.
+
+The reference's flink-json module ships three changelog-format decoders
+that turn CDC tool envelopes into RowKind-tagged rows — its flagship CDC
+entry points (flink-formats/flink-json/.../debezium/
+DebeziumJsonDeserializationSchema.java:63, canal/
+CanalJsonDeserializationSchema.java:72, maxwell/
+MaxwellJsonDeserializationSchema.java:59). Each decoder here maps a
+string column of envelope JSON to this repo's changelog convention
+(`__rowkind` ∈ +I/-U/+U/-D, streaming/changelog.py) so the decoded frame
+chains directly into changelog_normalize / retract aggs / the
+full-history joins.
+
+Spark-first shape: decode = `from_json` with the envelope schema + a
+per-op array of (rowkind, row) structs + one explode — pure codegen
+expressions, no Python, works identically on batch frames and streams
+(`readStream` → decode → stateful op). Op mappings follow the reference:
+
+  debezium: c/r → +I(after);  u → -U(before), +U(after);  d → -D(before)
+  canal:    INSERT → +I(data[i]);  UPDATE → -U(old[i] patched onto
+            data[i]) + +U(data[i]);  DELETE → -D(data[i])
+            (canal's `old` carries only the CHANGED fields — the decoder
+            fills the missing ones from `data`, exactly like the
+            reference's CanalJsonDeserializationSchema)
+  maxwell:  insert → +I(data);  update → -U(data patched with old) +
+            +U(data);  delete → -D(data)
+
+Scale: decoding is a row-local map fused into whole-stage codegen; the
+only cost beyond the scan is JSON parsing, the same cost the reference
+pays in its DeserializationSchema. At 100 TB of CDC topic data this is
+scan-bound, shuffle-free, and composes with watermarking before any
+stateful operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.streaming.changelog import ROWKIND
+
+
+def _explode_tagged(df: DataFrame, tagged: Column, payload_type: str) -> DataFrame:
+    """Common tail: explode an array<struct<kind,row>> into
+    (__rowkind, *payload-columns) rows, dropping everything else."""
+    out = df.select(F.explode(tagged).alias("e"))
+    return out.select(
+        F.col("e.kind").alias(ROWKIND), F.col("e.row.*"),
+    )
+
+
+def debezium_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+    """Decode debezium-json envelopes ({before, after, op}) from
+    ``df[value_col]`` into a changelog frame. ``payload_schema`` is the
+    row schema DDL, e.g. ``"id BIGINT, name STRING"``. Handles both the
+    flat envelope and the schema-included variant ({schema, payload})
+    the reference gates behind 'debezium-json.schema-include'."""
+    env_schema = (
+        f"struct<before: struct<{payload_schema}>, "
+        f"after: struct<{payload_schema}>, op: string>"
+    )
+    env = F.coalesce(
+        # schema-include=true wraps the envelope under "payload"
+        F.from_json(F.get_json_object(F.col(value_col), "$.payload"), env_schema),
+        F.from_json(F.col(value_col), env_schema),
+    )
+    d = df.select(env.alias("env"))
+    tagged = F.expr(f"""
+        CASE
+          WHEN env.op IN ('c', 'r') THEN
+            array(named_struct('kind', '+I', 'row', env.after))
+          WHEN env.op = 'u' THEN
+            array(named_struct('kind', '-U', 'row', env.before),
+                  named_struct('kind', '+U', 'row', env.after))
+          WHEN env.op = 'd' THEN
+            array(named_struct('kind', '-D', 'row', env.before))
+          ELSE NULL
+        END
+    """)
+    return _explode_tagged(d, tagged, payload_schema)
+
+
+def canal_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+    """Decode canal-json envelopes ({data: [...], old: [...], type}).
+    ``old`` rows carry only the changed fields; missing fields are filled
+    from the matching ``data`` row (reference CanalJsonDeserializationSchema
+    "old" patching)."""
+    cols = [c.strip().split()[0] for c in payload_schema.split(",")]
+    env_schema = (
+        f"struct<data: array<struct<{payload_schema}>>, "
+        f"old: array<struct<{payload_schema}>>, type: string>"
+    )
+    d = df.select(F.from_json(F.col(value_col), env_schema).alias("env"))
+    # pair data[i] with old[i] by position; patch nulls in old from data
+    patched_old = ", ".join(
+        f"'{c}', coalesce(o.{c}, n.{c})" for c in cols
+    )
+    new_row = ", ".join(f"'{c}', n.{c}" for c in cols)
+    tagged = F.expr(f"""
+        CASE
+          WHEN env.type = 'INSERT' THEN
+            transform(env.data, n -> named_struct('kind', '+I', 'row', n))
+          WHEN env.type = 'DELETE' THEN
+            transform(env.data, n -> named_struct('kind', '-D', 'row', n))
+          WHEN env.type = 'UPDATE' THEN
+            flatten(zip_with(env.data, env.old, (n, o) -> array(
+              named_struct('kind', '-U',
+                           'row', named_struct({patched_old})),
+              named_struct('kind', '+U', 'row', named_struct({new_row})))))
+          ELSE NULL
+        END
+    """)
+    return _explode_tagged(d, tagged, payload_schema)
+
+
+def maxwell_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+    """Decode maxwell-json envelopes ({data, old, type}) — single-row data;
+    ``old`` holds the PRE-update values of changed fields only, so the
+    -U row is data patched with old (reference
+    MaxwellJsonDeserializationSchema)."""
+    cols = [c.strip().split()[0] for c in payload_schema.split(",")]
+    env_schema = (
+        f"struct<data: struct<{payload_schema}>, "
+        f"old: struct<{payload_schema}>, type: string>"
+    )
+    d = df.select(F.from_json(F.col(value_col), env_schema).alias("env"))
+    before_row = ", ".join(
+        f"'{c}', coalesce(env.old.{c}, env.data.{c})" for c in cols
+    )
+    tagged = F.expr(f"""
+        CASE
+          WHEN env.type = 'insert' THEN
+            array(named_struct('kind', '+I', 'row', env.data))
+          WHEN env.type = 'delete' THEN
+            array(named_struct('kind', '-D', 'row', env.data))
+          WHEN env.type = 'update' THEN
+            array(named_struct('kind', '-U',
+                               'row', named_struct({before_row})),
+                  named_struct('kind', '+U', 'row', env.data))
+          ELSE NULL
+        END
+    """)
+    return _explode_tagged(d, tagged, payload_schema)

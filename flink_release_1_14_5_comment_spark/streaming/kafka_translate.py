@@ -138,6 +138,14 @@ def decode_value(schema: T.StructType, fmt: str, col: str = "value") -> Column:
             "kafka value format 'avro': wire avro_format.decode_container "
             "through mapInPandas (single-record Avro framing differs from "
             "the OCF files avro_format implements)")
+    if fmt in ("debezium-json", "canal-json", "maxwell-json"):
+        # changelog formats expand ONE envelope into MULTIPLE RowKind-tagged
+        # rows — a frame-level transform, not a column projection
+        name = fmt.split("-")[0]
+        raise ValueError(
+            f"changelog format {fmt!r}: apply streaming.cdc_formats."
+            f"{name}_decode(df, 'value', <schema DDL>) to the loaded frame "
+            "instead of decode_value")
     raise NotImplementedError(f"kafka value format {fmt!r}")
 
 
