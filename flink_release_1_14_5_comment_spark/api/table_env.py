@@ -59,6 +59,14 @@ _SHOW_DESCRIBE_RE = re.compile(
     r"^\s*(SHOW\s+TABLES|SHOW\s+VIEWS|SHOW\s+FUNCTIONS|DESCRIBE\s+\w+|DESC\s+\w+)\s*$",
     re.IGNORECASE,
 )
+_SET_RE = re.compile(r"^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*$", re.IGNORECASE)
+# Flink TableConfig keys with a direct Spark session-conf counterpart;
+# everything else is recorded in TableEnvironment._config for operators
+# that read it (e.g. state TTL) and for SHOW-style introspection.
+_CONFIG_MAP = {
+    "table.exec.resource.default-parallelism": "spark.sql.shuffle.partitions",
+    "table.optimizer.join.broadcast-threshold": "spark.sql.autoBroadcastJoinThreshold",
+}
 
 # Flink suffix aggregations for Table.select after group_by (Table API style).
 _SUFFIX_AGGS = {"sum", "avg", "count", "min", "max", "stddev_pop", "stddev_samp"}
@@ -116,6 +124,7 @@ class TableEnvironment:
         self.spark = spark or get_spark()
         self._watermarks: dict[str, tuple[str, str]] = {}  # table -> (col, delay)
         self._sinks: dict[str, dict] = {}  # filesystem tables → write info
+        self._config: dict[str, str] = {}  # SET 'k'='v' script options
         self._legacy_cast = legacy_cast
         register_flink_dialect(self.spark)
 
@@ -152,6 +161,24 @@ class TableEnvironment:
             self._sinks.pop(m.group(1), None)
             self._watermarks.pop(m.group(1), None)
             return None
+        m = _SET_RE.match(stripped)
+        if m:
+            # Flink SQL-script `SET 'key' = 'value'` (TableConfig options):
+            # recorded in _config; keys with a direct Spark counterpart are
+            # applied to the session conf immediately
+            key, value = m.group(1), m.group(2)
+            self._config[key] = value
+            spark_key = _CONFIG_MAP.get(key)
+            if spark_key:
+                self.spark.conf.set(spark_key, value)
+            return None
+        m = re.match(r"^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(?P<query>SELECT\b.*)$",
+                     stripped, re.IGNORECASE | re.DOTALL)
+        if m:
+            # reference `EXPLAIN [PLAN FOR] <query>` — one-row report table
+            report = self.sql_query(m.group("query")).explain()
+            return Table(
+                self.spark.createDataFrame([(report,)], "plan string"), self)
         if _SHOW_DESCRIBE_RE.match(stripped):
             # SHOW TABLES / SHOW VIEWS / SHOW FUNCTIONS / DESCRIBE t —
             # Spark's catalog commands return the same report shapes the

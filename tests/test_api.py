@@ -233,3 +233,27 @@ def test_view_show_describe_drop_ddl(spark, sf_dir):
     left = {r.tableName for r in
             tenv.execute_sql("SHOW TABLES").to_data_frame().collect()}
     assert "big_orders" not in left and "orders_cat" not in left
+
+
+def test_set_and_explain_statements(spark, sf_dir):
+    """Flink SQL-script SET options and EXPLAIN [PLAN FOR] through
+    execute_sql (reference TableEnvironment.executeSql statement kinds)."""
+    from flink_release_1_14_5_comment_spark.api import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        tenv.execute_sql("SET 'table.exec.resource.default-parallelism' = '8'")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        tenv.execute_sql("SET 'table.exec.state.ttl' = '1 h'")
+        assert tenv._config["table.exec.state.ttl"] == "1 h"  # recorded
+        tenv.execute_sql(f"""
+            CREATE TABLE orders_ex (x INT) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/orders.parquet', 'format' = 'parquet')
+        """)
+        plan = tenv.execute_sql(
+            "EXPLAIN SELECT COUNT(*) FROM orders_ex").to_data_frame() \
+            .collect()[0].plan
+        assert "Aggregate" in plan or "aggregate" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
