@@ -220,3 +220,40 @@ def test_prop_plain_sql_passthrough(text):
     # SQL with none of the window keywords is byte-identical after translate
     sql = f"SELECT {text!r} FROM t WHERE a > 1"
     assert translate_flink_sql(sql) == sql
+
+
+def test_tvf_window_join(env, spark):
+    """FLIP-145 window JOIN: two window-TVF subqueries joined on
+    (window_start, window_end, key) — the reference's StreamExecWindowJoin
+    SQL shape — must compose through the translator unchanged and match an
+    independently built window-aggregate join."""
+    load_tables(spark, SF)["events"].select(
+        "event_id", "event_type", "ts", "user_id", "value") \
+        .createOrReplaceTempView("ev_wj")
+    got = env.sql_query("""
+        SELECT c.window_start AS ws, c.user_id,
+               c.n AS n_clicks, v.n AS n_views
+        FROM (
+          SELECT window_start, user_id, COUNT(*) AS n
+          FROM TABLE(TUMBLE(TABLE ev_wj, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          WHERE event_type = 'click'
+          GROUP BY window_start, user_id
+        ) c JOIN (
+          SELECT window_start, user_id, COUNT(*) AS n
+          FROM TABLE(TUMBLE(TABLE ev_wj, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          WHERE event_type = 'view'
+          GROUP BY window_start, user_id
+        ) v ON c.window_start = v.window_start AND c.user_id = v.user_id
+    """).to_data_frame()
+
+    ev = load_tables(spark, SF)["events"]
+    def agg(kind):
+        return (ev.filter(F.col("event_type") == kind)
+                .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("ws"), "user_id", "n"))
+    want = (agg("click").alias("c")
+            .join(agg("view").alias("v"), ["ws", "user_id"])
+            .select("ws", "user_id",
+                    F.col("c.n").alias("n_clicks"), F.col("v.n").alias("n_views")))
+    assert _rows(got) == _rows(want)
