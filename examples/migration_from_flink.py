@@ -248,6 +248,36 @@ def semi_anti_join_migration(spark):
         sources.cleanup(st)
 
 
+def cdc_formats_migration(spark):
+    """Flink:
+        CREATE TABLE orders_cdc (...) WITH ('connector'='kafka',
+          'format'='debezium-json');
+        -- DebeziumJsonDeserializationSchema: envelope → RowKind rows
+    """
+    from pyspark.sql import functions as F
+
+    from flink_release_1_14_5_comment_spark.streaming.cdc_formats import (
+        debezium_decode,
+    )
+    from flink_release_1_14_5_comment_spark.streaming.changelog import (
+        changelog_normalize,
+    )
+
+    payloads = [
+        '{"before": null, "after": {"id": 1, "name": "a"}, "op": "c"}',
+        '{"before": {"id": 1, "name": "a"}, "after": {"id": 1, "name": "a2"}, "op": "u"}',
+        '{"before": null, "after": {"id": 2, "name": "b"}, "op": "c"}',
+    ]
+    raw = spark.createDataFrame([(p,) for p in payloads], "value string")
+    decoded = debezium_decode(raw, "value", "id BIGINT, name STRING")
+    decoded.show()
+    current = changelog_normalize(
+        decoded.withColumn("seq", F.monotonically_increasing_id()),
+        ["id"], "seq")
+    print("current state after normalize:")
+    current.orderBy("id").show()
+
+
 def tpch_partsupp_migration(spark):
     """Flink:
         // flink-tpch-test runs spec TPC-H; Q2/Q9/Q11/Q16/Q20 need partsupp.
@@ -542,6 +572,7 @@ if __name__ == "__main__":
     co_group_migration(spark)
     regular_join_migration(spark)
     semi_anti_join_migration(spark)
+    cdc_formats_migration(spark)
     tpch_partsupp_migration(spark)
     ann_pq_migration(spark)
     persistent_catalog_migration(spark)
