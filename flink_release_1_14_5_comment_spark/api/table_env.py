@@ -376,6 +376,48 @@ class TableEnvironment:
     def rowtime_of(self, name: str) -> tuple[str, str] | None:
         return self._watermarks.get(name)
 
+    # -- Table <-> DataStream changelog bridge (reference
+    # StreamTableEnvironment.fromChangelogStream / toChangelogStream /
+    # toRetractStream, StreamTableEnvironmentImpl.java) -------------------
+
+    def from_changelog_stream(self, df: DataFrame, primary_keys: list[str],
+                              seq_col: str) -> "Table":
+        """Changelog frame (``__rowkind`` ∈ +I/-U/+U/-D — the convention of
+        streaming/changelog.py and cdc_formats.py) → Table holding the
+        CURRENT state: per-key last-writer-wins with -D removal, i.e.
+        ChangelogNormalize keyed on the primary key — exactly what the
+        reference's planner inserts when a changelog stream becomes a
+        table. ``seq_col`` is the arrival order (Flink sees single-record
+        order; a DataFrame needs it made explicit)."""
+        from flink_release_1_14_5_comment_spark.streaming.changelog import (
+            changelog_normalize,
+        )
+
+        normalized = changelog_normalize(df, primary_keys, seq_col)
+        drop = [c for c in ("__rowkind", seq_col) if c in normalized.columns]
+        return Table(normalized.drop(*drop), self)
+
+    def to_changelog_stream(self, table: "Table") -> DataFrame:
+        """Table → changelog frame. A table that already carries
+        ``__rowkind`` (produced by a retracting operator) passes through;
+        an insert-only table is tagged +I on every row (the reference
+        emits RowKind.INSERT for append tables)."""
+        df = table.to_data_frame()
+        if "__rowkind" in df.columns:
+            return df
+        return df.select(F.lit("+I").alias("__rowkind"), "*")
+
+    def to_retract_stream(self, table: "Table") -> DataFrame:
+        """Table → retract stream: the reference's (boolean, row) pairs —
+        ``retract`` is True for -U/-D (accumulate=False) and False for
+        +I/+U, the exact Tuple2<Boolean, Row> mapping of
+        StreamTableEnvironment.toRetractStream."""
+        cl = self.to_changelog_stream(table)
+        return cl.select(
+            F.col("__rowkind").isin("-U", "-D").alias("retract"),
+            *[c for c in cl.columns if c != "__rowkind"],
+        )
+
 
 class GroupedTable:
     def __init__(self, df: DataFrame, keys: list[str], env: TableEnvironment):
