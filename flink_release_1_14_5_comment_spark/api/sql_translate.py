@@ -97,10 +97,15 @@ def _hop_tvf(m: re.Match) -> str:
     t = f"unix_micros({ts})"
     first = f"CAST(floor(({t} - {size}) / {slide}) * {slide} + {slide} AS BIGINT)"
     last = f"CAST(floor({t} / {slide}) * {slide} AS BIGINT)"
+    # Gap windows (size < slide) leave some rows in NO window: first > last
+    # there, and a bare sequence() would throw at runtime — guard with an
+    # empty array so those rows drop, matching Flink's HOP semantics.
+    seq = (f"CASE WHEN {first} <= {last} THEN sequence({first}, {last}, {slide}) "
+           f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
     return (
         f"(SELECT *, timestamp_micros(__ws) AS window_start, "
         f"timestamp_micros(__ws + {size}) AS window_end FROM {tbl} "
-        f"LATERAL VIEW explode(sequence({first}, {last}, {slide})) __w AS __ws)"
+        f"LATERAL VIEW explode({seq}) __w AS __ws)"
     )
 
 

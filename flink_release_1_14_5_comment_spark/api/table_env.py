@@ -291,7 +291,7 @@ class TableEnvironment:
             "file.size": "file_size",
             "file.modification-time": "file_modification_time",
         }
-        for item in _split_top_level(cols):
+        for item in _split_top_level_ddl(cols):
             text = item.strip()
             up = text.upper()
             if (up.startswith("WATERMARK") or up.startswith("PRIMARY KEY")
@@ -327,7 +327,7 @@ class TableEnvironment:
         )
 
         fields = []
-        for item in _split_top_level(cols):
+        for item in _split_top_level_ddl(cols):
             up = item.upper().strip()
             if (up.startswith("WATERMARK") or up.startswith("PRIMARY KEY")
                     or up.startswith("CONSTRAINT") or " AS " in f" {up} "
@@ -351,6 +351,18 @@ class TableEnvironment:
             raise ValueError(
                 f"INSERT target {name!r} is not a filesystem table created "
                 "via CREATE TABLE ... WITH ('connector'='filesystem', ...)")
+        # Flink maps INSERT columns to the DECLARED sink schema by position
+        # (reference DynamicSinkUtils#validateSchemaAndApplyImplicitCast);
+        # rename positionally so the written files — and the re-registered
+        # view — carry the CREATE TABLE names, not the SELECT's (or the
+        # col1/col2 an INSERT ... VALUES produces).
+        declared = [f.name for f in self._ddl_schema(sink["cols"]).fields]
+        if declared:
+            if len(df.columns) != len(declared):
+                raise ValueError(
+                    f"INSERT into {name!r}: query produces {len(df.columns)} "
+                    f"columns but the table declares {len(declared)}")
+            df = df.toDF(*declared)
         writer = df.write.mode("overwrite" if overwrite else "append")
         if sink["format"] == "csv":
             writer = writer.option("header", sink["options"].get(
@@ -522,6 +534,39 @@ def _split_top_level(s: str) -> list[str]:
             depth += ch in "(["
             depth -= ch in ")]"
             cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+_ANGLE_TYPES = {"ARRAY", "MAP", "STRUCT", "ROW", "MULTISET"}
+
+
+def _split_top_level_ddl(s: str) -> list[str]:
+    """DDL column-list splitter: like _split_top_level, but additionally
+    angle-bracket-aware so parameterized types (MAP<STRING, INT>,
+    ARRAY<STRUCT<a: INT, b: STRING>>) don't mis-split. `<` opens a type
+    argument list only when it follows a composite-type keyword, so
+    comparison operators in computed-column expressions (`x AS a < b`)
+    stay untouched."""
+    out, depth, angle, cur = [], 0, 0, []
+    for ch in s:
+        if ch == "," and depth == 0 and angle == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "<":
+            tail = "".join(cur).rstrip()
+            word = re.split(r"[^A-Za-z_]", tail)[-1].upper() if tail else ""
+            if angle > 0 or word in _ANGLE_TYPES:
+                angle += 1
+        elif ch == ">" and angle > 0:
+            angle -= 1
+        cur.append(ch)
     if cur:
         out.append("".join(cur).strip())
     return [x for x in out if x]

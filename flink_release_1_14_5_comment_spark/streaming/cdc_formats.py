@@ -36,8 +36,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from flink_release_1_14_5_comment_spark.streaming.changelog import ROWKIND
+
+
+def _field_names(payload_schema: str) -> list[str]:
+    """Column names of a DDL row schema, via the real DDL parser — robust
+    to parameterized types (DECIMAL(10,2), MAP<...>, ARRAY<STRUCT<...>>)
+    that a naive comma split would shred."""
+    return list(StructType.fromDDL(payload_schema).fieldNames())
 
 
 def _explode_tagged(df: DataFrame, tagged: Column, payload_type: str) -> DataFrame:
@@ -49,7 +57,24 @@ def _explode_tagged(df: DataFrame, tagged: Column, payload_type: str) -> DataFra
     )
 
 
-def debezium_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+def _else_branch(ignore_parse_errors: bool, op_expr: str, null_row_expr: str) -> str:
+    """ELSE arm of the op-dispatch CASE. The reference's deserializers
+    throw on unknown op codes / unparseable envelopes unless
+    'ignore-parse-errors' is set (DebeziumJsonDeserializationSchema.java:63
+    et al.); mirroring that, the strict default raises at execution time
+    instead of letting explode() silently drop the record."""
+    if ignore_parse_errors:
+        return "NULL"
+    return (
+        "array(named_struct('kind', raise_error(concat("
+        "'cdc decode: unknown or unparseable envelope op=', "
+        f"coalesce(cast({op_expr} as string), '<null envelope>'))), "
+        f"'row', {null_row_expr}))"
+    )
+
+
+def debezium_decode(df: DataFrame, value_col: str, payload_schema: str,
+                    ignore_parse_errors: bool = False) -> DataFrame:
     """Decode debezium-json envelopes ({before, after, op}) from
     ``df[value_col]`` into a changelog frame. ``payload_schema`` is the
     row schema DDL, e.g. ``"id BIGINT, name STRING"``. Handles both the
@@ -74,18 +99,19 @@ def debezium_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataF
                   named_struct('kind', '+U', 'row', env.after))
           WHEN env.op = 'd' THEN
             array(named_struct('kind', '-D', 'row', env.before))
-          ELSE NULL
+          ELSE {_else_branch(ignore_parse_errors, "env.op", "env.after")}
         END
     """)
     return _explode_tagged(d, tagged, payload_schema)
 
 
-def canal_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+def canal_decode(df: DataFrame, value_col: str, payload_schema: str,
+                 ignore_parse_errors: bool = False) -> DataFrame:
     """Decode canal-json envelopes ({data: [...], old: [...], type}).
     ``old`` rows carry only the changed fields; missing fields are filled
     from the matching ``data`` row (reference CanalJsonDeserializationSchema
     "old" patching)."""
-    cols = [c.strip().split()[0] for c in payload_schema.split(",")]
+    cols = _field_names(payload_schema)
     env_schema = (
         f"struct<data: array<struct<{payload_schema}>>, "
         f"old: array<struct<{payload_schema}>>, type: string>"
@@ -107,18 +133,19 @@ def canal_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFram
               named_struct('kind', '-U',
                            'row', named_struct({patched_old})),
               named_struct('kind', '+U', 'row', named_struct({new_row})))))
-          ELSE NULL
+          ELSE {_else_branch(ignore_parse_errors, "env.type", "env.data[0]")}
         END
     """)
     return _explode_tagged(d, tagged, payload_schema)
 
 
-def maxwell_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFrame:
+def maxwell_decode(df: DataFrame, value_col: str, payload_schema: str,
+                   ignore_parse_errors: bool = False) -> DataFrame:
     """Decode maxwell-json envelopes ({data, old, type}) — single-row data;
     ``old`` holds the PRE-update values of changed fields only, so the
     -U row is data patched with old (reference
     MaxwellJsonDeserializationSchema)."""
-    cols = [c.strip().split()[0] for c in payload_schema.split(",")]
+    cols = _field_names(payload_schema)
     env_schema = (
         f"struct<data: struct<{payload_schema}>, "
         f"old: struct<{payload_schema}>, type: string>"
@@ -137,7 +164,7 @@ def maxwell_decode(df: DataFrame, value_col: str, payload_schema: str) -> DataFr
             array(named_struct('kind', '-U',
                                'row', named_struct({before_row})),
                   named_struct('kind', '+U', 'row', env.data))
-          ELSE NULL
+          ELSE {_else_branch(ignore_parse_errors, "env.type", "env.data")}
         END
     """)
     return _explode_tagged(d, tagged, payload_schema)

@@ -218,8 +218,14 @@ def parse_match_recognize_sql(sql: str) -> dict:
     if not define_raw:
         raise ValueError("MATCH_RECOGNIZE requires DEFINE")
 
+    # paren-aware split: DEFINE/MEASURES items may contain multi-arg
+    # function calls (COALESCE(a, b), …) whose commas are not separators
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        _split_top_level,
+    )
+
     define: dict[str, str] = {}
-    for item in define_raw.split(","):
+    for item in _split_top_level(define_raw):
         m = re.match(r"^\s*(\w+)\s+AS\s+(.*?)\s*$", item,
                      re.IGNORECASE | re.DOTALL)
         if not m:
@@ -228,7 +234,7 @@ def parse_match_recognize_sql(sql: str) -> dict:
 
     measures: dict[str, str] = {}
     if measures_raw:
-        for item in measures_raw.split(","):
+        for item in _split_top_level(measures_raw):
             m = re.match(r"^\s*(.*?)\s+AS\s+(\w+)\s*$", item,
                          re.IGNORECASE | re.DOTALL)
             if not m:

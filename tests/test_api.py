@@ -286,3 +286,19 @@ def test_changelog_stream_bridge(spark):
     flags = {(r.id, r.name, r.retract)
              for r in tenv.to_retract_stream(t3).collect()}
     assert (1, "a", True) in flags and (1, "a2", False) in flags
+
+
+def test_ddl_splitter_parameterized_types():
+    """DDL column lists with MAP<STRING, INT> / nested STRUCT commas split
+    on column boundaries only; computed-column `<` comparisons untouched."""
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        _split_top_level_ddl,
+    )
+
+    cols = ("id BIGINT, m MAP<STRING, INT>, "
+            "a ARRAY<STRUCT<x: INT, y: STRING>>, d DECIMAL(10,2), "
+            "flag AS d < 5, name STRING")
+    assert _split_top_level_ddl(cols) == [
+        "id BIGINT", "m MAP<STRING, INT>",
+        "a ARRAY<STRUCT<x: INT, y: STRING>>", "d DECIMAL(10,2)",
+        "flag AS d < 5", "name STRING"]

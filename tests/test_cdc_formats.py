@@ -104,3 +104,67 @@ def test_decode_chains_into_changelog_normalize(spark):
     state = {(r.id, r.name)
              for r in changelog_normalize(decoded, ["id"], "seq").collect()}
     assert state == {(1, "a2"), (3, "c")}
+
+
+def test_canal_parameterized_types(spark):
+    """ADVICE r4: parameterized types (DECIMAL(10,2), ARRAY<...>) in the
+    payload schema must not mis-split field names (the reference's Canal
+    decoder takes a real RowType, so any DDL-expressible type works)."""
+    schema = "id BIGINT, price DECIMAL(10,2), tags ARRAY<STRING>, name STRING"
+    payloads = [
+        '{"data": [{"id": 1, "price": 9.50, "tags": ["x"], "name": "a"}], '
+        '"old": null, "type": "INSERT"}',
+        '{"data": [{"id": 1, "price": 10.25, "tags": ["x"], "name": "a"}], '
+        '"old": [{"price": 9.50}], "type": "UPDATE"}',
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    got = [(r["__rowkind"], r["id"], str(r["price"]), r["tags"], r["name"])
+           for r in canal_decode(df, "value", schema).collect()]
+    assert got == [
+        ("+I", 1, "9.50", ["x"], "a"),
+        ("-U", 1, "9.50", ["x"], "a"),
+        ("+U", 1, "10.25", ["x"], "a"),
+    ]
+
+
+def test_maxwell_parameterized_types(spark):
+    schema = "id BIGINT, m MAP<STRING, INT>"
+    payloads = ['{"data": {"id": 1, "m": {"k": 2}}, "type": "insert"}']
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    got = [(r["__rowkind"], r["id"], dict(r["m"]))
+           for r in maxwell_decode(df, "value", schema).collect()]
+    assert got == [("+I", 1, {"k": 2})]
+
+
+def test_unknown_op_raises_by_default(spark):
+    """ADVICE r4: malformed/unknown envelopes must surface, not vanish —
+    the reference deserializers throw unless ignore-parse-errors is set."""
+    import pytest
+
+    bad = '{"before": null, "after": {"id": 1, "name": "a"}, "op": "zz"}'
+    df = spark.createDataFrame([(bad,)], "value string")
+    with pytest.raises(Exception) as ei:
+        debezium_decode(df, "value", SCHEMA).collect()
+    assert "unknown or unparseable envelope" in str(ei.value)
+    # opt-out matches the reference's ignore-parse-errors: record dropped
+    assert debezium_decode(df, "value", SCHEMA,
+                           ignore_parse_errors=True).count() == 0
+
+
+def test_unknown_op_raises_canal_maxwell(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [('{"data": [{"id": 1, "name": "a"}], "old": null, "type": "TRUNCATE"}',)],
+        "value string")
+    with pytest.raises(Exception) as ei:
+        canal_decode(df, "value", SCHEMA).collect()
+    assert "unknown or unparseable envelope" in str(ei.value)
+    assert canal_decode(df, "value", SCHEMA, ignore_parse_errors=True).count() == 0
+
+    df2 = spark.createDataFrame(
+        [('{"data": {"id": 1, "name": "a"}, "type": "bootstrap-start"}',)],
+        "value string")
+    with pytest.raises(Exception):
+        maxwell_decode(df2, "value", SCHEMA).collect()
+    assert maxwell_decode(df2, "value", SCHEMA, ignore_parse_errors=True).count() == 0

@@ -105,3 +105,27 @@ def test_unsupported_shapes_raise():
             "SELECT * FROM t MATCH_RECOGNIZE (ORDER BY ts PATTERN (A))")
     with pytest.raises(ValueError, match="shape"):
         parse_match_recognize_sql("SELECT a, b FROM t MATCH_RECOGNIZE (x)")
+
+
+def test_define_measures_with_multiarg_functions():
+    """ADVICE r4: commas inside function calls (COALESCE(a, b)) in DEFINE /
+    MEASURES items are not item separators — paren-aware split."""
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import (
+        parse_match_recognize_sql,
+    )
+
+    sql = """
+    SELECT * FROM events MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COALESCE(FIRST(A.v), 0) AS first_v,
+               GREATEST(LAST(B.v), 1, 2) AS last_v
+      PATTERN (A B)
+      DEFINE A AS COALESCE(A.v, 0) > 1,
+             B AS B.v IN (1, 2, 3)
+    )"""
+    out = parse_match_recognize_sql(sql)
+    assert set(out["define"]) == {"A", "B"}
+    assert out["define"]["A"] == "COALESCE(A.v, 0) > 1"
+    assert out["define"]["B"] == "B.v IN (1, 2, 3)"
+    assert out["measures"]["first_v"] == "COALESCE(FIRST(A.v), 0)"
+    assert out["measures"]["last_v"] == "GREATEST(LAST(B.v), 1, 2)"

@@ -257,3 +257,26 @@ def test_tvf_window_join(env, spark):
             .select("ws", "user_id",
                     F.col("c.n").alias("n_clicks"), F.col("v.n").alias("n_views")))
     assert _rows(got) == _rows(want)
+
+
+def test_tvf_hop_gap_windows(env, spark):
+    """ADVICE r4: size < slide (gap windows) — rows between windows fall in
+    NO window; a bare sequence() would throw (first > last). Flink's HOP
+    allows this shape (SliceAssigners.hopping handles any slide/size)."""
+    got = env.sql_query("""
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+                       INTERVAL '30' MINUTE))
+        GROUP BY window_start, window_end
+    """).to_data_frame()
+    rows = got.collect()
+    assert rows, "gap-window HOP produced no windows"
+    # every emitted window is exactly 30 minutes and hour-aligned
+    for r in rows:
+        delta = (r["window_end"] - r["window_start"]).total_seconds()
+        assert delta == 1800
+        assert r["window_start"].minute == 0 and r["window_start"].second == 0
+    # only rows whose minute < 30 belong to a window
+    want = (spark.table("ev")
+            .filter(F.minute("ts") < 30).count())
+    assert sum(r["n"] for r in rows) == want

@@ -92,3 +92,29 @@ def test_legacy_cast_mode(spark):
         strict.execute_sql(sql).to_data_frame().collect()
     row = lenient.execute_sql(sql).to_data_frame().collect()[0]
     assert row.x is None and row.y == 7
+
+
+def test_insert_maps_columns_to_declared_schema_positionally(spark, tmp_path):
+    """ADVICE r4: Flink maps INSERT columns to the DECLARED sink schema by
+    position (DynamicSinkUtils) — the written files and the re-registered
+    view must carry the CREATE TABLE names, even for SELECT aliases or
+    INSERT ... VALUES (which produces col1/col2 internally)."""
+    from flink_release_1_14_5_comment_spark.api import TableEnvironment
+
+    env = TableEnvironment.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE named_sink (k BIGINT, label STRING, amount DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/named_sink',
+              'format' = 'parquet')
+    """)
+    env.execute_sql(
+        "INSERT INTO named_sink SELECT 1 AS some_alias, 'x' AS other, 2.5 AS v")
+    env.execute_sql("INSERT INTO named_sink VALUES (2, 'y', 3.5)")
+    got = spark.table("named_sink")
+    assert got.columns == ["k", "label", "amount"]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, "x", 2.5), (2, "y", 3.5)]
+
+    import pytest
+    with pytest.raises(ValueError, match="declares 3"):
+        env.execute_sql("INSERT INTO named_sink SELECT 1, 'x'")
