@@ -126,6 +126,8 @@ class TableEnvironment:
         self._sinks: dict[str, dict] = {}  # filesystem tables → write info
         self._config: dict[str, str] = {}  # SET 'k'='v' script options
         self._legacy_cast = legacy_cast
+        self._temporal_fns: dict[str, object] = {}  # name → TemporalTableFunction
+        self._ttf_views = 0
         register_flink_dialect(self.spark)
 
     @classmethod
@@ -202,8 +204,95 @@ class TableEnvironment:
         Spark's own caching if the caller persists the common frame."""
         return StatementSet(self)
 
+    def create_temporary_function(self, name: str, fn) -> None:
+        """Reference TableEnvironment.createTemporarySystemFunction.
+        TemporalTableFunction instances register for the SQL
+        `LATERAL TABLE(name(ts))` rewrite; plain callables register as
+        Spark UDFs (row-at-a-time — prefer pandas_udf for hot paths)."""
+        from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+            TemporalTableFunction,
+        )
+
+        if isinstance(fn, TemporalTableFunction):
+            self._temporal_fns[name] = fn
+        else:
+            self.spark.udf.register(name, fn)
+
+    # Flink 1.14's LATERAL TABLE(rates(o.ts)) comma-join form. The planner
+    # rewrites it into a temporal join keyed on the function's primary key,
+    # with the key equality taken from the WHERE conjuncts
+    # (LogicalCorrelateToJoinFromTemporalTableRule.scala); same here.
+    _LATERAL_TTF_RE = re.compile(
+        r"FROM\s+(?P<probe>\w+)(?:\s+AS)?\s+(?P<pa>\w+)\s*,\s*"
+        r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*(?P<arg>[\w.]+)\s*\)\s*\)"
+        r"(?:\s+AS)?\s+(?P<ba>\w+)",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _rewrite_lateral_ttf(self, sql: str) -> str:
+        m = self._LATERAL_TTF_RE.search(sql)
+        if not m or m.group("fn") not in self._temporal_fns:
+            return sql
+        from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+            temporal_table_join,
+        )
+
+        fname, pa, ba = m.group("fn"), m.group("pa"), m.group("ba")
+        fn_obj = self._temporal_fns[fname]
+        wm = re.search(
+            r"\bWHERE\b(?P<w>.*?)(?=\bGROUP\s+BY\b|\bORDER\s+BY\b|"
+            r"\bHAVING\b|\bLIMIT\b|$)",
+            sql, re.IGNORECASE | re.DOTALL)
+        if not wm:
+            raise ValueError(
+                f"LATERAL TABLE({fname}(...)): the temporal table function "
+                "join requires the primary-key equality in WHERE "
+                f"({pa}.<key> = {ba}.{fn_obj.primary_key})")
+        probe_key = None
+        for conj in _split_conjuncts(wm.group("w")):
+            m2 = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", conj)
+            if not m2:
+                continue
+            a1, c1, a2, c2 = m2.groups()
+            if a1 == ba and c1 == fn_obj.primary_key and a2 == pa:
+                probe_key = c2
+                break
+            if a2 == ba and c2 == fn_obj.primary_key and a1 == pa:
+                probe_key = c1
+                break
+        if probe_key is None:
+            raise ValueError(
+                f"LATERAL TABLE({fname}(...)): no WHERE conjunct equates "
+                f"{ba}.{fn_obj.primary_key} with a {pa} column — Flink "
+                "requires the primary-key equality for the temporal join")
+        arg = m.group("arg")
+        if "." in arg:
+            aa, probe_ts = arg.split(".", 1)
+            if aa != pa:
+                raise ValueError(
+                    f"LATERAL TABLE({fname}({arg})): the time argument must "
+                    f"come from the probe table alias {pa!r}")
+        else:
+            probe_ts = arg
+        joined = temporal_table_join(
+            self.spark.table(m.group("probe")), fn_obj,
+            probe_ts=probe_ts, probe_key=probe_key, how="inner")
+        self._ttf_views += 1
+        view = f"__ttf_{fname}_{self._ttf_views}"
+        joined.createOrReplaceTempView(view)
+        out = sql[:m.start()] + f"FROM {view}" + sql[m.end():]
+        # both aliases now resolve against the single joined view; column
+        # names are disjoint (enforced by temporal_table_join), so stripping
+        # the qualifiers is unambiguous
+        out = re.sub(rf"\b{pa}\.", "", out)
+        out = re.sub(rf"\b{ba}\.", "", out)
+        return out
+
     def sql_query(self, sql: str) -> "Table":
         stripped = sql.strip().rstrip(";")
+        if self._temporal_fns and re.search(r"\bLATERAL\s+TABLE\b",
+                                            stripped, re.IGNORECASE):
+            stripped = self._rewrite_lateral_ttf(stripped)
         if re.search(r"\bMATCH_RECOGNIZE\b", stripped, re.IGNORECASE):
             from flink_release_1_14_5_comment_spark.streaming.match_recognize import (
                 match_recognize_sql,
@@ -385,6 +474,11 @@ class TableEnvironment:
     def from_path(self, name: str) -> "Table":
         return Table(self.spark.table(name), self)
 
+    def from_data_frame(self, df: DataFrame) -> "Table":
+        """Wrap an existing DataFrame as a Table (the batch counterpart of
+        StreamTableEnvironment.fromDataStream)."""
+        return Table(df, self)
+
     def rowtime_of(self, name: str) -> tuple[str, str] | None:
         return self._watermarks.get(name)
 
@@ -472,6 +566,18 @@ class Table:
     def group_by(self, keys: str) -> GroupedTable:
         return GroupedTable(self._df, [k.strip() for k in keys.split(",")], self._env)
 
+    def create_temporal_table_function(self, time_attr: str,
+                                       primary_key: str):
+        """Reference Table.createTemporalTableFunction (Table.java) —
+        wraps this table's version history for `LATERAL TABLE(f(ts))`
+        temporal joins; register via
+        TableEnvironment.create_temporary_function."""
+        from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+            TemporalTableFunction,
+        )
+
+        return TemporalTableFunction(self._df, time_attr, primary_key)
+
     def join(self, other: "Table", on: str, how: str = "inner") -> "Table":
         return Table(self._df.join(other._df, F.expr(on), how), self._env)
 
@@ -534,6 +640,28 @@ def _split_top_level(s: str) -> list[str]:
             depth += ch in "(["
             depth -= ch in ")]"
             cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a WHERE clause on top-level ANDs (parens respected)."""
+    out, depth, cur, i = [], 0, [], 0
+    upper = s.upper()
+    while i < len(s):
+        ch = s[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0 and upper[i:i + 5] == " AND ":
+            out.append("".join(cur).strip())
+            cur = []
+            i += 5
+            continue
+        cur.append(ch)
+        i += 1
     if cur:
         out.append("".join(cur).strip())
     return [x for x in out if x]

@@ -95,6 +95,77 @@ def asof_join(
 
 
 # ---------------------------------------------------------------------------
+# Temporal table FUNCTION (Flink 1.14 `LATERAL TABLE(rates(o.ts))`)
+# ---------------------------------------------------------------------------
+
+
+class TemporalTableFunction:
+    """The Flink 1.14 temporal table function
+    (``Table.createTemporalTableFunction(timeAttribute, primaryKey)``,
+    reference flink-table-api-java Table.java createTemporalTableFunction;
+    planner rewrite LogicalCorrelateToJoinFromTemporalTableRule.scala).
+
+    Wraps a versioned table: ``df`` holds the full version history,
+    ``time_attr`` is the version timestamp, ``primary_key`` the versioned
+    key. Applying it via ``temporal_table_join`` (or SQL
+    ``LATERAL TABLE(f(probe_ts))`` through TableEnvironment) yields, per
+    probe row, the newest version with time_attr <= probe time for the
+    matching key — identical runtime semantics to the `FOR SYSTEM_TIME
+    AS OF` join, which is exactly what the reference's planner rule
+    rewrites the function form into.
+    """
+
+    def __init__(self, df: DataFrame, time_attr: str, primary_key: str):
+        missing = [c for c in (time_attr, primary_key) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"temporal table function: column(s) {missing} not in "
+                f"versioned table columns {df.columns}")
+        self.df = df
+        self.time_attr = time_attr
+        self.primary_key = primary_key
+
+
+def temporal_table_join(
+    probe: DataFrame,
+    fn: TemporalTableFunction,
+    probe_ts: str,
+    probe_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``probe`` against a TemporalTableFunction: per probe row, the
+    newest build version with ``fn.time_attr <= probe[probe_ts]`` and
+    matching key. Flink's comma-join `LATERAL TABLE(...)` form has INNER
+    semantics (probe rows with no valid version drop) — the default here.
+
+    Column names of probe and the versioned table must be disjoint (Flink
+    resolves collisions via aliases at the Calcite layer; pre-rename here).
+    Build side must be unique per (primary_key, time_attr).
+    """
+    build = fn.df
+    overlap = set(probe.columns) & set(build.columns)
+    if overlap:
+        raise NotImplementedError(
+            f"temporal table join: overlapping column names {sorted(overlap)}; "
+            "rename one side (Flink's examples use disjoint names, e.g. "
+            "r_currency vs currency)")
+    # carry the build key under the probe key's name so the as-of union
+    # partitions both sides on one column
+    build2 = build.withColumn(probe_key, F.col(fn.primary_key))
+    build_cols = [fn.time_attr] + [c for c in build.columns
+                                   if c != fn.time_attr]
+    return asof_join(
+        probe=probe,
+        build=build2,
+        key=probe_key,
+        probe_ts=probe_ts,
+        build_ts=fn.time_attr,
+        build_cols=build_cols,
+        how=how,
+    ).select(*probe.columns, *build.columns)
+
+
+# ---------------------------------------------------------------------------
 # Oracle-checked queries
 # ---------------------------------------------------------------------------
 
@@ -170,12 +241,63 @@ FROM buys b ASOF LEFT JOIN clicks c
 """
 
 
+def q_temporal_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.14 temporal table FUNCTION syntax end-to-end: clicks form a
+    versioned "rates" table (per-user value history), purchases probe it
+    with `LATERAL TABLE(rates(o.ts))` — INNER comma-join semantics, key
+    equality in WHERE, exactly the reference's
+    createTemporalTableFunction + LogicalCorrelateToJoinFromTemporalTableRule
+    pipeline (TemporalJoinITCase scenarios)."""
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        TableEnvironment,
+    )
+
+    t = register_views(spark, sf_dir)
+    e = t["events"]
+    rates = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("r_user"),
+                 F.col("ts").alias("r_ts"))
+        .agg(F.max("value").alias("rate"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts",
+        F.col("value").alias("amount"))
+    env = TableEnvironment(spark)
+    env.register_table("buys_ttf", buys)
+    env.create_temporary_function(
+        "rates", env.from_data_frame(rates)
+        .create_temporal_table_function("r_ts", "r_user"))
+    return env.sql_query("""
+        SELECT o.user_id, o.purchase_id, o.ts,
+               o.amount * r.rate AS converted, r.r_ts
+        FROM buys_ttf AS o, LATERAL TABLE(rates(o.ts)) AS r
+        WHERE o.user_id = r.r_user
+    """).to_data_frame()
+
+
+ORACLE_Q_TEMPORAL_TABLE_FN = """
+WITH rates AS (
+  SELECT user_id AS r_user, ts AS r_ts, MAX(value) AS rate
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), buys AS (
+  SELECT user_id, event_id AS purchase_id, ts, value AS amount
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT o.user_id, o.purchase_id, o.ts, o.amount * r.rate AS converted, r.r_ts
+FROM buys o ASOF JOIN rates r
+  ON o.user_id = r.r_user AND o.ts >= r.r_ts
+"""
+
+
 QUERIES = {
     "interval_join": q_interval_join,
     "asof_join": q_asof_join,
+    "temporal_table_fn": q_temporal_table_fn,
 }
 
 ORACLE = {
     "interval_join": ORACLE_Q_INTERVAL_JOIN,
     "asof_join": ORACLE_Q_ASOF_JOIN,
+    "temporal_table_fn": ORACLE_Q_TEMPORAL_TABLE_FN,
 }

@@ -302,3 +302,83 @@ def test_ddl_splitter_parameterized_types():
         "id BIGINT", "m MAP<STRING, INT>",
         "a ARRAY<STRUCT<x: INT, y: STRING>>", "d DECIMAL(10,2)",
         "flag AS d < 5", "name STRING"]
+
+
+def test_temporal_table_function_api_and_sql(spark):
+    """Flink 1.14 temporal table FUNCTION (Table.createTemporalTableFunction
+    + LATERAL TABLE(f(ts)) comma join): versions visible as-of probe time,
+    INNER semantics, key equality taken from WHERE (reference
+    LogicalCorrelateToJoinFromTemporalTableRule / TemporalJoinITCase)."""
+    env = TableEnvironment.create(spark)
+    rates = spark.createDataFrame(
+        [("eur", 1, 114), ("eur", 5, 116), ("usd", 1, 100)],
+        "r_currency string, r_ts bigint, rate bigint")
+    orders = spark.createDataFrame(
+        [(2, "eur", 10), (6, "eur", 20), (3, "usd", 30), (1, "gbp", 40),
+         (0, "eur", 50)],
+        "o_ts bigint, currency string, amount bigint")
+    env.register_table("orders_ttf", orders)
+    ttf = env.from_data_frame(rates).create_temporal_table_function(
+        "r_ts", "r_currency")
+    env.create_temporary_function("rates_fn", ttf)
+    got = env.sql_query("""
+        SELECT o.o_ts, o.currency, o.amount * r.rate AS converted
+        FROM orders_ttf AS o, LATERAL TABLE(rates_fn(o.o_ts)) AS r
+        WHERE o.currency = r.r_currency
+    """).to_data_frame()
+    rows = sorted(tuple(r) for r in got.collect())
+    # o_ts=2 eur → rate@1=114; o_ts=6 eur → rate@5=116; usd@3 → 100;
+    # gbp (no version) and eur@0 (before first version) DROP (inner).
+    assert rows == [(2, "eur", 1140), (3, "usd", 3000), (6, "eur", 2320)]
+
+
+def test_temporal_table_function_df_api(spark):
+    from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+        TemporalTableFunction,
+        temporal_table_join,
+    )
+
+    rates = spark.createDataFrame(
+        [("eur", 1, 114), ("eur", 5, 116)],
+        "r_currency string, r_ts bigint, rate bigint")
+    orders = spark.createDataFrame(
+        [(2, "eur", 10), (0, "eur", 50)],
+        "o_ts bigint, currency string, amount bigint")
+    fn = TemporalTableFunction(rates, "r_ts", "r_currency")
+    got = temporal_table_join(orders, fn, probe_ts="o_ts",
+                              probe_key="currency")
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (2, "eur", 10, "eur", 1, 114)]
+    # left keeps the unmatched probe row with null version
+    left = temporal_table_join(orders, fn, probe_ts="o_ts",
+                               probe_key="currency", how="left")
+    assert left.count() == 2
+
+
+def test_temporal_table_function_errors(spark):
+    from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+        TemporalTableFunction,
+        temporal_table_join,
+    )
+
+    rates = spark.createDataFrame([("eur", 1, 114)],
+                                  "currency string, r_ts bigint, rate bigint")
+    orders = spark.createDataFrame([(2, "eur", 10)],
+                                   "o_ts bigint, currency string, amount bigint")
+    fn = TemporalTableFunction(rates, "r_ts", "currency")
+    with pytest.raises(NotImplementedError, match="overlapping"):
+        temporal_table_join(orders, fn, probe_ts="o_ts", probe_key="currency")
+    with pytest.raises(ValueError, match="not in"):
+        TemporalTableFunction(rates, "nope", "currency")
+
+    env = TableEnvironment.create(spark)
+    env.register_table("orders_ttf2", orders)
+    env.create_temporary_function(
+        "r2", TemporalTableFunction(
+            rates.withColumnRenamed("currency", "r_currency"),
+            "r_ts", "r_currency"))
+    with pytest.raises(ValueError, match="primary-key equality"):
+        env.sql_query("""
+            SELECT o.amount FROM orders_ttf2 AS o,
+            LATERAL TABLE(r2(o.o_ts)) AS r WHERE r.rate > 0
+        """)
