@@ -214,6 +214,105 @@ def tumble_agg_time_evictor(
     )
 
 
+def session_agg_count_evictor(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    gap: str,
+    n_keep: int,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Merging SESSION windows composed with a CountEvictor — the reference's
+    EventTimeSessionWindows.withGap(...) + CountEvictor.of(n) stack
+    (SessionWindowAssigner + MergingWindowSet + WindowOperator
+    evict-before-emit). Session BOUNDS come from the merging window set over
+    ALL events ever assigned (eviction never shrinks a window), while the
+    aggregate sees only the latest ``n_keep`` elements — exactly Flink's
+    split between assigner state and the evicted window buffer.
+
+    Merge rule matches Spark's session_window / the oracle convention:
+    a gap of >= ``gap`` starts a new session.
+
+    Scale: state per key = open sessions' bounds + at most ``n_keep`` rows
+    each (eviction runs per batch, so the buffer is bounded); shuffle =
+    hash(key), identical to the reference's keyed window state.
+    """
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in key_cols]
+        + ["w_start timestamp", "w_end timestamp", "n_kept int",
+           "sum_value double"]
+    )
+    state_schema = ("starts array<bigint>, lasts array<bigint>, "
+                    "row_ts array<bigint>, row_val array<double>, "
+                    "row_sess array<int>")
+    gap_us = _parse_seconds(gap) * 1_000_000
+    n_keys = len(key_cols)
+    wm = df.withWatermark(ts_col, delay)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        dfs = [p for p in pdfs if not p.empty]
+        batch = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+        sessions: list[list] = []  # [start, last, rows]
+        if state.exists:
+            starts, lasts, rts, rvs, rsi = (list(x) for x in state.get)
+            sessions = [[starts[i], lasts[i], []] for i in range(len(starts))]
+            for t, v, si in zip(rts, rvs, rsi):
+                sessions[si][2].append((t, v))
+        if not batch.empty:
+            for _, r in batch.iterrows():
+                t = int(pd.Timestamp(r[ts_col]).value // 1000)
+                sessions.append([t, t, [(t, float(r[value_col]))]])
+        # merge pass (MergingWindowSet): sorted by start, fold overlapping
+        sessions.sort(key=lambda s: (s[0], s[1]))
+        merged: list[list] = []
+        for s in sessions:
+            if merged and s[0] - merged[-1][1] < gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], s[1])
+                m[2].extend(s[2])
+            else:
+                merged.append(s)
+        # evict AFTER merging: keep the latest n (ties by value, matching
+        # the oracle's ORDER BY ts DESC, value DESC)
+        for m in merged:
+            m[2] = sorted(m[2])[-n_keep:]
+        wm_micros = state.getCurrentWatermarkMs() * 1000
+        out, open_sessions = [], []
+        for m in merged:
+            if m[1] + gap_us <= wm_micros:  # session closed: fire + purge
+                out.append({
+                    **{key_cols[i]: key[i] for i in range(n_keys)},
+                    "w_start": pd.Timestamp(m[0] * 1000),
+                    "w_end": pd.Timestamp((m[1] + gap_us) * 1000),
+                    "n_kept": len(m[2]),
+                    "sum_value": sum(v for _, v in m[2]),
+                })
+            else:
+                open_sessions.append(m)
+        if open_sessions:
+            state.update((
+                [m[0] for m in open_sessions],
+                [m[1] for m in open_sessions],
+                [t for m in open_sessions for t, _ in m[2]],
+                [v for m in open_sessions for _, v in m[2]],
+                [i for i, m in enumerate(open_sessions) for _ in m[2]],
+            ))
+            state.setTimeoutTimestamp(
+                min(m[1] + gap_us for m in open_sessions) // 1000)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        wm.groupBy(*key_cols)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 def delta_trigger_stream(
     df: DataFrame,
     key_cols: list[str],

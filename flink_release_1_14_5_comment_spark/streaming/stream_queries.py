@@ -824,6 +824,66 @@ GROUP BY user_id, w_start
 """
 
 
+def q_stream_session_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows + CountEvictor composed end-to-end (VERDICT r4 #6 —
+    the one trigger-family combination without an oracle): 30-min-gap
+    sessions per user whose aggregate sees only the LATEST 5 events,
+    session bounds still derived from ALL events (reference
+    EventTimeSessionWindows + CountEvictor + MergingWindowSet; eviction
+    affects the window buffer, never the assigner). Advancer+flusher
+    finale drains every open session, so all sessions emit."""
+    from flink_release_1_14_5_comment_spark.streaming.evictors import (
+        session_agg_count_evictor,
+    )
+    import datetime as _dt
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    schema = "user_id long, ts timestamp, value double"
+    advancer = spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(hours=2), 0.0)], schema)
+    flusher = spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(hours=4), 0.0)], schema)
+    stream, tmp = sources.replay_as_stream(
+        spark, ev, n_chunks=2, order_col="ts",
+        final_dfs=[advancer, flusher])
+    try:
+        out = session_agg_count_evictor(
+            stream, ["user_id"], "ts", "value", gap="30 minutes", n_keep=5)
+        return (_run_to_memory(out)
+                .filter(F.col("user_id") >= 0)
+                .select("user_id", "w_start", "w_end", "n_kept",
+                        F.round("sum_value", 2).alias("sum_value")))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_SESSION_EVICTOR = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts DESC, value DESC) AS rn
+  FROM numbered
+)
+SELECT user_id, MIN(ts) AS w_start,
+       MAX(ts) + INTERVAL '30 minutes' AS w_end,
+       CAST(COUNT(*) FILTER (WHERE rn <= 5) AS INT) AS n_kept,
+       ROUND(SUM(value) FILTER (WHERE rn <= 5), 2) AS sum_value
+FROM ranked
+GROUP BY user_id, sid
+"""
+
+
 def q_stream_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUMULATE (step=6 h, size=24 h) in COMPLETE mode: the
     cumulative-window explode (operators/time_windows.cumulate — reference
@@ -1056,6 +1116,7 @@ QUERIES = {
     "stream_changelog_topn": q_stream_changelog_topn,
     "stream_window_hop": q_stream_window_hop,
     "stream_window_evictor": q_stream_window_evictor,
+    "stream_session_evictor": q_stream_session_evictor,
     "stream_window_cumulate": q_stream_window_cumulate,
     "stream_window_join": q_stream_window_join,
     "stream_lookup_join": q_stream_lookup_join,
@@ -1081,6 +1142,7 @@ ORACLE = {
     "stream_changelog_topn": ORACLE_Q_STREAM_CHANGELOG_TOPN,
     "stream_window_hop": ORACLE_Q_STREAM_WINDOW_HOP,
     "stream_window_evictor": ORACLE_Q_STREAM_WINDOW_EVICTOR,
+    "stream_session_evictor": ORACLE_Q_STREAM_SESSION_EVICTOR,
     "stream_window_cumulate": ORACLE_Q_STREAM_WINDOW_CUMULATE,
     "stream_window_join": ORACLE_Q_STREAM_WINDOW_JOIN,
     "stream_lookup_join": ORACLE_Q_STREAM_LOOKUP_JOIN,
