@@ -7,7 +7,11 @@ translate surface syntax (DDL `WITH` options, `WATERMARK` clauses, expression
 strings like "b.sum as total") and delegate everything else to Catalyst.
 """
 
-from flink_release_1_14_5_comment_spark.api.table_env import TableEnvironment, Table  # noqa: F401
+from flink_release_1_14_5_comment_spark.api.table_env import (  # noqa: F401
+    Over,
+    Table,
+    TableEnvironment,
+)
 from flink_release_1_14_5_comment_spark.api.datastream import (  # noqa: F401
     StreamExecutionEnvironment,
     DataStream,

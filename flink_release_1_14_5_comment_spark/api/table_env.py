@@ -525,11 +525,134 @@ class TableEnvironment:
         )
 
 
+class OverWindow:
+    """Built by the Over fluent API; holds partition/order/frame spec."""
+
+    def __init__(self):
+        self.partition: list[str] = []
+        self.order: str | None = None
+        self.prec: object = "UNBOUNDED_RANGE"
+        self.foll: object = "CURRENT_RANGE"
+        self.name: str | None = None
+
+
+class Over:
+    """Reference Over.java fluent builder:
+    Over.partition_by("a").order_by("ts").preceding(10).alias("w");
+    preceding/following accept an int (ROW count), "UNBOUNDED_ROW",
+    "UNBOUNDED_RANGE", "CURRENT_ROW" or "CURRENT_RANGE". Time-interval
+    ranges ride the SQL path / streaming over_agg operators."""
+
+    @staticmethod
+    def partition_by(cols: str) -> "Over":
+        o = Over()
+        o._w = OverWindow()
+        o._w.partition = [c.strip() for c in cols.split(",") if c.strip()]
+        return o
+
+    @staticmethod
+    def order_by_only(col: str) -> "Over":
+        o = Over()
+        o._w = OverWindow()
+        o._w.order = col.strip()
+        return o
+
+    def order_by(self, col: str) -> "Over":
+        self._w.order = col.strip()
+        return self
+
+    def preceding(self, bound) -> "Over":
+        self._w.prec = bound
+        return self
+
+    def following(self, bound) -> "Over":
+        self._w.foll = bound
+        return self
+
+    def alias(self, name: str) -> OverWindow:
+        self._w.name = name
+        return self._w
+
+
+def _over_bound(bound, is_preceding: bool) -> int:
+    from pyspark.sql import Window as W
+
+    if isinstance(bound, int):
+        return -bound if is_preceding else bound
+    b = str(bound).upper()
+    if b in ("UNBOUNDED_RANGE", "UNBOUNDED_ROW"):
+        return W.unboundedPreceding if is_preceding else W.unboundedFollowing
+    if b in ("CURRENT_ROW", "CURRENT_RANGE"):
+        return W.currentRow
+    raise NotImplementedError(
+        f"over-window bound {bound!r}: use int row counts, UNBOUNDED_ROW/"
+        "UNBOUNDED_RANGE or CURRENT_ROW/CURRENT_RANGE (time-interval "
+        "ranges: SQL path or streaming.over_agg)")
+
+
+_OVER_ITEM_RE = re.compile(
+    r"^(\w+)\.(\w+)\s+over\s+(\w+)(?:\s+as\s+(\w+))?$", re.IGNORECASE)
+
+
+class OverWindowedTable:
+    """table.window(Over...alias("w")).select("a, b.sum over w AS s") —
+    reference OverWindowedTable.java. RANGE bounds use Spark's default
+    ties-respecting frame; ROW bounds map to rowsBetween — the same split
+    as the reference's RANGE/ROWS over-agg operators."""
+
+    def __init__(self, df: DataFrame, over: OverWindow, env: TableEnvironment):
+        self._df = df
+        self._over = over
+        self._env = env
+
+    def _spec(self):
+        from pyspark.sql import Window as W
+
+        w = self._over
+        spec = W.partitionBy(*w.partition) if w.partition else W.partitionBy()
+        if w.order:
+            spec = spec.orderBy(w.order)
+        range_mode = any(
+            isinstance(b, str) and b.upper().endswith("_RANGE")
+            for b in (w.prec, w.foll))
+        lo, hi = _over_bound(w.prec, True), _over_bound(w.foll, False)
+        if range_mode and not isinstance(w.prec, int) and not isinstance(w.foll, int):
+            return spec.rangeBetween(lo, hi)
+        return spec.rowsBetween(lo, hi)
+
+    def select(self, exprs: str) -> "Table":
+        spec = self._spec()
+        cols = []
+        for item in _split_top_level(exprs):
+            m = _OVER_ITEM_RE.match(item.strip())
+            if m:
+                col, fn, wname, alias = m.groups()
+                if wname != (self._over.name or wname):
+                    raise ValueError(f"unknown over window {wname!r}")
+                cols.append(getattr(F, fn.lower())(col).over(spec)
+                            .alias(alias or f"{fn.lower()}_{col}"))
+            else:
+                cols.append(F.expr(item))
+        return Table(self._df.select(*cols), self._env)
+
+
 class GroupedTable:
     def __init__(self, df: DataFrame, keys: list[str], env: TableEnvironment):
         self._df = df
         self._keys = keys
         self._env = env
+
+    def aggregate(self, fn, schema: str) -> "Table":
+        """GroupedTable.aggregate / flatAggregate (reference
+        Table.java:1110-1154, GroupTableAggFunction): ``fn`` is a callable
+        pandas.DataFrame -> pandas.DataFrame run once per group via
+        applyInPandas (Arrow-batched); emit 1 row (AggregateFunction) or
+        many (TableAggregateFunction e.g. top-2)."""
+        return Table(
+            self._df.groupBy(*self._keys).applyInPandas(
+                lambda pdf: fn(pdf), schema), self._env)
+
+    flat_aggregate = aggregate
 
     def select(self, exprs: str) -> "Table":
         """Flink style: "key, value.sum AS total" after group_by."""
@@ -611,6 +734,98 @@ class Table:
         return Table(self._df.limit(n), self._env)
 
     limit = fetch
+
+    # -- schema operations (reference Table.java:462-519) ------------------
+
+    def add_columns(self, exprs: str) -> "Table":
+        """Table.addColumns — appends fields; throws if a name already
+        exists (use add_or_replace_columns to overwrite)."""
+        out = self._df.select("*", *[F.expr(e) for e in _split_top_level(exprs)])
+        dupes = {c for c in out.columns if out.columns.count(c) > 1}
+        if dupes:
+            raise ValueError(
+                f"add_columns: field(s) {sorted(dupes)} already exist "
+                "(Table.addColumns throws on duplicates; use "
+                "add_or_replace_columns)")
+        return Table(out, self._env)
+
+    def add_or_replace_columns(self, exprs: str) -> "Table":
+        """Table.addOrReplaceColumns — existing fields of the same name are
+        replaced in place, new fields appended."""
+        df = self._df
+        for e in _split_top_level(exprs):
+            m = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", e, re.IGNORECASE | re.DOTALL)
+            if m:
+                df = df.withColumn(m.group(2), F.expr(m.group(1)))
+            else:
+                df = df.select("*", F.expr(e))
+        return Table(df, self._env)
+
+    def rename_columns(self, exprs: str) -> "Table":
+        """Table.renameColumns("a AS a1, b AS b1")."""
+        df = self._df
+        for e in _split_top_level(exprs):
+            m = re.match(r"^\s*(\w+)\s+AS\s+(\w+)\s*$", e, re.IGNORECASE)
+            if not m:
+                raise ValueError(
+                    f"rename_columns expects 'old AS new' items, got {e!r}")
+            if m.group(1) not in df.columns:
+                raise ValueError(f"rename_columns: no field {m.group(1)!r}")
+            df = df.withColumnRenamed(m.group(1), m.group(2))
+        return Table(df, self._env)
+
+    def drop_columns(self, cols: str) -> "Table":
+        """Table.dropColumns("a, b")."""
+        names = [c.strip() for c in cols.split(",") if c.strip()]
+        missing = [c for c in names if c not in self._df.columns]
+        if missing:
+            raise ValueError(f"drop_columns: no field(s) {missing}")
+        return Table(self._df.drop(*names), self._env)
+
+    # -- row-level map/flatMap (reference Table.java:1056-1106) ------------
+
+    def map(self, fn, schema: str | None = None) -> "Table":
+        """Table.map — one output row per input row. ``fn`` is either an
+        expression list string (codegen'd select — the fast path; the
+        reference's ScalarFunction row-mapping collapses to a projection)
+        or a callable pandas.DataFrame -> pandas.DataFrame applied via
+        mapInPandas (Arrow-batched; `schema` DDL required)."""
+        if isinstance(fn, str):
+            return Table(
+                self._df.select(*[F.expr(e) for e in _split_top_level(fn)]),
+                self._env)
+        if schema is None:
+            raise ValueError("Table.map(callable) requires an output schema")
+        return Table(
+            self._df.mapInPandas(lambda it: (fn(b) for b in it), schema),
+            self._env)
+
+    def flat_map(self, fn, schema: str | None = None) -> "Table":
+        """Table.flatMap — 0..n output rows per input row (TableFunction).
+        Callable pandas.DataFrame -> pandas.DataFrame (any row count) over
+        mapInPandas; Arrow-batched like the reference's Python UDTF bridge,
+        minus the Beam hop."""
+        if schema is None:
+            raise ValueError("Table.flat_map requires an output schema")
+        return Table(
+            self._df.mapInPandas(lambda it: (fn(b) for b in it), schema),
+            self._env)
+
+    def aggregate(self, fn, schema: str) -> "Table":
+        """Table.aggregate without groupBy — global aggregate: one output
+        row (AggregateFunction over the whole table)."""
+        return Table(
+            self._df.groupBy(F.lit(1).alias("__g"))
+            .applyInPandas(lambda pdf: fn(pdf.drop(columns="__g", errors="ignore")), schema),
+            self._env)
+
+    flat_aggregate = aggregate  # multi-row emit is the only difference;
+    # applyInPandas already permits any output row count (TableAggregate)
+
+    # -- Table-API over windows (reference Table.java:975 window(Over…)) ---
+
+    def window(self, over: "OverWindow") -> "OverWindowedTable":
+        return OverWindowedTable(self._df, over, self._env)
 
     # execution (Table.execute().collect() in the reference)
     def to_data_frame(self) -> DataFrame:
