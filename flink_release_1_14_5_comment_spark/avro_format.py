@@ -34,6 +34,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import shutil
 import struct
 import uuid
 import zlib
@@ -402,8 +403,27 @@ def _require_driver_visible_fs(spark: SparkSession, op: str) -> None:
             "FS API (or spark-avro) instead of this pure-Python codec")
 
 
+def _list_parts(path: str) -> list[str]:
+    """All *.avro part files under `path` (recursive — partitioned layouts
+    nest them in <col>=<val>/ dirs), as paths relative to `path`."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith("_staging-")]
+        for f in files:
+            if f.endswith(".avro"):
+                out.append(os.path.relpath(os.path.join(root, f), path))
+    return out
+
+
+def _hive_val(v) -> str:
+    if v is None or (isinstance(v, float) and v != v):
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(v)
+
+
 def write_avro(df: DataFrame, path: str, codec: str = "deflate",
-               mode: str = "overwrite") -> list[str]:
+               mode: str = "overwrite",
+               partition_by: list[str] | None = None) -> list[str]:
     """Distributed Avro file sink: each partition encodes + writes its own
     part-<pid>.avro from the executor (FileSink bucket layout). Returns the
     written file paths (small driver-side listing, not the data).
@@ -427,11 +447,23 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate",
     (NaN is a legal Avro float value; reference flink-avro keeps the two
     distinct).
 
+    ``partition_by`` writes the Hive-style bucketed directory layout
+    (``<path>/<col>=<val>/part-*.avro`` — the reference's FileSink
+    BucketAssigner for flink-avro), enabling directory-level pruning on
+    read. Unlike Spark's built-in writers the partition columns are kept
+    in the file body too, so reading any subtree round-trips the full
+    schema without partition-value recovery from paths.
+
     Requires local mode (single shared filesystem) — raises otherwise.
     """
     _require_driver_visible_fs(df.sparkSession, "sink")
     os.makedirs(path, exist_ok=True)
-    existing = [f for f in os.listdir(path) if f.endswith(".avro")]
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"avro sink: partition column(s) {missing} not in "
+                         f"schema {df.columns}")
+    existing = _list_parts(path)
     suffix = ""
     if mode == "overwrite":
         pass  # old parts removed at commit time, after the job succeeds
@@ -455,6 +487,16 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate",
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:8]}")
     os.makedirs(staging, exist_ok=True)
 
+    def _write_part(body: pd.DataFrame, pid: int, subdir: str) -> str:
+        data = encode_container(
+            body.itertuples(index=False, name=None), avro_schema, codec=codec)
+        d = os.path.join(staging, subdir) if subdir else staging
+        os.makedirs(d, exist_ok=True)
+        fpath = os.path.join(d, f"part-{pid:05d}{suffix}.avro")
+        with open(fpath, "wb") as fh:
+            fh.write(data)
+        return fpath
+
     def gen(batches):
         frames = [pdf for pdf in batches if len(pdf)]
         if not frames:
@@ -466,12 +508,19 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate",
             # object dtype can hold None alongside float NaN; the encoder
             # writes the null branch ONLY for None.
             body[c] = body[c].astype(object).where(~pdf[f"__isnull_{c}"], None)
-        data = encode_container(
-            body.itertuples(index=False, name=None), avro_schema, codec=codec)
-        fpath = os.path.join(staging, f"part-{pid:05d}{suffix}.avro")
-        with open(fpath, "wb") as fh:
-            fh.write(data)
-        yield pd.DataFrame({"path": [fpath], "rows": [len(body)]})
+        written, nrows = [], []
+        if partition_by:
+            for keys, grp in body.groupby(partition_by, dropna=False,
+                                          sort=False):
+                keyt = keys if isinstance(keys, tuple) else (keys,)
+                sub = "/".join(f"{c}={_hive_val(v)}"
+                               for c, v in zip(partition_by, keyt))
+                written.append(_write_part(grp, pid, sub))
+                nrows.append(len(grp))
+        else:
+            written.append(_write_part(body, pid, ""))
+            nrows.append(len(body))
+        yield pd.DataFrame({"path": written, "rows": nrows})
 
     staged = df.withColumn("__pid", F.spark_partition_id())
     for c in float_nullable:
@@ -491,17 +540,22 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate",
         if mode == "overwrite":
             for f in existing:
                 os.remove(os.path.join(path, f))
+            # drop partition dirs emptied by the removal (a stale
+            # <col>=<val>/ from a previous layout must not linger)
+            for root, dirs, files in os.walk(path, topdown=False):
+                if root != path and not os.listdir(root) \
+                        and not os.path.basename(root).startswith("_staging-"):
+                    os.rmdir(root)
         final = []
         for p in dict.fromkeys(parts):  # dedupe: a retried task reports twice
-            dest = os.path.join(path, os.path.basename(p))
+            dest = os.path.join(path, os.path.relpath(p, staging))
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.replace(p, dest)
             final.append(dest)
         return final
     finally:
         # Abort or success: drop whatever staging still holds.
-        for f in os.listdir(staging):
-            os.remove(os.path.join(staging, f))
-        os.rmdir(staging)
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_avro(spark: SparkSession, path: str,
@@ -514,9 +568,8 @@ def read_avro(spark: SparkSession, path: str,
     on the shared-filesystem contract)."""
     _require_driver_visible_fs(spark, "source")
     if schema is None:
-        names_on_disk = sorted(
-            f for f in os.listdir(path) if f.endswith(".avro")
-        ) if os.path.isdir(path) else []
+        names_on_disk = sorted(_list_parts(path)) \
+            if os.path.isdir(path) else []
         if not names_on_disk:
             raise FileNotFoundError(
                 f"avro source: no .avro files under {path!r} to infer a "
@@ -568,7 +621,9 @@ def read_avro(spark: SparkSession, path: str,
 
     out = (
         spark.read.format("binaryFile")
-        .load(os.path.join(path, "*.avro"))
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", "true")
+        .load(path)
         .select("content")
         .mapInPandas(gen, schema=ext_schema)
     )

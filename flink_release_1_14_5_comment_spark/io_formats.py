@@ -32,9 +32,7 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     if fmt == "avro":
         from flink_release_1_14_5_comment_spark.avro_format import write_avro
 
-        if partition_by:
-            raise NotImplementedError("avro sink: directory partitioning TBD")
-        write_avro(df, path, mode=mode)
+        write_avro(df, path, mode=mode, partition_by=partition_by)
         return
     writer = df.write.mode(mode)
     if partition_by:

@@ -244,3 +244,55 @@ def test_cluster_master_guard():
 
     with pytest.raises(NotImplementedError, match="local mode"):
         _require_driver_visible_fs(FakeSpark(), "sink")
+
+
+def test_avro_partitioned_sink_roundtrip_and_pruning(spark, tmp_path):
+    """VERDICT r4 #4: partition_by on the avro sink — Hive-style
+    <col>=<val>/ layout matching the parquet write_table contract:
+    full-tree read round-trips, a subtree read is a pruned subset."""
+    import os
+
+    from flink_release_1_14_5_comment_spark.io_formats import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "O", 30.0), (4, "P", None)],
+        "id bigint, status string, v double")
+    dest = str(tmp_path / "avro_part")
+    write_table(df, dest, fmt="avro", partition_by=["status"])
+    assert sorted(os.listdir(dest)) == ["status=F", "status=O", "status=P"]
+
+    back = read_table(spark, dest, fmt="avro")
+    assert sorted((r["id"], r["status"], r["v"]) for r in back.collect()) == [
+        (1, "O", 10.0), (2, "F", 20.0), (3, "O", 30.0), (4, "P", None)]
+
+    pruned = read_table(spark, os.path.join(dest, "status=O"), fmt="avro")
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3]
+
+    # overwrite with a different partition layout removes stale dirs
+    df2 = spark.createDataFrame([(9, "X", 1.0)],
+                                "id bigint, status string, v double")
+    write_table(df2, dest, fmt="avro", partition_by=["status"])
+    assert sorted(os.listdir(dest)) == ["status=X"]
+
+    # append adds parts without clobbering
+    write_table(df, dest, fmt="avro", partition_by=["status"], mode="append")
+    assert read_table(spark, dest, fmt="avro").count() == 5
+
+
+def test_avro_partitioned_sink_null_key_and_errors(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from flink_release_1_14_5_comment_spark.avro_format import write_avro
+
+    df = spark.createDataFrame([(1, None, 1.5), (2, "a", 2.5)],
+                               "id bigint, k string, v double")
+    dest = str(tmp_path / "avro_nullkey")
+    write_avro(df, dest, partition_by=["k"])
+    assert sorted(os.listdir(dest)) == ["k=__HIVE_DEFAULT_PARTITION__", "k=a"]
+    with pytest.raises(ValueError, match="partition column"):
+        write_avro(df, dest, partition_by=["nope"])

@@ -235,3 +235,41 @@ def test_adamic_adar_wedge_degree_cap(spark):
     assert capped[("u", "v")] == pytest.approx(round(1 / math.log(2), 6),
                                                abs=2e-6)
     assert capped[("u", "v")] < full[("u", "v")]
+
+
+def test_cc_strategy_selection_by_master(spark, monkeypatch):
+    """VERDICT r4 #7: driver union-find only on local masters by default;
+    on a cluster master the cap is 0 (distributed) unless the env knob
+    overrides — the only driver-memory dependency in the operator set."""
+    from flink_release_1_14_5_comment_spark.pipeline import graph as g
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_MAX_DRIVER_EDGES", raising=False)
+
+    class FakeConf:
+        def __init__(self, master):
+            self._m = master
+
+        def get(self, key, default=""):
+            return self._m if key == "spark.master" else default
+
+    class FakeSession:
+        def __init__(self, master):
+            self.conf = FakeConf(master)
+
+    assert g._driver_edge_cap(FakeSession("local[32]")) == 5_000_000
+    assert g._driver_edge_cap(FakeSession("local")) == 5_000_000
+    assert g._driver_edge_cap(FakeSession("spark://host:7077")) == 0
+    assert g._driver_edge_cap(FakeSession("yarn")) == 0
+    assert g._driver_edge_cap(FakeSession("k8s://https://x")) == 0
+    monkeypatch.setenv("SPARK_GRAFT_CC_MAX_DRIVER_EDGES", "123")
+    assert g._driver_edge_cap(FakeSession("yarn")) == 123
+    # the distributed path must produce identical components on a real frame
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long")
+    monkeypatch.setenv("SPARK_GRAFT_CC_MAX_DRIVER_EDGES", "0")
+    dist = {(r["node"], r["component"])
+            for r in g.connected_components(edges).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_MAX_DRIVER_EDGES", "1000")
+    drv = {(r["node"], r["component"])
+           for r in g.connected_components(edges).collect()}
+    assert dist == drv
