@@ -321,6 +321,16 @@ def cep(
                     completed = [r for r in completed if r["t0"] > m["t0"]]
                 elif strategy in (SKIP_TO_FIRST, SKIP_TO_LAST):
                     cut = var_ts(m, skip_var, first=(strategy == SKIP_TO_FIRST))
+                    if strategy == SKIP_TO_FIRST and cut <= m["t0"]:
+                        # the reference throws here: skipping to the first
+                        # row of the match (or to a variable absent from it)
+                        # would re-start at the same position forever
+                        # (AfterMatchSkipStrategy.java SkipToFirstStrategy)
+                        raise RuntimeError(
+                            f"Could not skip to first element of a match: "
+                            f"AFTER MATCH SKIP TO FIRST {skip_var} points at "
+                            "the match start (infinite loop) — Flink raises "
+                            "the same way")
                     runs = [r for r in runs if r["t0"] >= cut]
                     completed = [r for r in completed if r["t0"] >= cut]
                 # NO_SKIP: everything keeps going — every combination emits

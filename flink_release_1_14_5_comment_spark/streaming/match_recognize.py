@@ -80,7 +80,9 @@ def compile_predicate(expr: str | Callable[[pd.Series], bool]) -> Callable[[pd.S
     return pred
 
 
-_QUANT_RE = re.compile(r"^(\w+)(\+|\?|\{(\d+)(?:,(\d+))?\})?$")
+# quantifiers incl. the RELUCTANT forms (+? ?? {n,m}?) — reference
+# MATCH_RECOGNIZE grammar; greedy is the SQL default, trailing ? flips it
+_QUANT_RE = re.compile(r"^(\w+)(\+\??|\?\??|\{(\d+)(?:,(\d+))?\}\??)?$")
 
 _MEASURE_RE = re.compile(
     r"^\s*(FIRST|LAST|MIN|MAX|SUM|COUNT|AVG)\s*\(\s*(\w+)(?:\.(\w+|\*))?\s*\)\s*$",
@@ -138,6 +140,7 @@ def match_recognize(
     if not steps:
         raise ValueError("empty PATTERN")
     built: Pattern | None = None
+    reluctant: list[bool] = []
     for s in steps:
         m = _QUANT_RE.match(s)
         if not m:
@@ -147,16 +150,20 @@ def match_recognize(
             raise ValueError(f"PATTERN variable {name!r} missing from DEFINE")
         pred = compile_predicate(define[name])
         built = Pattern.begin(name, pred) if built is None else built.followed_by(name, pred)
-        if quant == "+":
+        reluctant.append(bool(quant) and quant.endswith("?") and quant != "?")
+        if quant and quant.startswith("+"):
             built = built.one_or_more()
-        elif quant == "?":
+        elif quant in ("?", "??"):
             built = built.optional()
-        elif quant:  # {n} or {n,m}
+        elif quant:  # {n} or {n,m}, optionally reluctant
             built = built.times(int(n), int(mx) if mx else None)
     # SQL MATCH_RECOGNIZE quantifiers are greedy by default (the Pattern API
-    # default is branching/non-greedy); like the reference, greediness cannot
+    # default is branching/non-greedy) unless written reluctant (+? ?? {n,m}?
+    # — reference quantifier grammar); like the reference, greediness cannot
     # apply to the final pattern element, so the trailing step stays reluctant.
-    for st in built.steps[:-1]:
+    for st, rel in zip(built.steps[:-1], reluctant):
+        if rel:
+            continue
         if st.max_occurs is None or st.max_occurs > st.min_occurs or st.min_occurs == 0:
             st.greedy = True
     if within_seconds is not None:
