@@ -53,12 +53,20 @@ HEADLINE = [
     "tpch_q5",   # classic 6-table dim-chain join (broadcast-audited)
     "tpch_q18",  # large-volume HAVING-subquery + top-100
     "tpch_q9",   # derived-partsupp profit: extra groupBy + 5-way join
+    # r5 rotation-bound TPC-H additions (VERDICT r4 #8): the suite's other
+    # hard plan shapes, now also officially graded
+    "tpch_q2",   # correlated min-cost subquery over the partsupp CTE
+    "tpch_q13",  # left-outer + count-distribution double aggregate
+    "tpch_q17",  # per-part avg-quantity scalar subquery
+    "tpch_q21",  # exists + not-exists + 4-way join (anti-heavy)
+    "tpch_q22",  # anti join + scalar avg filter
     "window_tumble",
     "window_hop",
     "window_session",
     "window_cumulate",
     "interval_join",
     "asof_join",
+    "temporal_table_fn",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -111,8 +119,9 @@ def main() -> None:
     # (cached-plan lookup + GC pressure grow with every live cache entry).
     clear_after = {
         "nation_market_share",   # end of relational family
+        "tpch_q22",              # end of TPC-H family
         "window_cumulate",       # end of time-window family
-        "asof_join",             # end of temporal-join family
+        "temporal_table_fn",     # end of temporal-join family
         "contamination_overlap", # end of dedup/assembly family (shares signatures)
         "chunk_tokens",          # end of curation/quality family
         "embedding_kmeans",      # end of similarity/clustering family

@@ -68,6 +68,52 @@ def table_api_migration(spark):
     )
 
 
+def table_api_breadth_migration(spark):
+    """Flink:
+        table.addColumns($("price").times(2).as("dbl"))
+             .renameColumns($("o_orderkey").as("k"))
+             .dropColumns($("o_orderstatus"));
+        table.window(Over.partitionBy($("st")).orderBy($("k"))
+                        .preceding(UNBOUNDED_RANGE).as("w"))
+             .select($("k"), $("price").sum().over($("w")));
+        ratesHistory.createTemporalTableFunction($("r_ts"), $("r_currency"));
+        tEnv.createTemporarySystemFunction("rates", rates);
+        // SELECT ... FROM Orders o, LATERAL TABLE (rates(o.o_ts)) r
+        //  WHERE o.currency = r.r_currency
+    """
+    from flink_release_1_14_5_comment_spark.api import Over
+
+    tenv = TableEnvironment.create(spark)
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(500) \
+        .createOrReplaceTempView("orders_b")
+    t = (tenv.from_path("orders_b")
+         .add_columns("o_totalprice * 2 AS dbl")
+         .rename_columns("o_orderkey AS k")
+         .drop_columns("o_custkey, o_orderdate"))
+    w = (Over.partition_by("o_orderstatus").order_by("k")
+         .preceding("UNBOUNDED_RANGE").alias("w"))
+    t.window(w).select(
+        "k, o_orderstatus, o_totalprice.sum over w AS running"
+    ).to_data_frame().show(5)
+
+    # temporal table FUNCTION (Flink 1.14 LATERAL TABLE form)
+    rates = spark.createDataFrame(
+        [("eur", 1, 114), ("eur", 5, 116), ("usd", 1, 100)],
+        "r_currency string, r_ts bigint, rate bigint")
+    orders = spark.createDataFrame(
+        [(2, "eur", 10), (6, "eur", 20), (3, "usd", 30)],
+        "o_ts bigint, currency string, amount bigint")
+    tenv.register_table("orders_fx", orders)
+    tenv.create_temporary_function(
+        "rates", tenv.from_data_frame(rates)
+        .create_temporal_table_function("r_ts", "r_currency"))
+    tenv.sql_query("""
+        SELECT o.o_ts, o.currency, o.amount * r.rate AS converted
+        FROM orders_fx AS o, LATERAL TABLE(rates(o.o_ts)) AS r
+        WHERE o.currency = r.r_currency
+    """).to_data_frame().show()
+
+
 def datastream_migration(spark):
     """Flink:
         env.addSource(...)
@@ -566,6 +612,7 @@ if __name__ == "__main__":
     match_recognize_sql_migration(spark)
     statement_set_migration(spark)
     table_api_migration(spark)
+    table_api_breadth_migration(spark)
     datastream_migration(spark)
     cep_migration(spark)
     connectors_migration(spark)
