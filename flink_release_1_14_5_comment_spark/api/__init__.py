@@ -9,8 +9,11 @@ strings like "b.sum as total") and delegate everything else to Catalyst.
 
 from flink_release_1_14_5_comment_spark.api.table_env import (  # noqa: F401
     Over,
+    Session,
+    Slide,
     Table,
     TableEnvironment,
+    Tumble,
 )
 from flink_release_1_14_5_comment_spark.api.datastream import (  # noqa: F401
     StreamExecutionEnvironment,

@@ -525,6 +525,148 @@ class TableEnvironment:
         )
 
 
+def _flink_interval(s: str) -> str:
+    """Flink expression-string intervals ("10.minutes", "1.hour") →
+    Spark duration strings ("10 minutes"); plain Spark strings pass."""
+    m = re.match(r"^\s*(\d+)[.\s]+(\w+)\s*$", s)
+    if not m:
+        raise ValueError(f"unsupported interval {s!r}")
+    return f"{m.group(1)} {m.group(2)}"
+
+
+class GroupWindow:
+    """Resolved Tumble/Slide/Session spec (reference GroupWindow.java)."""
+
+    def __init__(self, kind: str, size: str | None = None,
+                 slide: str | None = None, gap: str | None = None):
+        self.kind = kind
+        self.size = size
+        self.slide = slide
+        self.gap = gap
+        self.time_col: str | None = None
+        self.name: str | None = None
+
+    def on(self, time_col: str) -> "GroupWindow":
+        self.time_col = time_col
+        return self
+
+    def alias(self, name: str) -> "GroupWindow":
+        self.name = name
+        return self
+
+
+class Tumble:
+    """Tumble.over("10.minutes").on("ts").alias("w") — Tumble.java:55."""
+
+    @staticmethod
+    def over(size: str) -> GroupWindow:
+        return GroupWindow("tumble", size=_flink_interval(size))
+
+
+class Slide:
+    """Slide.over("10.minutes").every("5.minutes").on("ts").alias("w") —
+    Slide.java. Flink order: over = window size, every = slide."""
+
+    @staticmethod
+    def over(size: str) -> "Slide":
+        s = Slide()
+        s._size = _flink_interval(size)
+        return s
+
+    def every(self, slide: str) -> GroupWindow:
+        return GroupWindow("slide", size=self._size,
+                           slide=_flink_interval(slide))
+
+
+class Session:
+    """Session.with_gap("30.minutes").on("ts").alias("w") — Session.java."""
+
+    @staticmethod
+    def with_gap(gap: str) -> GroupWindow:
+        return GroupWindow("session", gap=_flink_interval(gap))
+
+
+class WindowGroupedTable:
+    """group_by("w, key") on a group-windowed table
+    (WindowGroupedTable.java): select supports keys, suffix aggs and the
+    window accessors w.start / w.end / w.rowtime (end − 1 ms)."""
+
+    def __init__(self, df: DataFrame, window: GroupWindow, keys: list[str],
+                 env: TableEnvironment):
+        self._df = df
+        self._window = window
+        self._keys = keys
+        self._env = env
+
+    def _window_col(self):
+        w = self._window
+        if w.time_col is None:
+            raise ValueError("group window needs .on(<time column>)")
+        if w.kind == "tumble":
+            return F.window(w.time_col, w.size)
+        if w.kind == "slide":
+            return F.window(w.time_col, w.size, w.slide)
+        return F.session_window(w.time_col, w.gap)
+
+    def select(self, exprs: str) -> "Table":
+        wname = self._window.name or "w"
+        out_cols, aggs = [], []
+        for item in _split_top_level(exprs):
+            text = item.strip()
+            acc = re.match(
+                rf"^{wname}\.(start|end|rowtime)(?:\s+AS\s+(\w+))?$",
+                text, re.IGNORECASE)
+            if acc:
+                field, alias = acc.group(1).lower(), acc.group(2)
+                col = (F.col("__w.end") - F.expr("INTERVAL 1 MILLISECOND")
+                       if field == "rowtime" else F.col(f"__w.{field}"))
+                out_cols.append(col.alias(alias or f"{wname}_{field}"))
+                continue
+            m = _SUFFIX_RE.match(text)
+            if m:
+                col, fn, alias = m.groups()
+                name = alias or f"{fn.lower()}_{col}"
+                agg = getattr(F, "count" if fn.lower() == "count" else fn.lower())(col)
+                aggs.append(agg.alias(name))
+                out_cols.append(F.col(name))
+            elif text in self._keys:
+                out_cols.append(F.col(text))
+            elif text == wname:
+                continue  # bare window reference: keys only
+            else:
+                raise ValueError(
+                    f"window-grouped select item {item!r}: expected a group "
+                    f"key, <col>.<agg>, or {wname}.start/end/rowtime")
+        if not aggs:
+            aggs = [F.count(F.lit(1)).alias("__n")]
+        grouped = self._df.groupBy(self._window_col().alias("__w"),
+                                   *self._keys)
+        return Table(grouped.agg(*aggs).select(*out_cols), self._env)
+
+
+class GroupWindowedTable:
+    """table.window(Tumble/Slide/Session ... .alias("w")) —
+    GroupWindowedTable.java; group_by must reference the window alias
+    (Flink's contract), remaining names are the data keys."""
+
+    def __init__(self, df: DataFrame, window: GroupWindow,
+                 env: TableEnvironment):
+        self._df = df
+        self._window = window
+        self._env = env
+
+    def group_by(self, keys: str) -> WindowGroupedTable:
+        names = [k.strip() for k in keys.split(",") if k.strip()]
+        wname = self._window.name or "w"
+        if wname not in names:
+            raise ValueError(
+                f"group_by on a windowed table must include the window "
+                f"alias {wname!r} (Flink GroupWindowedTable contract)")
+        return WindowGroupedTable(
+            self._df, self._window, [k for k in names if k != wname],
+            self._env)
+
+
 class OverWindow:
     """Built by the Over fluent API; holds partition/order/frame spec."""
 
@@ -822,10 +964,13 @@ class Table:
     flat_aggregate = aggregate  # multi-row emit is the only difference;
     # applyInPandas already permits any output row count (TableAggregate)
 
-    # -- Table-API over windows (reference Table.java:975 window(Over…)) ---
+    # -- Table-API windows (reference Table.java:975 window(Over…) and
+    # :930 window(GroupWindow…)) ------------------------------------------
 
-    def window(self, over: "OverWindow") -> "OverWindowedTable":
-        return OverWindowedTable(self._df, over, self._env)
+    def window(self, w) -> "OverWindowedTable | GroupWindowedTable":
+        if isinstance(w, GroupWindow):
+            return GroupWindowedTable(self._df, w, self._env)
+        return OverWindowedTable(self._df, w, self._env)
 
     # execution (Table.execute().collect() in the reference)
     def to_data_frame(self) -> DataFrame:

@@ -161,3 +161,59 @@ def test_over_window_errors(env):
         w2 = (Over.partition_by("o_orderstatus").order_by("o_orderkey")
               .alias("w"))
         env.from_path("ord").window(w2).select("o_totalprice.sum over nope")
+
+
+def test_group_window_tumble(env, spark):
+    """Tumble.over("1.hour").on("ts").alias("w") + group_by("w, k") —
+    reference Tumble.java/GroupWindowedTable.java — vs the SQL
+    GROUP BY window() equivalent, incl. w.start/w.end/w.rowtime."""
+    from flink_release_1_14_5_comment_spark.api import Tumble
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    load_tables(spark, SF)["events"].select(
+        "event_type", "ts", "value").createOrReplaceTempView("ev_gw")
+    w = Tumble.over("1.hour").on("ts").alias("w")
+    got = (env.from_path("ev_gw").window(w).group_by("w, event_type")
+           .select("event_type, value.sum AS total, value.count AS n, "
+                   "w.start AS ws, w.end AS we, w.rowtime AS rt"))
+    want = env.sql_query("""
+        SELECT event_type, SUM(value) AS total, COUNT(value) AS n,
+               window.start AS ws, window.end AS we,
+               window.end - INTERVAL 1 MILLISECOND AS rt
+        FROM ev_gw GROUP BY window(ts, '1 hour'), event_type""")
+    assert _rows(got) == _rows(want)
+
+
+def test_group_window_slide_and_session(env, spark):
+    from flink_release_1_14_5_comment_spark.api import Session, Slide
+    from pyspark.sql import functions as F
+
+    w = Slide.over("1.hour").every("30.minutes").on("ts").alias("w")
+    got = (env.from_path("ev_gw").window(w).group_by("w, event_type")
+           .select("event_type, value.count AS n, w.start AS ws"))
+    want = (spark.table("ev_gw")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count("value").alias("n"))
+            .select("event_type", "n", F.col("w.start").alias("ws")))
+    assert _rows(got) == sorted(tuple(r) for r in want.collect())
+
+    s = Session.with_gap("30.minutes").on("ts").alias("s")
+    got_s = (env.from_path("ev_gw").window(s).group_by("s, event_type")
+             .select("event_type, value.count AS n, s.start AS ws"))
+    want_s = (spark.table("ev_gw")
+              .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "event_type")
+              .agg(F.count("value").alias("n"))
+              .select("event_type", "n", F.col("w.start").alias("ws")))
+    assert _rows(got_s) == sorted(tuple(r) for r in want_s.collect())
+
+
+def test_group_window_errors(env):
+    from flink_release_1_14_5_comment_spark.api import Tumble
+
+    w = Tumble.over("1.hour").on("ts").alias("w")
+    with pytest.raises(ValueError, match="window .*alias|alias .*window"):
+        env.from_path("ev_gw").window(w).group_by("event_type")
+    with pytest.raises(ValueError, match="interval"):
+        Tumble.over("banana")
