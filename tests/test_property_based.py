@@ -232,3 +232,79 @@ def test_semi_anti_transition_net_changelog_matches_state(events, semi):
             assert net[lp] >= 0, (events,)
     live = Counter(lpay) if bool(rpay) == semi else Counter()
     assert +net == +live, (events, semi, +net, +live)
+
+
+# --- session windows + CountEvictor (streaming/evictors.py) ---------------
+
+_sess_events = st.lists(
+    st.tuples(st.integers(0, 1),          # key
+              st.integers(0, 300),        # ts offset minutes
+              st.integers(0, 99)),        # value
+    min_size=1, max_size=14,
+)
+
+
+def _session_model(rows, gap_min=30, n_keep=3):
+    """Pure-Python reference: sessionize per key (gap >= 30 min starts a
+    new session), keep the LAST n_keep rows per session by (ts, value)."""
+    out = []
+    bykey: dict = {}
+    for k, t, v in rows:
+        bykey.setdefault(k, []).append((t, v))
+    for k, evs in bykey.items():
+        evs.sort()
+        sessions = []
+        for t, v in evs:
+            if sessions and t - sessions[-1][-1][0] < gap_min:
+                sessions[-1].append((t, v))
+            else:
+                sessions.append([(t, v)])
+        for s in sessions:
+            kept = sorted(s)[-n_keep:]
+            out.append((k, s[0][0], s[-1][0] + gap_min,
+                        len(kept), sum(v for _, v in kept)))
+    return sorted(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_sess_events)
+def test_session_count_evictor_matches_python_model(spark, rows):
+    from flink_release_1_14_5_comment_spark.streaming import sources
+    from flink_release_1_14_5_comment_spark.streaming.evictors import (
+        session_agg_count_evictor,
+    )
+    import uuid
+
+    # dedupe (key, ts) so pandas/python tie-order can't diverge on values
+    seen, uniq = set(), []
+    for k, t, v in rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            uniq.append((k, t, v))
+    data = [(k, BASE + timedelta(minutes=t), float(v)) for k, t, v in uniq]
+    # advancer/flusher: push the watermark past every session end, then one
+    # more batch so event-time timers fire (drain-all protocol)
+    mx = max(t for _, t, _ in uniq)
+    finale1 = [(99, BASE + timedelta(minutes=mx + 600), 0.0)]
+    finale2 = [(99, BASE + timedelta(minutes=mx + 1200), 0.0)]
+    df = spark.createDataFrame(data, "k long, ts timestamp, v double")
+    stream, tmp = sources.replay_as_stream(
+        spark, df, n_chunks=2, order_col="ts",
+        final_dfs=[spark.createDataFrame(finale1, "k long, ts timestamp, v double"),
+                   spark.createDataFrame(finale2, "k long, ts timestamp, v double")])
+    try:
+        out = session_agg_count_evictor(
+            stream, ["k"], "ts", "v", gap="30 minutes", n_keep=3)
+        name = "t" + uuid.uuid4().hex[:10]
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(
+            (r["k"],
+             int((r["w_start"] - BASE).total_seconds() // 60),
+             int((r["w_end"] - BASE).total_seconds() // 60),
+             r["n_kept"], int(r["sum_value"]))
+            for r in spark.table(name).collect() if r["k"] != 99)
+    finally:
+        sources.cleanup(tmp)
+    assert got == _session_model(uniq)
