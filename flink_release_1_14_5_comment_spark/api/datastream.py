@@ -115,6 +115,26 @@ class DataStream:
 
     # -- keyed -------------------------------------------------------------
 
+    # -- physical partitioning (reference DataStream.java rebalance/
+    # rescale/shuffle/broadcast). In Spark the optimizer owns distribution;
+    # these map onto the equivalent repartition/hint so a migrated program
+    # keeps its explicit redistribution points.
+    def rebalance(self, n: int | None = None) -> "DataStream":
+        """Round-robin redistribution (RebalancePartitioner)."""
+        df = self._df.repartition(n) if n else self._df.repartition(
+            int(self._df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        return DataStream(df, self.env)
+
+    rescale = rebalance  # local-group round-robin: same effect in Spark
+    shuffle = rebalance  # random redistribution
+
+    def broadcast_hint(self) -> "DataStream":
+        """Mark this (small) stream as broadcast-able for a following join
+        (BroadcastPartitioner; Spark: broadcast join hint)."""
+        from pyspark.sql.functions import broadcast
+
+        return DataStream(broadcast(self._df), self.env)
+
     def key_by(self, *cols: str) -> "KeyedStream":
         return KeyedStream(self._df, list(cols), self.env)
 

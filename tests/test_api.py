@@ -382,3 +382,20 @@ def test_temporal_table_function_errors(spark):
             SELECT o.amount FROM orders_ttf2 AS o,
             LATERAL TABLE(r2(o.o_ts)) AS r WHERE r.rate > 0
         """)
+
+
+def test_datastream_partitioning_wrappers(spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.api import (
+        StreamExecutionEnvironment,
+    )
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    env = StreamExecutionEnvironment(spark)
+    ds = env.from_data_frame(load_tables(spark, sf_dir)["nation"])
+    assert ds.rebalance(4).to_data_frame().rdd.getNumPartitions() == 4
+    assert ds.rescale(2).to_data_frame().rdd.getNumPartitions() == 2
+    big = env.from_data_frame(load_tables(spark, sf_dir)["orders"])
+    joined = big.to_data_frame().join(
+        ds.broadcast_hint().to_data_frame(),
+        F.expr("o_orderkey % 25 = n_nationkey"))
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().toString()
