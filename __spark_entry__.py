@@ -38,11 +38,12 @@ def _modules():
         packing,
         quality,
         similarity,
+        sketches,
         text_analysis,
     )
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
-    return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal,
+    return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal, sketches,
             time_windows, temporal_joins, patterns, analytic_shapes, tpch, scale,
             relational_ext, relational, stream_queries]
 
