@@ -1096,6 +1096,86 @@ HAVING make_timestamp(CAST(floor(epoch(ts) / 14400) * 14400 * 1000000
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming count-min heavy hitters: the cells of a 3×64 count-min sketch
+# maintained as STREAMING STATE (update-per-micro-batch grouped agg — the
+# reference's GroupAggFunction.java:43 shape with a bounded key space), then
+# served batch-side: estimate = MIN over a user's 3 cells, top-10 by
+# estimate. State is d×w = 192 rows REGARDLESS of stream cardinality — the
+# canonical bounded-state frequency sketch a 100 TB/day event stream needs
+# (an exact per-user count would grow state linearly). Append-only input
+# + complete-mode output ⇒ end-of-input cells equal the batch cells, so the
+# DuckDB oracle rebuilds the identical sketch in SQL (md5-derived buckets)
+# and checks values exactly. Batch twin: pipeline/sketches.py.
+# ---------------------------------------------------------------------------
+
+_CMS_STREAM_BUCKET = (
+    "cast(conv(substr(md5(concat('cms', cast(r as string), ':', item)), 1, 8),"
+    " 16, 10) as bigint) % 64"
+)
+
+
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("item"))
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=3)
+    try:
+        cells = (
+            stream
+            .select("item", F.explode(F.expr("sequence(0, 2)")).alias("r"))
+            .withColumn("bucket", F.expr(_CMS_STREAM_BUCKET))
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cells_tbl = _run_to_memory(cells, mode="complete")
+    finally:
+        sources.cleanup(tmp)
+    truth = ev.groupBy("item").agg(F.count(F.lit(1)).alias("true_count"))
+    probe = (
+        truth.select("item", "true_count",
+                     F.explode(F.expr("sequence(0, 2)")).alias("r"))
+        .withColumn("bucket", F.expr(_CMS_STREAM_BUCKET))
+    )
+    est = (
+        probe.join(cells_tbl, ["r", "bucket"])
+        .groupBy("item", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.select("item",
+                   F.col("est_count").cast("long").alias("est_count"),
+                   F.col("true_count").cast("long").alias("true_count"))
+        .orderBy(F.desc("est_count"), "item")
+        .limit(10)
+    )
+
+
+ORACLE_Q_STREAM_HEAVY_HITTERS = """
+WITH ev AS (
+  SELECT 'u' || user_id::VARCHAR AS item FROM events
+), cells AS (
+  SELECT r,
+         ('0x' || substr(md5('cms' || r::VARCHAR || ':' || item), 1, 8))::BIGINT % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM ev, unnest(generate_series(0, 2)) AS d(r)
+  GROUP BY 1, 2
+), truth AS (
+  SELECT item, COUNT(*) AS true_count FROM ev GROUP BY item
+), probe AS (
+  SELECT item, true_count, r,
+         ('0x' || substr(md5('cms' || r::VARCHAR || ':' || item), 1, 8))::BIGINT % 64 AS bucket
+  FROM truth, unnest(generate_series(0, 2)) AS d(r)
+)
+SELECT p.item,
+       CAST(MIN(c.cnt) AS BIGINT) AS est_count,
+       CAST(MAX(p.true_count) AS BIGINT) AS true_count
+FROM probe p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.item
+ORDER BY est_count DESC, item
+LIMIT 10
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_event_sort": q_stream_event_sort,
@@ -1120,6 +1200,7 @@ QUERIES = {
     "stream_window_cumulate": q_stream_window_cumulate,
     "stream_window_join": q_stream_window_join,
     "stream_lookup_join": q_stream_lookup_join,
+    "stream_heavy_hitters": q_stream_heavy_hitters,
 }
 
 ORACLE = {
@@ -1146,4 +1227,5 @@ ORACLE = {
     "stream_window_cumulate": ORACLE_Q_STREAM_WINDOW_CUMULATE,
     "stream_window_join": ORACLE_Q_STREAM_WINDOW_JOIN,
     "stream_lookup_join": ORACLE_Q_STREAM_LOOKUP_JOIN,
+    "stream_heavy_hitters": ORACLE_Q_STREAM_HEAVY_HITTERS,
 }
