@@ -89,6 +89,10 @@ HEADLINE = [
     "funnel_match",
     "sessionize_paths",
     "multimodal_features",
+    # r5 additions: sketch/sampling family (pipeline/sketches.py)
+    "cms_heavy_hitters",
+    "bloom_contamination",
+    "weighted_sample",
 ]
 
 
@@ -126,6 +130,7 @@ def main() -> None:
         "chunk_tokens",          # end of curation/quality family
         "embedding_kmeans",      # end of similarity/clustering family
         "text_stats", "sessionize_paths", "multimodal_features",
+        "weighted_sample",       # end of sketch/sampling family
     }
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 

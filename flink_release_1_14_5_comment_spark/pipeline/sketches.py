@@ -80,13 +80,15 @@ _CMS_SPARK = f"""
 WITH tok AS (
   SELECT word FROM (SELECT {_TOKS_SPARK} AS words FROM documents)
   LATERAL VIEW explode(words) t AS word
-), cells AS (
-  SELECT r, {_h_spark("concat('cms', cast(r as string), ':', word)")} % {_CMS_WIDTH} AS bucket,
-         COUNT(*) AS cnt
-  FROM tok LATERAL VIEW explode(sequence(0, {_CMS_DEPTH - 1})) d AS r
-  GROUP BY 1, 2
 ), truth AS (
   SELECT word, COUNT(*) AS true_count FROM tok GROUP BY word
+), cells AS (
+  -- sketch the pre-aggregated counts, not the raw token stream: one
+  -- tokenize+word-count shuffle feeds both the sketch build and the audit
+  SELECT r, {_h_spark("concat('cms', cast(r as string), ':', word)")} % {_CMS_WIDTH} AS bucket,
+         SUM(true_count) AS cnt
+  FROM truth LATERAL VIEW explode(sequence(0, {_CMS_DEPTH - 1})) d AS r
+  GROUP BY 1, 2
 ), probe AS (
   SELECT word, r, {_h_spark("concat('cms', cast(r as string), ':', word)")} % {_CMS_WIDTH} AS bucket
   FROM truth LATERAL VIEW explode(sequence(0, {_CMS_DEPTH - 1})) d AS r
@@ -107,13 +109,13 @@ LIMIT {_CMS_TOPK}
 ORACLE_Q_CMS_HEAVY_HITTERS = f"""
 WITH tok AS (
   SELECT unnest({_TOKS_DUCK}) AS word FROM documents
-), cells AS (
-  SELECT r, {_h_duck("'cms' || r::VARCHAR || ':' || word")} % {_CMS_WIDTH} AS bucket,
-         COUNT(*) AS cnt
-  FROM tok, unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d(r)
-  GROUP BY 1, 2
 ), truth AS (
   SELECT word, COUNT(*) AS true_count FROM tok GROUP BY word
+), cells AS (
+  SELECT r, {_h_duck("'cms' || r::VARCHAR || ':' || word")} % {_CMS_WIDTH} AS bucket,
+         SUM(true_count) AS cnt
+  FROM truth, unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d(r)
+  GROUP BY 1, 2
 ), probe AS (
   SELECT word, r, {_h_duck("'cms' || r::VARCHAR || ':' || word")} % {_CMS_WIDTH} AS bucket
   FROM truth, unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d(r)
