@@ -19,6 +19,10 @@ Stages (each is an oracle-gated operator — see pipeline/*.py):
  12. source gating         — RefinedWeb-style per-domain keep/drop verdict
  13. banding audit         — LSH recall/precision vs exact-Jaccard truth
  14. semantic clustering   — mini-batch k-means over embeddings (scale knob)
+ 15. LM-perplexity filter  — CCNet-style corpus-trained bigram LM
+ 16. IVF-PQ serving        — codes-only ANN scan with ADC scoring
+ 17. sketch screens        — count-min heavy hitters, Bloom contamination
+ 18. sampling & mixing     — E-S weighted sample, NTILE decile planning
 """
 
 from __future__ import annotations
@@ -96,6 +100,15 @@ def main() -> None:
 
     print("== 16. IVF-PQ similarity serving (codes-only scan, ADC scoring) ==")
     similarity.q_ann_ivfpq_topk(spark, SF_DIR).show(5)
+
+    print("== 17. sketch screens: CMS heavy hitters + Bloom contamination ==")
+    from flink_release_1_14_5_comment_spark.pipeline import sketches
+    sketches.q_cms_heavy_hitters(spark, SF_DIR).show(5)
+    sketches.q_bloom_contamination(spark, SF_DIR).show()
+
+    print("== 18. sampling & mixing plans: E-S weighted sample, deciles ==")
+    sketches.q_weighted_sample(spark, SF_DIR).show(6)
+    sketches.q_quality_ntile_buckets(spark, SF_DIR).orderBy("decile").show()
 
     print("== cleaned-corpus summary (quality + exact + near-dup composed) ==")
     dedup.q_corpus_clean(spark, SF_DIR).show()
