@@ -413,12 +413,65 @@ def q_quality_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NTILE_SPARK)
 
 
+# ---------------------------------------------------------------------------
+# 6. Linear-counting distinct estimation (Whang, Vander-Zanden & Taylor 1990).
+# ---------------------------------------------------------------------------
+
+_LC_M = 1024
+
+_LC_SPARK = f"""
+WITH ev AS (
+  SELECT event_type, concat('u', cast(user_id as string)) AS item FROM events
+), hits AS (
+  SELECT event_type,
+         COUNT(DISTINCT {_h_spark("concat('lc:', item)")} % {_LC_M}) AS occupied,
+         COUNT(DISTINCT item) AS exact_distinct
+  FROM ev GROUP BY event_type
+)
+SELECT event_type,
+       CAST(occupied AS BIGINT) AS occupied,
+       CAST(ROUND(-{_LC_M} * LN(({_LC_M} - occupied) / {_LC_M}.0), 0) AS BIGINT) AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM hits
+"""
+
+ORACLE_Q_APPROX_DISTINCT_LINEAR = f"""
+WITH ev AS (
+  SELECT event_type, 'u' || user_id::VARCHAR AS item FROM events
+), hits AS (
+  SELECT event_type,
+         COUNT(DISTINCT {_h_duck("'lc:' || item")} % {_LC_M}) AS occupied,
+         COUNT(DISTINCT item) AS exact_distinct
+  FROM ev GROUP BY event_type
+)
+SELECT event_type,
+       CAST(occupied AS BIGINT) AS occupied,
+       CAST(ROUND(-{_LC_M} * LN(({_LC_M} - occupied) / {_LC_M}.0), 0) AS BIGINT) AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM hits
+"""
+
+
+def q_approx_distinct_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct-user estimation per event type: hash items
+    into an m=1024-slot bitmap (md5-deterministic, so both engines build the
+    identical bitmap) and estimate n̂ = -m·ln(empty/m), reported beside the
+    exact distinct count. The bitmap is the per-group state you'd OR across
+    partitions at 100 TB — a map-side combinable 128-byte sketch replacing a
+    count-distinct shuffle of raw user ids. (Spark's own
+    `approx_count_distinct` is the HLL production path — this operator
+    exists because its estimate is oracle-checkable exactly, HLL's isn't.)"""
+    register_views(spark, sf_dir)
+    return spark.sql(_LC_SPARK)
+
+
 QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_contamination": q_bloom_contamination,
     "quality_percentile_cut": q_quality_percentile_cut,
     "weighted_sample": q_weighted_sample,
     "quality_ntile_buckets": q_quality_ntile_buckets,
+    "approx_distinct_linear": q_approx_distinct_linear,
 }
 
 ORACLE = {
@@ -427,4 +480,5 @@ ORACLE = {
     "quality_percentile_cut": ORACLE_Q_QUALITY_PERCENTILE_CUT,
     "weighted_sample": ORACLE_Q_WEIGHTED_SAMPLE,
     "quality_ntile_buckets": ORACLE_Q_QUALITY_NTILE_BUCKETS,
+    "approx_distinct_linear": ORACLE_Q_APPROX_DISTINCT_LINEAR,
 }

@@ -61,6 +61,17 @@ def test_weighted_sample_deterministic(spark, sf_dir):
         assert len(rns) <= 3
 
 
+def test_linear_counting_estimate(spark, sf_dir):
+    rows = sketches.q_approx_distinct_linear(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.occupied <= 1024
+        # occupied slots can never exceed true distinct count
+        assert r.occupied <= r.exact_distinct
+        # linear counting at low load factor is tight: within 25% here
+        assert abs(r.est_distinct - r.exact_distinct) <= max(3, 0.25 * r.exact_distinct), r
+
+
 def test_ntile_buckets_partition_corpus(spark, sf_dir):
     rows = sketches.q_quality_ntile_buckets(spark, sf_dir).collect()
     deciles = sorted(r.decile for r in rows)
