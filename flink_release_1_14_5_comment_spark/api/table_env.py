@@ -12,7 +12,9 @@ Reference entry points re-expressed:
 
 Unsupported DDL surface raises with a clear message (documented non-goals:
 catalogs beyond in-memory, PRIMARY KEY enforcement — Flink's is
-NOT ENFORCED anyway, LIKE clauses).
+NOT ENFORCED anyway). ``CREATE TABLE … LIKE`` (FLIP-110) is supported with
+the reference's INCLUDING/EXCLUDING/OVERWRITING merge strategies
+(see ``_create_table_like``).
 """
 
 from __future__ import annotations
@@ -44,6 +46,16 @@ _METADATA_COL_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<tbl>\w+)\s+(?P<query>SELECT\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+# FLIP-110 CREATE TABLE ... LIKE (reference parser SqlCreateTableLike, merge
+# semantics MergeTableLikeUtil.java). Must be tried BEFORE _CREATE_RE: that
+# regex's greedy WITH(...) capture would swallow a trailing LIKE clause.
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?:\((?P<cols>.*?)\)\s*)?"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
+    r"LIKE\s+(?P<src>\w+)\s*(?:\((?P<like>[^()]*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_VIEW_RE = re.compile(
@@ -128,6 +140,7 @@ class TableEnvironment:
         self._legacy_cast = legacy_cast
         self._temporal_fns: dict[str, object] = {}  # name → TemporalTableFunction
         self._ttf_views = 0
+        self._ddl: dict[str, dict] = {}  # table → {cols, options} for LIKE
         register_flink_dialect(self.spark)
 
     @classmethod
@@ -138,6 +151,12 @@ class TableEnvironment:
 
     def execute_sql(self, sql: str) -> "Table | None":
         stripped = sql.strip().rstrip(";")
+        m = _CREATE_LIKE_RE.match(stripped)
+        if m:
+            self._create_table_like(m.group("name"), m.group("cols") or "",
+                                    m.group("opts") or "", m.group("src"),
+                                    m.group("like") or "")
+            return None
         m = _CREATE_RE.match(stripped)
         if m:
             self._create_table(m.group(1), m.group("cols"), m.group("opts"))
@@ -357,6 +376,109 @@ class TableEnvironment:
         if wm:
             self._watermarks[name] = wm
         df.createOrReplaceTempView(name)
+        self._ddl[name] = {"cols": cols, "options": options}
+
+    def _create_table_like(self, name: str, cols: str, opts: str,
+                           src: str, like_opts: str) -> None:
+        """FLIP-110 ``CREATE TABLE … [(cols)] [WITH (...)] LIKE src (…)``.
+
+        Schema, watermark, and options derive from the source table's DDL
+        and merge with the new clauses under the reference's strategies
+        (MergeTableLikeUtil.java): INCLUDING (default — duplicate
+        definitions are an error), EXCLUDING (drop the inherited feature),
+        OVERWRITING (new definition wins; valid for OPTIONS / WATERMARKS /
+        GENERATED only, as in the reference parser SqlCreateTableLike)."""
+        src_ddl = self._ddl.get(src)
+        if src_ddl is None:
+            raise ValueError(
+                f"LIKE source table {src!r} unknown — it must have been "
+                f"created via CREATE TABLE DDL in this TableEnvironment")
+        strat = {k: "INCLUDING" for k in
+                 ("OPTIONS", "WATERMARKS", "GENERATED", "CONSTRAINTS",
+                  "PARTITIONS")}
+        recognized = re.findall(
+            r"(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+            r"(ALL|OPTIONS|WATERMARKS|GENERATED|CONSTRAINTS|PARTITIONS)",
+            like_opts, re.IGNORECASE)
+        leftover = re.sub(
+            r"(INCLUDING|EXCLUDING|OVERWRITING)\s+"
+            r"(ALL|OPTIONS|WATERMARKS|GENERATED|CONSTRAINTS|PARTITIONS)",
+            "", like_opts, flags=re.IGNORECASE).strip(" ,\n\t")
+        if leftover:
+            raise ValueError(f"unsupported LIKE option(s): {leftover!r}")
+        for verb, feat in ((v.upper(), f.upper()) for v, f in recognized):
+            if feat == "ALL":
+                if verb == "OVERWRITING":
+                    raise ValueError("OVERWRITING ALL is not valid Flink syntax")
+                strat = {k: verb for k in strat}
+            else:
+                if verb == "OVERWRITING" and feat in ("CONSTRAINTS", "PARTITIONS"):
+                    raise ValueError(f"OVERWRITING {feat} is not valid Flink syntax")
+                strat[feat] = verb
+
+        def _is_wm(item: str) -> bool:
+            return item.upper().startswith("WATERMARK")
+
+        def _is_constraint(item: str) -> bool:
+            up = item.upper()
+            return up.startswith("PRIMARY KEY") or up.startswith("CONSTRAINT")
+
+        def _is_generated(item: str) -> bool:
+            return bool(_COMPUTED_COL_RE.match(item)) or bool(
+                _METADATA_COL_RE.match(item))
+
+        def _colname(item: str) -> str | None:
+            if _is_wm(item) or _is_constraint(item):
+                return None
+            return item.split(None, 1)[0].strip("`").lower()
+
+        src_items = [i.strip() for i in _split_top_level_ddl(src_ddl["cols"])
+                     if i.strip()]
+        inherited = [
+            it for it in src_items
+            if not (_is_wm(it) and strat["WATERMARKS"] == "EXCLUDING")
+            and not (_is_constraint(it) and strat["CONSTRAINTS"] == "EXCLUDING")
+            and not (_is_generated(it) and strat["GENERATED"] == "EXCLUDING")
+        ]
+        new_items = [i.strip() for i in _split_top_level_ddl(cols)
+                     if i.strip()] if cols else []
+        if any(_is_wm(i) for i in new_items) and any(_is_wm(i) for i in inherited):
+            if strat["WATERMARKS"] == "OVERWRITING":
+                inherited = [i for i in inherited if not _is_wm(i)]
+            else:
+                raise ValueError(
+                    "there already exists a watermark spec in the LIKE "
+                    "source; use OVERWRITING WATERMARKS or EXCLUDING "
+                    "WATERMARKS (reference MergeTableLikeUtil)")
+        inh_names = {_colname(i) for i in inherited} - {None}
+        for item in new_items:
+            n = _colname(item)
+            if n in inh_names:
+                if _is_generated(item) and strat["GENERATED"] == "OVERWRITING":
+                    inherited = [x for x in inherited if _colname(x) != n]
+                else:
+                    raise ValueError(
+                        f"column {n!r} already defined in LIKE source "
+                        f"{src!r} (OVERWRITING GENERATED replaces computed "
+                        f"columns only, per the reference)")
+        merged_cols = ", ".join(inherited + new_items)
+
+        src_opts = dict(src_ddl["options"]) if strat["OPTIONS"] != "EXCLUDING" else {}
+        new_opts = dict(_OPT_RE.findall(opts))
+        if strat["OPTIONS"] == "INCLUDING":
+            clash = [k for k, v in new_opts.items()
+                     if k in src_opts and src_opts[k] != v]
+            if clash:
+                raise ValueError(
+                    f"option(s) {clash} already inherited with different "
+                    f"values; use OVERWRITING OPTIONS or EXCLUDING OPTIONS")
+        merged_opts = {**src_opts, **new_opts}
+        if "connector" not in merged_opts:
+            raise ValueError(
+                "no 'connector' option after the LIKE merge — EXCLUDING "
+                "OPTIONS requires a WITH clause declaring one")
+        opts_str = ", ".join(f"'{k}'='{v}'" for k, v in merged_opts.items())
+        self._create_table(name, merged_cols, opts_str)
 
     def _apply_generated_columns(self, df: DataFrame, cols: str) -> DataFrame:
         """Computed columns (``total AS price * qty``, FLIP-70) and METADATA
