@@ -35,6 +35,15 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _OPT_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+# CREATE TABLE with a PARTITIONED BY clause (reference SqlCreateTable
+# partitionKeyList → FileSystemTableSink bucketed layout). Tried before
+# _CREATE_RE, whose greedy cols capture would swallow the clause.
+_CREATE_PART_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+    r"\((?P<cols>.*)\)\s*PARTITIONED\s+BY\s*\((?P<parts>[^()]*)\)\s*"
+    r"WITH\s*\((?P<opts>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # DDL generated-column items: `name AS expr` (computed) and
 # `name TYPE METADATA [FROM 'key'] [VIRTUAL]` (metadata column)
 _COMPUTED_COL_RE = re.compile(r"^`?(\w+)`?\s+AS\s+(.+)$",
@@ -45,9 +54,12 @@ _METADATA_COL_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<tbl>\w+)\s+(?P<query>SELECT\b.*|VALUES\b.*)$",
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<tbl>\w+)\s*"
+    r"(?:PARTITION\s*\((?P<static>[^()]*)\)\s*)?"
+    r"(?P<query>SELECT\b.*|VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_STATIC_PART_RE = re.compile(r"`?(\w+)`?\s*=\s*(?:'([^']*)'|(\S+))")
 # FLIP-110 CREATE TABLE ... LIKE (reference parser SqlCreateTableLike, merge
 # semantics MergeTableLikeUtil.java). Must be tried BEFORE _CREATE_RE: that
 # regex's greedy WITH(...) capture would swallow a trailing LIKE clause.
@@ -157,15 +169,28 @@ class TableEnvironment:
                                     m.group("opts") or "", m.group("src"),
                                     m.group("like") or "")
             return None
+        m = _CREATE_PART_RE.match(stripped)
+        if m:
+            parts = [p.strip().strip("`") for p in m.group("parts").split(",")
+                     if p.strip()]
+            self._create_table(m.group(1), m.group("cols"), m.group("opts"),
+                               partition_by=parts)
+            return None
         m = _CREATE_RE.match(stripped)
         if m:
             self._create_table(m.group(1), m.group("cols"), m.group("opts"))
             return None
         m = _INSERT_RE.match(stripped)
         if m:
+            static = None
+            if m.group("static"):
+                static = {sm.group(1): (sm.group(2) if sm.group(2) is not None
+                                        else sm.group(3))
+                          for sm in _STATIC_PART_RE.finditer(m.group("static"))}
             self._insert_into(m.group("tbl"),
                               self.sql_query(m.group("query")).to_data_frame(),
-                              overwrite=m.group("mode").upper() == "OVERWRITE")
+                              overwrite=m.group("mode").upper() == "OVERWRITE",
+                              static_partition=static)
             return None
         m = _CREATE_VIEW_RE.match(stripped)
         if m:
@@ -327,7 +352,8 @@ class TableEnvironment:
                          out, flags=re.IGNORECASE)
         return Table(self.spark.sql(out), self)
 
-    def _create_table(self, name: str, cols: str, opts: str) -> None:
+    def _create_table(self, name: str, cols: str, opts: str,
+                      partition_by: list[str] | None = None) -> None:
         options = dict(_OPT_RE.findall(opts))
         connector = options.get("connector", "")
         wm = None
@@ -343,7 +369,8 @@ class TableEnvironment:
             fmt = options.get("format", "parquet")
             path = options["path"]
             self._sinks[name] = {"path": path, "format": fmt,
-                                 "options": options, "cols": cols}
+                                 "options": options, "cols": cols,
+                                 "partition_by": partition_by or []}
             import os as _os
 
             if _os.path.isfile(path) or (
@@ -376,7 +403,8 @@ class TableEnvironment:
         if wm:
             self._watermarks[name] = wm
         df.createOrReplaceTempView(name)
-        self._ddl[name] = {"cols": cols, "options": options}
+        self._ddl[name] = {"cols": cols, "options": options,
+                           "partition_by": partition_by or []}
 
     def _create_table_like(self, name: str, cols: str, opts: str,
                            src: str, like_opts: str) -> None:
@@ -478,7 +506,10 @@ class TableEnvironment:
                 "no 'connector' option after the LIKE merge — EXCLUDING "
                 "OPTIONS requires a WITH clause declaring one")
         opts_str = ", ".join(f"'{k}'='{v}'" for k, v in merged_opts.items())
-        self._create_table(name, merged_cols, opts_str)
+        inherited_parts = (src_ddl.get("partition_by") or []
+                           if strat["PARTITIONS"] != "EXCLUDING" else [])
+        self._create_table(name, merged_cols, opts_str,
+                           partition_by=inherited_parts)
 
     def _apply_generated_columns(self, df: DataFrame, cols: str) -> DataFrame:
         """Computed columns (``total AS price * qty``, FLIP-70) and METADATA
@@ -553,28 +584,64 @@ class TableEnvironment:
                                         flink_type_to_spark(ftype.strip()), True))
         return T.StructType(fields)
 
-    def _insert_into(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
+    def _insert_into(self, name: str, df: DataFrame, overwrite: bool = False,
+                     static_partition: dict[str, str] | None = None) -> None:
         """INSERT INTO/OVERWRITE a filesystem table (reference FileSink /
         CommonExecSink): task-committed write through the Spark committer
-        (cluster-safe), then the temp view re-registers over the files."""
+        (cluster-safe), then the temp view re-registers over the files.
+
+        Partitioned tables (``PARTITIONED BY`` DDL) write the Hive-style
+        directory layout; ``INSERT ... PARTITION (k='v')`` static specs
+        (reference SqlPartitionUtils / FileSystemTableSink static
+        partitions) inject the literal columns, and INSERT OVERWRITE on a
+        partitioned table replaces only the touched partitions (dynamic
+        partition-overwrite — Flink's filesystem-sink overwrite grain)."""
         sink = self._sinks.get(name)
         if sink is None:
             raise ValueError(
                 f"INSERT target {name!r} is not a filesystem table created "
                 "via CREATE TABLE ... WITH ('connector'='filesystem', ...)")
+        part_cols = sink.get("partition_by") or []
+        static = static_partition or {}
+        if static and not part_cols:
+            raise ValueError(
+                f"INSERT ... PARTITION on {name!r}, but the table has no "
+                f"PARTITIONED BY clause")
+        unknown = [k for k in static if k not in part_cols]
+        if unknown:
+            raise ValueError(
+                f"static partition column(s) {unknown} not in PARTITIONED "
+                f"BY {part_cols} of {name!r}")
         # Flink maps INSERT columns to the DECLARED sink schema by position
         # (reference DynamicSinkUtils#validateSchemaAndApplyImplicitCast);
         # rename positionally so the written files — and the re-registered
         # view — carry the CREATE TABLE names, not the SELECT's (or the
-        # col1/col2 an INSERT ... VALUES produces).
-        declared = [f.name for f in self._ddl_schema(sink["cols"]).fields]
+        # col1/col2 an INSERT ... VALUES produces). With a static PARTITION
+        # spec the query supplies only the remaining columns (in declared
+        # order) and the literals fill the rest, as in the reference.
+        schema = self._ddl_schema(sink["cols"])
+        declared = [f.name for f in schema.fields]
         if declared:
-            if len(df.columns) != len(declared):
+            expected = [c for c in declared if c not in static]
+            if len(df.columns) != len(expected):
                 raise ValueError(
                     f"INSERT into {name!r}: query produces {len(df.columns)} "
-                    f"columns but the table declares {len(declared)}")
-            df = df.toDF(*declared)
+                    f"columns but the table declares {len(declared)}"
+                    + (f" ({len(static)} filled by the static PARTITION "
+                       f"spec)" if static else ""))
+            df = df.toDF(*expected)
+            types = {f.name: f.dataType for f in schema.fields}
+            for k, v in static.items():
+                df = df.withColumn(k, F.lit(v).cast(types[k]))
+            df = df.select(*declared)
         writer = df.write.mode("overwrite" if overwrite else "append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+            if overwrite:
+                # Flink's filesystem sink overwrites at partition grain for
+                # partitioned inserts; Spark's default would drop the whole
+                # table directory.
+                writer = writer.option("partitionOverwriteMode", "dynamic")
         if sink["format"] == "csv":
             writer = writer.option("header", sink["options"].get(
                 "csv.include-header", "true"))
@@ -583,7 +650,16 @@ class TableEnvironment:
         if sink["format"] == "csv":
             reader = reader.option("header", sink["options"].get(
                 "csv.include-header", "true"))
-        getattr(reader, sink["format"])(sink["path"]).createOrReplaceTempView(name)
+        out = getattr(reader, sink["format"])(sink["path"])
+        if part_cols and declared:
+            # Spark's partition discovery infers directory values (dt=
+            # 2024-01-01 → DATE); Flink's filesystem source keeps the
+            # DECLARED type. Cast back and restore declared column order
+            # (Spark appends partition columns last on read).
+            types = {f.name: f.dataType for f in schema.fields}
+            out = out.select(*[F.col(c).cast(types[c]).alias(c)
+                               for c in declared])
+        out.createOrReplaceTempView(name)
 
     # -- catalog -----------------------------------------------------------
 
@@ -1197,23 +1273,29 @@ class StatementSet:
         m = _INSERT_RE.match(sql.strip().rstrip(";"))
         if not m:
             raise ValueError(f"not an INSERT statement: {sql!r}")
+        static = None
+        if m.group("static"):
+            static = {sm.group(1): (sm.group(2) if sm.group(2) is not None
+                                    else sm.group(3))
+                      for sm in _STATIC_PART_RE.finditer(m.group("static"))}
         self._stmts.append((m.group("tbl"), m.group("query"),
-                            m.group("mode").upper() == "OVERWRITE"))
+                            m.group("mode").upper() == "OVERWRITE", static))
         return self
 
     def add_insert(self, target: str, table: "Table",
                    overwrite: bool = False) -> "StatementSet":
-        self._stmts.append((target, table, overwrite))
+        self._stmts.append((target, table, overwrite, None))
         return self
 
     def execute(self) -> list[str]:
         """Run every buffered INSERT; returns the target table names in
         execution order (the reference returns a TableResult per job)."""
         done = []
-        for target, src, overwrite in self._stmts:
+        for target, src, overwrite, static in self._stmts:
             df = (src.to_data_frame() if isinstance(src, Table)
                   else self._env.sql_query(src).to_data_frame())
-            self._env._insert_into(target, df, overwrite=overwrite)
+            self._env._insert_into(target, df, overwrite=overwrite,
+                                   static_partition=static)
             done.append(target)
         self._stmts.clear()
         return done
