@@ -135,6 +135,12 @@ class DataStream:
 
         return DataStream(broadcast(self._df), self.env)
 
+    def _select_struct(self, struct_col: str, fields: list[str]) -> "DataStream":
+        keep = [c for c in self._df.columns if c != struct_col]
+        return DataStream(
+            self._df.select(*keep, *[F.col(f"{struct_col}.{f}").alias(f)
+                                     for f in fields]), self.env)
+
     def key_by(self, *cols: str) -> "KeyedStream":
         return KeyedStream(self._df, list(cols), self.env)
 
@@ -189,6 +195,40 @@ class KeyedStream:
         return DataStream(self._df.groupBy(*self._keys).agg(*aggs), self.env)
 
     aggregate = reduce
+
+    # Rolling aggregations (reference KeyedStream.java sum/min/max/minBy/
+    # maxBy:779-934): Flink emits the running value per element — an update
+    # stream. On a streaming frame the same groupBy in UPDATE output mode IS
+    # that running aggregate (each micro-batch emits the new per-key value);
+    # on a bounded frame the end-of-input state equals the final aggregate,
+    # matching Flink's bounded-stream result.
+    def sum(self, col: str) -> DataStream:
+        return self.reduce([F.sum(col).alias(col)])
+
+    def min(self, col: str) -> DataStream:
+        return self.reduce([F.min(col).alias(col)])
+
+    def max(self, col: str) -> DataStream:
+        return self.reduce([F.max(col).alias(col)])
+
+    def min_by(self, col: str) -> DataStream:
+        """Row with the minimal `col` per key (KeyedStream.minBy). Flink
+        keeps the FIRST minimal element in arrival order; a distributed
+        shuffle has no arrival order, so ties break by the remaining
+        columns' values instead (deterministic run-to-run — documented
+        divergence, same spirit as the reference's `first=true` default)."""
+        others = [c for c in self._df.columns if c not in self._keys]
+        return self.reduce(
+            [F.min(F.struct(F.col(col), *[F.col(o) for o in others
+                                          if o != col])).alias("__m")]
+        )._select_struct("__m", [col] + [o for o in others if o != col])
+
+    def max_by(self, col: str) -> DataStream:
+        others = [c for c in self._df.columns if c not in self._keys]
+        return self.reduce(
+            [F.max(F.struct(F.col(col), *[F.col(o) for o in others
+                                          if o != col])).alias("__m")]
+        )._select_struct("__m", [col] + [o for o in others if o != col])
 
     def process(self, fn, output_schema: str, state_schema: str,
                 output_mode: str = "update", timeout: str = "NoTimeout") -> DataStream:

@@ -75,6 +75,10 @@ _CREATE_VIEW_RE = re.compile(
     r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(?P<query>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+(?:RENAME\s+TO\s+(\w+)|SET\s*\((.*)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
     re.IGNORECASE,
@@ -201,11 +205,17 @@ class TableEnvironment:
             self.sql_query(m.group("query")).to_data_frame() \
                 .createOrReplaceTempView(m.group(1))
             return None
+        m = _ALTER_RE.match(stripped)
+        if m:
+            self._alter_table(m.group(1), rename_to=m.group(2),
+                              set_opts=m.group(3))
+            return None
         m = _DROP_RE.match(stripped)
         if m:
             self.spark.catalog.dropTempView(m.group(1))
             self._sinks.pop(m.group(1), None)
             self._watermarks.pop(m.group(1), None)
+            self._ddl.pop(m.group(1), None)
             return None
         m = _SET_RE.match(stripped)
         if m:
@@ -405,6 +415,32 @@ class TableEnvironment:
         df.createOrReplaceTempView(name)
         self._ddl[name] = {"cols": cols, "options": options,
                            "partition_by": partition_by or []}
+
+    def _alter_table(self, name: str, rename_to: str | None,
+                     set_opts: str | None) -> None:
+        """``ALTER TABLE t RENAME TO t2`` / ``ALTER TABLE t SET ('k'='v')``
+        (reference SqlAlterTableRename / SqlAlterTableOptions →
+        Catalog.renameTable / alterTable). RENAME moves the view and all
+        catalog bookkeeping; SET merges options and re-registers the scan
+        so path/format changes take effect immediately."""
+        ddl = self._ddl.get(name)
+        if ddl is None:
+            raise ValueError(
+                f"ALTER TABLE target {name!r} was not created via DDL in "
+                f"this TableEnvironment")
+        if rename_to:
+            df = self.spark.table(name)
+            df.createOrReplaceTempView(rename_to)
+            self.spark.catalog.dropTempView(name)
+            for registry in (self._ddl, self._sinks, self._watermarks):
+                if name in registry:
+                    registry[rename_to] = registry.pop(name)
+            return
+        new_opts = dict(_OPT_RE.findall(set_opts or ""))
+        merged = {**ddl["options"], **new_opts}
+        opts_str = ", ".join(f"'{k}'='{v}'" for k, v in merged.items())
+        self._create_table(name, ddl["cols"], opts_str,
+                           partition_by=ddl.get("partition_by") or [])
 
     def _create_table_like(self, name: str, cols: str, opts: str,
                            src: str, like_opts: str) -> None:

@@ -104,6 +104,42 @@ def test_datastream_batch_topology(spark, sf_dir):
     assert (pdf["n"] > 0).all()
 
 
+def test_keyed_rolling_aggregates(spark, sf_dir):
+    """KeyedStream.sum/min/max/min_by/max_by (KeyedStream.java:779-934):
+    bounded-stream end state == batch aggregate; min_by/max_by return the
+    extremal ROW per key."""
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "value")
+    ks = env.from_data_frame(ev).key_by("user_id")
+
+    got = {r.user_id: r.value for r in ks.sum("value").to_data_frame().collect()}
+    want = {r.user_id: r.s for r in
+            ev.groupBy("user_id").agg(F.sum("value").alias("s")).collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+    mn = {r.user_id: r.value for r in ks.min("value").to_data_frame().collect()}
+    mx = {r.user_id: r.value for r in ks.max("value").to_data_frame().collect()}
+    assert all(mn[k] <= mx[k] for k in mn)
+
+    # min_by/max_by carry the full extremal row
+    mb = ks.max_by("value").to_data_frame()
+    assert set(mb.columns) == {"user_id", "value", "event_id"}
+    top = {r.user_id: (r.value, r.event_id) for r in mb.collect()}
+    want_top = {
+        r.user_id: (r.value, r.event_id)
+        for r in ev.withColumn(
+            "rn", F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("user_id")
+                .orderBy(F.desc("value"), F.desc("event_id")))
+        ).filter("rn = 1").collect()
+    }
+    assert top == want_top
+
+
 def test_datastream_pandas_map_and_side_output(spark, sf_dir):
     from flink_release_1_14_5_comment_spark.catalog import load_tables
 

@@ -140,6 +140,33 @@ def test_like_unknown_source_and_bad_option(tenv):
         tenv.execute_sql("CREATE TABLE x_t LIKE nope_t")
 
 
+def test_alter_table_rename(tenv, base_dir):
+    _create_base(tenv, base_dir)
+    tenv.execute_sql("ALTER TABLE base_t RENAME TO renamed_t")
+    rows = tenv.sql_query(
+        "SELECT COUNT(*) AS n FROM renamed_t").to_data_frame().collect()
+    assert rows[0].n == 2
+    assert "renamed_t" in tenv._ddl and "base_t" not in tenv._ddl
+    with pytest.raises(Exception):
+        tenv.sql_query("SELECT * FROM base_t").to_data_frame().collect()
+
+
+def test_alter_table_set_path(tenv, base_dir, spark, tmp_path):
+    _create_base(tenv, base_dir)
+    other = str(tmp_path / "other")
+    spark.createDataFrame([(9, "z", 1.0)] * 3,
+                          "id long, name string, amount double").write.parquet(other)
+    tenv.execute_sql(f"ALTER TABLE base_t SET ('path'='{other}')")
+    rows = tenv.sql_query("SELECT COUNT(*) AS n FROM base_t").to_data_frame().collect()
+    assert rows[0].n == 3
+    assert tenv._ddl["base_t"]["options"]["path"] == other
+
+
+def test_alter_unknown_table_errors(tenv):
+    with pytest.raises(ValueError, match="ALTER TABLE target"):
+        tenv.execute_sql("ALTER TABLE ghost_t RENAME TO x_t")
+
+
 def test_like_invalid_like_option_errors(tenv, base_dir):
     _create_base(tenv, base_dir)
     with pytest.raises(ValueError, match="unsupported LIKE option"):
