@@ -154,46 +154,6 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BF_BITS = 8192
 _BF_K = 3
 
-_BLOOM_SPARK = f"""
-WITH base AS (
-  SELECT doc_id, lang, {_TOKS_SPARK} AS t,
-         {_h_spark("concat('eval:', cast(doc_id as string))")} % 20 = 0 AS is_eval
-  FROM documents
-), g AS (
-  SELECT doc_id, lang, is_eval, gram
-  FROM base LATERAL VIEW explode(
-    CASE WHEN size(t) >= 5 THEN transform(sequence(1, size(t) - 4),
-         i -> concat_ws(' ', slice(t, i, 5)))
-    ELSE CAST(array() AS array<string>) END) x AS gram
-), bloom AS (
-  SELECT DISTINCT {_h_spark("concat('bf', cast(j as string), ':', gram)")} % {_BF_BITS} AS pos
-  FROM (SELECT DISTINCT gram FROM g WHERE is_eval)
-  LATERAL VIEW explode(sequence(0, {_BF_K - 1})) d AS j
-), train AS (
-  SELECT DISTINCT lang, gram FROM g WHERE NOT is_eval
-), probed AS (
-  SELECT t.lang, t.gram,
-         COUNT(b.pos) = {_BF_K} AS flagged
-  FROM (
-    SELECT lang, gram, j,
-           {_h_spark("concat('bf', cast(j as string), ':', gram)")} % {_BF_BITS} AS pos
-    FROM train LATERAL VIEW explode(sequence(0, {_BF_K - 1})) d AS j
-  ) t LEFT JOIN bloom b ON t.pos = b.pos
-  GROUP BY t.lang, t.gram
-), truth AS (
-  SELECT tr.lang, tr.gram, eg.gram IS NOT NULL AS is_hit
-  FROM train tr LEFT JOIN (SELECT DISTINCT gram FROM g WHERE is_eval) eg
-    ON tr.gram = eg.gram
-)
-SELECT p.lang,
-       CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-       CAST(SUM(CASE WHEN t.is_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-       CAST(SUM(CASE WHEN p.flagged AND NOT t.is_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
-FROM probed p JOIN truth t ON p.lang = t.lang AND p.gram = t.gram
-GROUP BY p.lang
-"""
-
 ORACLE_Q_BLOOM_CONTAMINATION = f"""
 WITH base AS (
   SELECT doc_id, lang, {_TOKS_DUCK} AS t,
@@ -242,9 +202,55 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside the exact join's truth (false positives = Bloom's one-sided
     error; false negatives are impossible and the oracle proves it). At
     100 TB the filter is a broadcast bitmap and the probe is a pure map —
-    the exact-join audit columns are the part you drop in production."""
+    the exact-join audit columns are the part you drop in production.
+
+    The gram explosion (the expensive map over the corpus) runs ONCE into a
+    persisted frame that the bloom-build, probe, and exact-audit branches
+    all read — the _BLOOM_SPARK CTE form would re-tokenize per branch
+    (Spark CTEs are not materialized)."""
     register_views(spark, sf_dir)
-    return spark.sql(_BLOOM_SPARK)
+    g = spark.sql(f"""
+        WITH base AS (
+          SELECT doc_id, lang, {_TOKS_SPARK} AS t,
+                 {_h_spark("concat('eval:', cast(doc_id as string))")} % 20 = 0 AS is_eval
+          FROM documents
+        )
+        SELECT doc_id, lang, is_eval, gram
+        FROM base LATERAL VIEW explode(
+          CASE WHEN size(t) >= 5 THEN transform(sequence(1, size(t) - 4),
+               i -> concat_ws(' ', slice(t, i, 5)))
+          ELSE CAST(array() AS array<string>) END) x AS gram
+    """).persist()
+    g.createOrReplaceTempView("__bloom_grams")
+    return spark.sql(f"""
+        WITH bloom AS (
+          SELECT DISTINCT {_h_spark("concat('bf', cast(j as string), ':', gram)")} % {_BF_BITS} AS pos
+          FROM (SELECT DISTINCT gram FROM __bloom_grams WHERE is_eval)
+          LATERAL VIEW explode(sequence(0, {_BF_K - 1})) d AS j
+        ), train AS (
+          SELECT DISTINCT lang, gram FROM __bloom_grams WHERE NOT is_eval
+        ), probed AS (
+          SELECT t.lang, t.gram, COUNT(b.pos) = {_BF_K} AS flagged
+          FROM (
+            SELECT lang, gram, j,
+                   {_h_spark("concat('bf', cast(j as string), ':', gram)")} % {_BF_BITS} AS pos
+            FROM train LATERAL VIEW explode(sequence(0, {_BF_K - 1})) d AS j
+          ) t LEFT JOIN bloom b ON t.pos = b.pos
+          GROUP BY t.lang, t.gram
+        ), truth AS (
+          SELECT tr.lang, tr.gram, eg.gram IS NOT NULL AS is_hit
+          FROM train tr LEFT JOIN
+            (SELECT DISTINCT gram FROM __bloom_grams WHERE is_eval) eg
+            ON tr.gram = eg.gram
+        )
+        SELECT p.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN p.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(SUM(CASE WHEN t.is_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN p.flagged AND NOT t.is_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM probed p JOIN truth t ON p.lang = t.lang AND p.gram = t.gram
+        GROUP BY p.lang
+    """)
 
 
 # ---------------------------------------------------------------------------
