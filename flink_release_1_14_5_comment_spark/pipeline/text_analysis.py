@@ -555,8 +555,69 @@ GROUP BY w.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: top-V vocab build + per-language OOV rates — the
+# tokenizer-coverage planning table run before committing to a vocab size.
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 500
+
+_VOCAB_SPARK = rf"""
+WITH tok AS (
+  SELECT lang, word
+  FROM (SELECT lang, split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ') AS words
+        FROM documents)
+  LATERAL VIEW explode(words) t AS word
+), wc AS (
+  SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+), vocab AS (
+  SELECT word, 1 AS in_vocab FROM wc ORDER BY c DESC, word LIMIT {_VOCAB_V}
+)
+SELECT tok.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       ROUND(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate,
+       CAST(COUNT(DISTINCT tok.word) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT CASE WHEN v.in_vocab IS NULL THEN tok.word END) AS BIGINT) AS oov_types
+FROM tok LEFT JOIN vocab v ON tok.word = v.word
+GROUP BY tok.lang
+"""
+
+ORACLE_Q_VOCAB_OOV_RATE = rf"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+), vocab AS (
+  SELECT word, 1 AS in_vocab FROM wc ORDER BY c DESC, word LIMIT {_VOCAB_V}
+)
+SELECT tok.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       ROUND(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate,
+       CAST(COUNT(DISTINCT tok.word) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT CASE WHEN v.in_vocab IS NULL THEN tok.word END) AS BIGINT) AS oov_types
+FROM tok LEFT JOIN vocab v ON tok.word = v.word
+GROUP BY tok.lang
+"""
+
+
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 corpus vocabulary (count-desc, word-asc deterministic
+    tiebreak) joined back against the token stream: per-language token- and
+    type-level OOV rates — the coverage table that sizes a tokenizer vocab.
+    At 100 TB the vocab is a LIMIT-V frame (broadcast join against the
+    token stream, one word-count shuffle with map-side combine); the
+    deterministic tiebreak makes the vocabulary reproducible engine-to-
+    engine, which the oracle checks exactly."""
+    register_views(spark, sf_dir)
+    return spark.sql(_VOCAB_SPARK)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "vocab_oov_rate": q_vocab_oov_rate,
     "token_counts": q_token_counts,
     "doc_winnow": q_doc_winnow,
     "corpus_sample": q_corpus_sample,
@@ -570,6 +631,7 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": ORACLE_Q_TEXT_STATS,
+    "vocab_oov_rate": ORACLE_Q_VOCAB_OOV_RATE,
     "token_counts": ORACLE_Q_TOKEN_COUNTS,
     "doc_winnow": ORACLE_Q_DOC_WINNOW,
     "corpus_sample": ORACLE_Q_CORPUS_SAMPLE,
