@@ -605,12 +605,49 @@ def statement_set_migration(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def ddl_breadth_migration(spark):
+    """Flink 1.14 DDL forms that port unchanged:
+    CREATE TABLE ... PARTITIONED BY (...) WITH (...);
+    INSERT INTO t PARTITION (dt='...') SELECT ...;
+    CREATE TABLE sink WITH ('path'='...') LIKE src (OVERWRITING OPTIONS);
+    ALTER TABLE t RENAME TO t2 / ALTER TABLE t SET ('k'='v')."""
+    import shutil
+    import tempfile
+
+    tenv = TableEnvironment.create(spark)
+    d = tempfile.mkdtemp(prefix="graft_ddl_")
+    tenv.execute_sql(f"""
+        CREATE TABLE part_sink (o_orderkey BIGINT, o_totalprice DOUBLE,
+                                o_orderstatus STRING)
+        PARTITIONED BY (o_orderstatus)
+        WITH ('connector'='filesystem','path'='{d}/part_sink','format'='parquet')
+    """)
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "orders_ddl")
+    tenv.execute_sql(
+        "INSERT INTO part_sink SELECT o_orderkey, o_totalprice, o_orderstatus "
+        "FROM orders_ddl")
+    tenv.execute_sql(
+        "INSERT OVERWRITE part_sink PARTITION (o_orderstatus='X') "
+        "SELECT -1, 0.0 FROM orders_ddl LIMIT 1")
+    tenv.execute_sql(f"""
+        CREATE TABLE like_clone WITH ('path'='{d}/clone')
+        LIKE part_sink (OVERWRITING OPTIONS, EXCLUDING PARTITIONS)
+    """)
+    tenv.execute_sql("ALTER TABLE like_clone RENAME TO clone_renamed")
+    n = tenv.from_path("part_sink").to_data_frame().count()
+    print("ddl breadth: partitioned rows", n,
+          "| clone registered:", "clone_renamed" in tenv._ddl)
+    shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
     spark = get_spark("migration-examples", cpus=8)
     sql_migration(spark)
     window_sql_migration(spark)
     match_recognize_sql_migration(spark)
     statement_set_migration(spark)
+    ddl_breadth_migration(spark)
     table_api_migration(spark)
     table_api_breadth_migration(spark)
     datastream_migration(spark)
