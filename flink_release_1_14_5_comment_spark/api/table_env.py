@@ -713,6 +713,25 @@ class TableEnvironment:
         StreamTableEnvironment.fromDataStream)."""
         return Table(df, self)
 
+    def from_values(self, rows, schema: str | None = None) -> "Table":
+        """Reference TableEnvironment.fromValues (TableEnvironmentImpl
+        .java fromValues overloads): inline rows → Table. With no schema,
+        column names default to f0, f1, … exactly as the reference derives
+        them for untyped values."""
+        if schema is None:
+            first = rows[0]
+            width = len(first) if isinstance(first, (tuple, list)) else 1
+            if width == 1 and not isinstance(first, (tuple, list)):
+                rows = [(r,) for r in rows]
+            names = [f"f{i}" for i in range(width)]
+            return Table(self.spark.createDataFrame(rows).toDF(*names), self)
+        return Table(self.spark.createDataFrame(rows, schema), self)
+
+    def list_tables(self) -> list[str]:
+        """Reference TableEnvironment.listTables — names of every table and
+        view visible in the session catalog."""
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
     def rowtime_of(self, name: str) -> tuple[str, str] | None:
         return self._watermarks.get(name)
 
@@ -1110,6 +1129,19 @@ class Table:
         return Table(self._df.limit(n), self._env)
 
     limit = fetch
+
+    def offset(self, n: int) -> "Table":
+        """Table.offset (reference Table.java offset/fetch pair — only
+        meaningful after order_by, same caveat as the reference)."""
+        return Table(self._df.offset(n), self._env)
+
+    def get_schema(self):
+        """Reference Table.getSchema/getResolvedSchema → the Spark schema
+        (StructType plays ResolvedSchema's role here)."""
+        return self._df.schema
+
+    def print_schema(self) -> None:
+        self._df.printSchema()
 
     # -- schema operations (reference Table.java:462-519) ------------------
 

@@ -162,6 +162,18 @@ def test_alter_table_set_path(tenv, base_dir, spark, tmp_path):
     assert tenv._ddl["base_t"]["options"]["path"] == other
 
 
+def test_from_values_and_catalog_listing(tenv):
+    """TableEnvironment.fromValues (untyped → f0/f1 names, typed via DDL
+    schema), Table.offset/fetch, listTables."""
+    t = tenv.from_values([(1, "a"), (2, "b")])
+    assert [f.name for f in t.get_schema().fields] == ["f0", "f1"]
+    t2 = tenv.from_values([(3, "x"), (1, "y"), (2, "z")], "id long, v string")
+    got = t2.order_by("id").offset(1).fetch(1).to_data_frame().collect()
+    assert [(r.id, r.v) for r in got] == [(2, "z")]
+    t2.to_data_frame().createOrReplaceTempView("fv_listing")
+    assert "fv_listing" in tenv.list_tables()
+
+
 def test_alter_unknown_table_errors(tenv):
     with pytest.raises(ValueError, match="ALTER TABLE target"):
         tenv.execute_sql("ALTER TABLE ghost_t RENAME TO x_t")
