@@ -344,6 +344,8 @@ class TableEnvironment:
 
     def sql_query(self, sql: str) -> "Table":
         stripped = sql.strip().rstrip(";")
+        if "/*+" in stripped:
+            stripped = self._apply_table_hints(stripped)
         if self._temporal_fns and re.search(r"\bLATERAL\s+TABLE\b",
                                             stripped, re.IGNORECASE):
             stripped = self._rewrite_lateral_ttf(stripped)
@@ -361,6 +363,49 @@ class TableEnvironment:
             out = re.sub(r"(?<![A-Za-z_])(?<!TRY_)CAST\s*\(", "TRY_CAST(",
                          out, flags=re.IGNORECASE)
         return Table(self.spark.sql(out), self)
+
+    def _apply_table_hints(self, sql: str) -> str:
+        """FLIP-113 dynamic table options: ``FROM t /*+ OPTIONS('k'='v') */``
+        (reference SqlHint → FlinkHints.HINT_NAME_OPTIONS; applied in
+        CatalogSourceTable.createDynamicTableSource). Spark's SQL parser
+        accepts hints only in the SELECT clause, so the relation-position
+        hint is rewritten here: the hinted table re-registers under a
+        one-off name with the merged options and the reference is swapped.
+        Requires ``table.dynamic-table-options.enabled`` semantics — always
+        on here, like the reference's default since 1.11."""
+        keywords = {
+            "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "JOIN", "LEFT",
+            "RIGHT", "FULL", "INNER", "CROSS", "ON", "UNION", "INTERSECT",
+            "EXCEPT", "MATCH_RECOGNIZE", "LATERAL", "AND", "OR", "SELECT",
+            "FOR", "TABLESAMPLE", "WINDOW", "QUALIFY",
+        }
+        pat = re.compile(
+            r"\b(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/"
+            r"(\s+AS\s+\w+|\s+\w+)?",
+            re.IGNORECASE)
+
+        def repl(m):
+            tbl, optstr, trail = m.group(1), m.group(2), m.group(3) or ""
+            ddl = self._ddl.get(tbl)
+            if ddl is None:
+                raise NotImplementedError(
+                    f"OPTIONS hint on {tbl!r}: dynamic table options apply "
+                    f"to tables created via CREATE TABLE DDL only")
+            merged = {**ddl["options"], **dict(_OPT_RE.findall(optstr))}
+            self._hint_views = getattr(self, "_hint_views", 0) + 1
+            hname = f"__hinted_{tbl}_{self._hint_views}"
+            opts_str = ", ".join(f"'{k}'='{v}'" for k, v in merged.items())
+            self._create_table(hname, ddl["cols"], opts_str,
+                               partition_by=ddl.get("partition_by") or [])
+            trail_word = trail.strip()
+            if trail_word and trail_word.split()[-1].upper() not in keywords:
+                # user-supplied alias ([AS] a) — keep it
+                alias = trail_word.split()[-1]
+                return f"{hname} AS {alias}"
+            # no alias: alias back to the original name so t.col refs resolve
+            return f"{hname} AS {tbl}{trail}"
+
+        return pat.sub(repl, sql)
 
     def _create_table(self, name: str, cols: str, opts: str,
                       partition_by: list[str] | None = None) -> None:
