@@ -261,6 +261,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER aggregate (ROWS 2 PRECEDING) — per-user sliding
+    3-row sum/avg/count via the bounded-buffer keyed accumulator
+    (streaming/over_agg.rows_bounded_over, reference
+    RowTimeRowsBoundedPrecedingFunction.java:56: state holds only the last
+    n rows per key, evicting as new rows arrive). The replay is
+    ts-range-chunked, so per-key arrival order IS (ts, id) order and the
+    completed stream equals the batch ROWS-frame window — oracle-able."""
+    from flink_release_1_14_5_comment_spark.streaming.over_agg import (
+        rows_bounded_over,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        out = rows_bounded_over(
+            stream, ["user_id"], "ts", "event_id", "value", n_rows=3)
+        return _run_to_memory(out).select(
+            "user_id", "event_id",
+            F.col("running_count").cast("long").alias("running_count"),
+            F.round("running_sum", 2).alias("running_sum"),
+            F.round("running_avg", 4).alias("running_avg"))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_OVER_ROWS = """
+SELECT user_id, event_id,
+       CAST(LEAST(CAST(ROW_NUMBER() OVER w AS BIGINT), 3) AS BIGINT) AS running_count,
+       ROUND(SUM(value) OVER w, 2) AS running_sum,
+       ROUND(AVG(value) OVER w, 4) AS running_avg
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS 2 PRECEDING)
+"""
+
+
 def q_stream_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EVENT-TIME keep-first dedup: first event per user by
     (rowtime, id) via O(1) keyed state (streaming/dedup.
@@ -1201,6 +1240,7 @@ QUERIES = {
     "stream_window_join": q_stream_window_join,
     "stream_lookup_join": q_stream_lookup_join,
     "stream_heavy_hitters": q_stream_heavy_hitters,
+    "stream_over_rows": q_stream_over_rows,
 }
 
 ORACLE = {
@@ -1228,4 +1268,5 @@ ORACLE = {
     "stream_window_join": ORACLE_Q_STREAM_WINDOW_JOIN,
     "stream_lookup_join": ORACLE_Q_STREAM_LOOKUP_JOIN,
     "stream_heavy_hitters": ORACLE_Q_STREAM_HEAVY_HITTERS,
+    "stream_over_rows": ORACLE_Q_STREAM_OVER_ROWS,
 }
