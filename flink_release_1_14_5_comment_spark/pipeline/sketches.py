@@ -436,7 +436,9 @@ WITH ev AS (
 )
 SELECT event_type,
        CAST(occupied AS BIGINT) AS occupied,
-       CAST(ROUND(-{_LC_M} * LN(({_LC_M} - occupied) / {_LC_M}.0), 0) AS BIGINT) AS est_distinct,
+       -- GREATEST guard: a saturated bitmap (occupied = m) would be LN(0);
+       -- the standard fallback caps the estimate at m*ln(m)
+       CAST(ROUND(-{_LC_M} * LN(GREATEST({_LC_M} - occupied, 1) / {_LC_M}.0), 0) AS BIGINT) AS est_distinct,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM hits
 """
@@ -452,7 +454,7 @@ WITH ev AS (
 )
 SELECT event_type,
        CAST(occupied AS BIGINT) AS occupied,
-       CAST(ROUND(-{_LC_M} * LN(({_LC_M} - occupied) / {_LC_M}.0), 0) AS BIGINT) AS est_distinct,
+       CAST(ROUND(-{_LC_M} * LN(GREATEST({_LC_M} - occupied, 1) / {_LC_M}.0), 0) AS BIGINT) AS est_distinct,
        CAST(exact_distinct AS BIGINT) AS exact_distinct
 FROM hits
 """
