@@ -261,6 +261,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming COUNT(DISTINCT): two chained stateful operators —
+    dropDuplicates holds the distinct view (the reference's MapView state in
+    DistinctAggCodeGens / DistinctViewProcessFunction), the downstream
+    count holds the per-key accumulator (GroupAggFunction). Append-only
+    input ⇒ the distinct view only ever ADDS, so end-of-input complete-mode
+    counts equal the batch COUNT(DISTINCT) — oracle-able. State: O(distinct
+    pairs) + O(keys), the same layout the reference's distinct-agg split
+    materializes."""
+    ev = load_tables(spark, sf_dir)["events"].select("event_type", "user_id")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=3)
+    try:
+        agg = (
+            stream.dropDuplicates(["event_type", "user_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        return _run_to_memory(agg, mode="complete").select(
+            "event_type", F.col("n_users").cast("long").alias("n_users"))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_DISTINCT_AGG = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_stream_over_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OVER aggregate (ROWS 2 PRECEDING) — per-user sliding
     3-row sum/avg/count via the bounded-buffer keyed accumulator
@@ -1241,6 +1270,7 @@ QUERIES = {
     "stream_lookup_join": q_stream_lookup_join,
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "stream_over_rows": q_stream_over_rows,
+    "stream_distinct_agg": q_stream_distinct_agg,
 }
 
 ORACLE = {
@@ -1269,4 +1299,5 @@ ORACLE = {
     "stream_lookup_join": ORACLE_Q_STREAM_LOOKUP_JOIN,
     "stream_heavy_hitters": ORACLE_Q_STREAM_HEAVY_HITTERS,
     "stream_over_rows": ORACLE_Q_STREAM_OVER_ROWS,
+    "stream_distinct_agg": ORACLE_Q_STREAM_DISTINCT_AGG,
 }
