@@ -261,6 +261,91 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_stream_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert-kafka consumption chain, end-to-end and oracle-checked:
+    an UPSERT stream (+U per version, -D tombstones — no -U ever arrives,
+    the upsert-kafka contract) runs through STREAMING ChangelogNormalize
+    (StreamExecChangelogNormalize.java:61 — one-row-per-key state emits the
+    missing UPDATE_BEFOREs) and the completed changelog feeds the
+    RETRACTING group aggregate (GroupAggFunction.java:43 with retract
+    handling). Synthetic-but-deterministic versions derive from orders:
+    every key inserts at 90% price, even keys upsert to full price, every
+    97th key is tombstoned. Values aggregate as integer cents (one-step
+    ROUND(price*90/100) — engines disagree on ROUND(x, 2) for boundary
+    doubles, and integer-cent accumulation in doubles is exact). End state per status == SQL over the surviving
+    final versions. Both stages run as real streaming queries with keyed
+    state; the aggregate stage replays as one batch so each status emits
+    exactly its final refreshed row (multi-batch accumulator evolution is
+    covered by tests/test_streaming.py / test_event_sort_retract.py)."""
+    from flink_release_1_14_5_comment_spark.streaming.changelog import (
+        changelog_normalize_stream,
+    )
+    from flink_release_1_14_5_comment_spark.streaming.retract_agg import (
+        retract_agg_stream,
+    )
+
+    # Values aggregate as integer CENTS carried in doubles: float addition
+    # of integers < 2^53 is exact, so the accumulator is order-independent
+    # and the oracle compare is exact (raw double sums at 1e9 magnitude
+    # drift past 2-decimal rounding with a different reduction order).
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    cents_v1 = F.round(F.col("o_totalprice") * 90, 0)
+    cents_v2 = F.round(F.col("o_totalprice") * 100, 0)
+    v1 = o.select(
+        "o_orderkey", "o_orderstatus", cents_v1.alias("price_c"),
+        (F.col("o_orderkey") * 3).alias("seq"), F.lit("+U").alias("__rowkind"))
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", cents_v2.alias("price_c"),
+        (F.col("o_orderkey") * 3 + 1).alias("seq"),
+        F.lit("+U").alias("__rowkind"))
+    dels = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_orderstatus", cents_v2.alias("price_c"),
+        (F.col("o_orderkey") * 3 + 2).alias("seq"),
+        F.lit("-D").alias("__rowkind"))
+    upserts = v1.unionByName(v2).unionByName(dels)
+
+    stream, tmp = sources.replay_as_stream(spark, upserts, n_chunks=3,
+                                           order_col="seq")
+    try:
+        normalized = _run_to_memory(
+            changelog_normalize_stream(stream, ["o_orderkey"], "seq"),
+            mode="update")
+    finally:
+        sources.cleanup(tmp)
+    stream2, tmp2 = sources.replay_as_stream(spark, normalized, n_chunks=1)
+    try:
+        agg = _run_to_memory(
+            retract_agg_stream(stream2, ["o_orderstatus"], "price_c"),
+            mode="update")
+    finally:
+        sources.cleanup(tmp2)
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.col("sum_value") / 100, 2).alias("sum_value"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("avg_value") / 100, 4).alias("avg_value"),
+        F.round(F.col("min_value") / 100, 2).alias("min_value"),
+        F.round(F.col("max_value") / 100, 2).alias("max_value"))
+
+
+ORACLE_Q_STREAM_UPSERT_PIPELINE = """
+WITH fin AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN ROUND(o_totalprice * 100, 0)
+              ELSE ROUND(o_totalprice * 90, 0) END AS vc
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderstatus,
+       ROUND(SUM(vc) / 100, 2) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(AVG(vc) / 100, 4) AS avg_value,
+       ROUND(MIN(vc) / 100, 2) AS min_value,
+       ROUND(MAX(vc) / 100, 2) AS max_value
+FROM fin GROUP BY o_orderstatus
+"""
+
+
 def q_stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming COUNT(DISTINCT): two chained stateful operators —
     dropDuplicates holds the distinct view (the reference's MapView state in
@@ -1271,6 +1356,7 @@ QUERIES = {
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "stream_over_rows": q_stream_over_rows,
     "stream_distinct_agg": q_stream_distinct_agg,
+    "stream_upsert_pipeline": q_stream_upsert_pipeline,
 }
 
 ORACLE = {
@@ -1300,4 +1386,5 @@ ORACLE = {
     "stream_heavy_hitters": ORACLE_Q_STREAM_HEAVY_HITTERS,
     "stream_over_rows": ORACLE_Q_STREAM_OVER_ROWS,
     "stream_distinct_agg": ORACLE_Q_STREAM_DISTINCT_AGG,
+    "stream_upsert_pipeline": ORACLE_Q_STREAM_UPSERT_PIPELINE,
 }
