@@ -346,6 +346,70 @@ FROM fin GROUP BY o_orderstatus
 """
 
 
+def q_cdc_debezium_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingestion official: debezium-json envelopes (synthesized
+    deterministically from orders — c for every key, u to full price for
+    even keys, d for every 97th) decode through the pure-expression
+    debezium decoder (streaming/cdc_formats.py, reference
+    DebeziumJsonDeserializationSchema op mapping) into a +I/-U/+U/-D
+    changelog, which a retract-aware aggregate folds to final state per
+    status. Everything is whole-stage-codegen SQL — the decode is the same
+    expression tree the streaming path uses, so this grades the CDC format
+    semantics end-to-end. Integer-cents values keep the compare exact."""
+    from flink_release_1_14_5_comment_spark.streaming.cdc_formats import (
+        debezium_decode,
+    )
+    from flink_release_1_14_5_comment_spark.streaming.retract_agg import (
+        retract_count_expr, retract_sum_expr,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    row90 = F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 90, 0).alias("price_c"))
+    row100 = F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).alias("price_c"))
+    creates = o.select(F.to_json(F.struct(
+        F.lit(None).cast("string").alias("before"),
+        row90.alias("after"), F.lit("c").alias("op"))).alias("value"))
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(F.to_json(F.struct(
+        row90.alias("before"), row100.alias("after"),
+        F.lit("u").alias("op"))).alias("value"))
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(F.to_json(F.struct(
+        F.when(F.col("o_orderkey") % 2 == 0, row100).otherwise(row90)
+         .alias("before"),
+        F.lit(None).cast("string").alias("after"),
+        F.lit("d").alias("op"))).alias("value"))
+    envelopes = creates.unionByName(updates).unionByName(deletes)
+    changelog = debezium_decode(
+        envelopes, "value",
+        "o_orderkey BIGINT, o_orderstatus STRING, price_c DOUBLE")
+    return (
+        changelog.groupBy("o_orderstatus")
+        .agg(retract_sum_expr("price_c").alias("sum_c"),
+             retract_count_expr().alias("cnt"))
+        .select("o_orderstatus",
+                F.round(F.col("sum_c") / 100, 2).alias("sum_value"),
+                F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+ORACLE_Q_CDC_DEBEZIUM_AGG = """
+WITH fin AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN ROUND(o_totalprice * 100, 0)
+              ELSE ROUND(o_totalprice * 90, 0) END AS vc
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderstatus,
+       ROUND(SUM(vc) / 100, 2) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM fin GROUP BY o_orderstatus
+"""
+
+
 def q_stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming COUNT(DISTINCT): two chained stateful operators —
     dropDuplicates holds the distinct view (the reference's MapView state in
@@ -1357,6 +1421,7 @@ QUERIES = {
     "stream_over_rows": q_stream_over_rows,
     "stream_distinct_agg": q_stream_distinct_agg,
     "stream_upsert_pipeline": q_stream_upsert_pipeline,
+    "cdc_debezium_agg": q_cdc_debezium_agg,
 }
 
 ORACLE = {
@@ -1387,4 +1452,5 @@ ORACLE = {
     "stream_over_rows": ORACLE_Q_STREAM_OVER_ROWS,
     "stream_distinct_agg": ORACLE_Q_STREAM_DISTINCT_AGG,
     "stream_upsert_pipeline": ORACLE_Q_STREAM_UPSERT_PIPELINE,
+    "cdc_debezium_agg": ORACLE_Q_CDC_DEBEZIUM_AGG,
 }
