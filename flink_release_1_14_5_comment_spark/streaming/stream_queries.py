@@ -346,6 +346,43 @@ FROM fin GROUP BY o_orderstatus
 """
 
 
+def q_stream_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OVER aggregate (RANGE 1 HOUR PRECEDING) — per-user trailing
+    time-window sum/count via the evicting keyed buffer (streaming/over_agg.
+    range_bounded_over, reference RowTimeRangeBoundedPrecedingFunction
+    .java:63; state holds only in-range (ts, value) pairs, peer-inclusive
+    frames). Ts-range-chunked replay ⇒ per-key arrival order is ts order,
+    so the completed stream equals the batch RANGE-frame window."""
+    from flink_release_1_14_5_comment_spark.streaming.over_agg import (
+        range_bounded_over,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2, order_col="ts")
+    try:
+        out = range_bounded_over(
+            stream, ["user_id"], "ts", "event_id", "value",
+            range_seconds=3600.0)
+        return _run_to_memory(out).select(
+            "user_id", "event_id",
+            F.col("running_count").cast("long").alias("running_count"),
+            F.round("running_sum", 2).alias("running_sum"))
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_OVER_RANGE = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS running_count,
+       ROUND(SUM(value) OVER w, 2) AS running_sum
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_cdc_debezium_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC ingestion official: debezium-json envelopes (synthesized
     deterministically from orders — c for every key, u to full price for
@@ -1422,6 +1459,7 @@ QUERIES = {
     "stream_distinct_agg": q_stream_distinct_agg,
     "stream_upsert_pipeline": q_stream_upsert_pipeline,
     "cdc_debezium_agg": q_cdc_debezium_agg,
+    "stream_over_range": q_stream_over_range,
 }
 
 ORACLE = {
@@ -1453,4 +1491,5 @@ ORACLE = {
     "stream_distinct_agg": ORACLE_Q_STREAM_DISTINCT_AGG,
     "stream_upsert_pipeline": ORACLE_Q_STREAM_UPSERT_PIPELINE,
     "cdc_debezium_agg": ORACLE_Q_CDC_DEBEZIUM_AGG,
+    "stream_over_range": ORACLE_Q_STREAM_OVER_RANGE,
 }
