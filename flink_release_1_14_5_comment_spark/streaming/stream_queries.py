@@ -346,6 +346,87 @@ FROM fin GROUP BY o_orderstatus
 """
 
 
+def q_cdc_canal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canal-json decode official, with the partial-`old` PATCHING graded:
+    canal UPDATE envelopes carry only the CHANGED fields in `old`
+    (reference CanalJsonDeserializationSchema), so the emitted -U row must
+    splice old.price_c into the data row's other fields. Besides the final
+    retract-folded state per status, the query reports the -U row count
+    and the -U price sum — both depend entirely on correct patching, so a
+    wrong splice fails the oracle, not just a wrong fold."""
+    from flink_release_1_14_5_comment_spark.streaming.cdc_formats import (
+        canal_decode,
+    )
+    from flink_release_1_14_5_comment_spark.streaming.retract_agg import (
+        retract_count_expr, retract_sum_expr,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    row90 = F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 90, 0).alias("price_c"))
+    row100 = F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).alias("price_c"))
+    inserts = o.select(F.to_json(F.struct(
+        F.array(row90).alias("data"),
+        F.lit(None).cast("string").alias("old"),
+        F.lit("INSERT").alias("type"))).alias("value"))
+    # old carries ONLY the changed field — the partial-patch contract
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(F.to_json(F.struct(
+        F.array(row100).alias("data"),
+        F.array(F.struct(
+            F.round(F.col("o_totalprice") * 90, 0).alias("price_c"))
+        ).alias("old"),
+        F.lit("UPDATE").alias("type"))).alias("value"))
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(F.to_json(F.struct(
+        F.array(F.when(F.col("o_orderkey") % 2 == 0, row100)
+                 .otherwise(row90)).alias("data"),
+        F.lit(None).cast("string").alias("old"),
+        F.lit("DELETE").alias("type"))).alias("value"))
+    envelopes = inserts.unionByName(updates).unionByName(deletes)
+    changelog = canal_decode(
+        envelopes, "value",
+        "o_orderkey BIGINT, o_orderstatus STRING, price_c DOUBLE")
+    ub = F.col("__rowkind") == "-U"
+    return (
+        changelog.groupBy("o_orderstatus")
+        .agg(retract_sum_expr("price_c").alias("sum_c"),
+             retract_count_expr().alias("cnt"),
+             F.sum(F.when(ub, 1).otherwise(0)).alias("n_update_before"),
+             F.sum(F.when(ub, F.col("price_c")).otherwise(0.0)).alias("ub_c"))
+        .select("o_orderstatus",
+                F.round(F.col("sum_c") / 100, 2).alias("sum_value"),
+                F.col("cnt").cast("long").alias("cnt"),
+                F.col("n_update_before").cast("long").alias("n_update_before"),
+                F.round(F.col("ub_c") / 100, 2).alias("update_before_sum"))
+    )
+
+
+ORACLE_Q_CDC_CANAL_AGG = """
+WITH fin AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN ROUND(o_totalprice * 100, 0)
+              ELSE ROUND(o_totalprice * 90, 0) END AS vc
+  FROM orders WHERE o_orderkey % 97 <> 0
+), ub AS (
+  SELECT o_orderstatus, ROUND(o_totalprice * 90, 0) AS old_c
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT f.o_orderstatus,
+       ROUND(SUM(f.vc) / 100, 2) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(MAX(u.n_ub) AS BIGINT) AS n_update_before,
+       ROUND(MAX(u.ub_sum) / 100, 2) AS update_before_sum
+FROM fin f JOIN (
+  SELECT o_orderstatus, COUNT(*) AS n_ub, SUM(old_c) AS ub_sum
+  FROM ub GROUP BY o_orderstatus
+) u ON f.o_orderstatus = u.o_orderstatus
+GROUP BY f.o_orderstatus
+"""
+
+
 def q_stream_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OVER aggregate (RANGE 1 HOUR PRECEDING) — per-user trailing
     time-window sum/count via the evicting keyed buffer (streaming/over_agg.
@@ -1460,6 +1541,7 @@ QUERIES = {
     "stream_upsert_pipeline": q_stream_upsert_pipeline,
     "cdc_debezium_agg": q_cdc_debezium_agg,
     "stream_over_range": q_stream_over_range,
+    "cdc_canal_agg": q_cdc_canal_agg,
 }
 
 ORACLE = {
@@ -1492,4 +1574,5 @@ ORACLE = {
     "stream_upsert_pipeline": ORACLE_Q_STREAM_UPSERT_PIPELINE,
     "cdc_debezium_agg": ORACLE_Q_CDC_DEBEZIUM_AGG,
     "stream_over_range": ORACLE_Q_STREAM_OVER_RANGE,
+    "cdc_canal_agg": ORACLE_Q_CDC_CANAL_AGG,
 }
