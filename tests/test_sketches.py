@@ -37,6 +37,16 @@ def test_bloom_probe_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
 
 
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    """The LIMIT-V vocabulary must broadcast against the token stream — at
+    100 TB the token side cannot shuffle for this join."""
+    from flink_release_1_14_5_comment_spark.pipeline import text_analysis
+
+    df = text_analysis.q_vocab_oov_rate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
 def test_percentile_cut_tail_sizes(spark, sf_dir):
     rows = sketches.q_quality_percentile_cut(spark, sf_dir).collect()
     assert rows
