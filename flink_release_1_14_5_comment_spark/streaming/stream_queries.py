@@ -427,6 +427,62 @@ GROUP BY f.o_orderstatus
 """
 
 
+def q_cdc_maxwell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxwell-json decode official — single-row envelopes, lowercase ops,
+    `old` = PRE-update values of changed fields only (reference
+    MaxwellJsonDeserializationSchema). Same deterministic version story and
+    patch-grading columns as `cdc_canal_agg`, so the three CDC formats each
+    hold their own oracle evidence on their own envelope shapes."""
+    from flink_release_1_14_5_comment_spark.streaming.cdc_formats import (
+        maxwell_decode,
+    )
+    from flink_release_1_14_5_comment_spark.streaming.retract_agg import (
+        retract_count_expr, retract_sum_expr,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    row90 = F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 90, 0).alias("price_c"))
+    row100 = F.struct(
+        F.col("o_orderkey"), F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).alias("price_c"))
+    inserts = o.select(F.to_json(F.struct(
+        row90.alias("data"), F.lit(None).cast("string").alias("old"),
+        F.lit("insert").alias("type"))).alias("value"))
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(F.to_json(F.struct(
+        row100.alias("data"),
+        F.struct(F.round(F.col("o_totalprice") * 90, 0).alias("price_c"))
+         .alias("old"),
+        F.lit("update").alias("type"))).alias("value"))
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(F.to_json(F.struct(
+        F.when(F.col("o_orderkey") % 2 == 0, row100).otherwise(row90)
+         .alias("data"),
+        F.lit(None).cast("string").alias("old"),
+        F.lit("delete").alias("type"))).alias("value"))
+    envelopes = inserts.unionByName(updates).unionByName(deletes)
+    changelog = maxwell_decode(
+        envelopes, "value",
+        "o_orderkey BIGINT, o_orderstatus STRING, price_c DOUBLE")
+    ub = F.col("__rowkind") == "-U"
+    return (
+        changelog.groupBy("o_orderstatus")
+        .agg(retract_sum_expr("price_c").alias("sum_c"),
+             retract_count_expr().alias("cnt"),
+             F.sum(F.when(ub, 1).otherwise(0)).alias("n_update_before"),
+             F.sum(F.when(ub, F.col("price_c")).otherwise(0.0)).alias("ub_c"))
+        .select("o_orderstatus",
+                F.round(F.col("sum_c") / 100, 2).alias("sum_value"),
+                F.col("cnt").cast("long").alias("cnt"),
+                F.col("n_update_before").cast("long").alias("n_update_before"),
+                F.round(F.col("ub_c") / 100, 2).alias("update_before_sum"))
+    )
+
+
+ORACLE_Q_CDC_MAXWELL_AGG = ORACLE_Q_CDC_CANAL_AGG
+
+
 def q_stream_over_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OVER aggregate (RANGE 1 HOUR PRECEDING) — per-user trailing
     time-window sum/count via the evicting keyed buffer (streaming/over_agg.
@@ -1542,6 +1598,7 @@ QUERIES = {
     "cdc_debezium_agg": q_cdc_debezium_agg,
     "stream_over_range": q_stream_over_range,
     "cdc_canal_agg": q_cdc_canal_agg,
+    "cdc_maxwell_agg": q_cdc_maxwell_agg,
 }
 
 ORACLE = {
@@ -1575,4 +1632,5 @@ ORACLE = {
     "cdc_debezium_agg": ORACLE_Q_CDC_DEBEZIUM_AGG,
     "stream_over_range": ORACLE_Q_STREAM_OVER_RANGE,
     "cdc_canal_agg": ORACLE_Q_CDC_CANAL_AGG,
+    "cdc_maxwell_agg": ORACLE_Q_CDC_MAXWELL_AGG,
 }
