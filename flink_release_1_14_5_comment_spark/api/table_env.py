@@ -205,6 +205,25 @@ class TableEnvironment:
             self.sql_query(m.group("query")).to_data_frame() \
                 .createOrReplaceTempView(m.group(1))
             return None
+        m = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", stripped,
+                     re.IGNORECASE)
+        if m:
+            # reference SqlShowCreateTable → ShowCreateTableOperation:
+            # reconstruct canonical DDL from the catalog registration
+            name = m.group(1)
+            ddl = self._ddl.get(name)
+            if ddl is None:
+                raise ValueError(f"SHOW CREATE TABLE: unknown table {name!r}")
+            parts = (" PARTITIONED BY (" + ", ".join(ddl["partition_by"]) + ")"
+                     if ddl.get("partition_by") else "")
+            opts = ", ".join(f"'{k}' = '{v}'"
+                             for k, v in sorted(ddl["options"].items()))
+            text = (f"CREATE TABLE {name} (\n  "
+                    + ",\n  ".join(i.strip() for i in
+                                   _split_top_level_ddl(ddl["cols"]))
+                    + f"\n){parts} WITH (\n  {opts}\n)")
+            return Table(
+                self.spark.createDataFrame([(text,)], "result string"), self)
         m = _ALTER_RE.match(stripped)
         if m:
             self._alter_table(m.group(1), rename_to=m.group(2),

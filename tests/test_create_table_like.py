@@ -162,6 +162,16 @@ def test_alter_table_set_path(tenv, base_dir, spark, tmp_path):
     assert tenv._ddl["base_t"]["options"]["path"] == other
 
 
+def test_show_create_table(tenv, base_dir):
+    _create_base(tenv, base_dir)
+    out = tenv.execute_sql("SHOW CREATE TABLE base_t").to_data_frame().collect()
+    text = out[0].result
+    assert text.startswith("CREATE TABLE base_t (")
+    assert "id BIGINT" in text and "'connector' = 'filesystem'" in text
+    with pytest.raises(ValueError, match="unknown table"):
+        tenv.execute_sql("SHOW CREATE TABLE ghost")
+
+
 def test_from_values_and_catalog_listing(tenv):
     """TableEnvironment.fromValues (untyped → f0/f1 names, typed via DDL
     schema), Table.offset/fetch, listTables."""
