@@ -22,6 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _modules():
     from flink_release_1_14_5_comment_spark.operators import (
         analytic_shapes,
+        io_queries,
         patterns,
         relational,
         relational_ext,
@@ -45,7 +46,7 @@ def _modules():
 
     return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal, sketches,
             time_windows, temporal_joins, patterns, analytic_shapes, tpch, scale,
-            relational_ext, relational, stream_queries]
+            relational_ext, relational, io_queries, stream_queries]
 
 
 # The round-1 driver graded only the FIRST 50 dict entries, so insertion
