@@ -615,8 +615,83 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_VOCAB_SPARK)
 
 
+_MIX_WEIGHTS_SPARK = "VALUES ('en', 0.40), ('zh', 0.15), ('de', 0.15), ('fr', 0.15), ('es', 0.15) AS w(lang, wt)"
+_MIX_WEIGHTS_DUCK = "(VALUES ('en', 0.40), ('zh', 0.15), ('de', 0.15), ('fr', 0.15), ('es', 0.15)) w(lang, wt)"
+
+_MIX_SPARK = f"""
+WITH budget AS (
+  SELECT CAST(FLOOR(SUM(n_chars) * 0.30) AS BIGINT) AS total_budget FROM documents
+), weights AS (
+  SELECT * FROM {_MIX_WEIGHTS_SPARK}
+), targets AS (
+  SELECT w.lang, CAST(FLOOR(w.wt * b.total_budget) AS BIGINT) AS target_chars
+  FROM weights w CROSS JOIN budget b
+), ordered AS (
+  SELECT lang, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('mix:', cast(doc_id AS string))), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents
+)
+SELECT t.lang, t.target_chars,
+       CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       ROUND(CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS DOUBLE)
+             / t.target_chars, 4) AS fill_ratio
+FROM targets t JOIN ordered o ON o.lang = t.lang
+GROUP BY t.lang, t.target_chars
+"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted training-mix assembly (DoReMi/LLaMA-style static mixture
+    weights): give each language a target share of a global character budget
+    (30% of the corpus here), then greedily keep documents in deterministic
+    md5 order until the language's budget is first crossed. Outputs the
+    planning table a mixture run starts from — per-language target, kept
+    docs/chars, and fill ratio (a fill_ratio < 1 flags an under-resourced
+    language that cannot meet its weight, the signal to re-normalize).
+
+    Scale (100 TB): the budget is one map-side-combined global agg; the
+    greedy cut is one running-sum window per language partition — languages
+    are a bounded key set, and the per-language sort is by a HASH, so a
+    two-phase variant (per-partition md5-quantile sketch → threshold, then a
+    pure-map filter) replaces the sort when a single language exceeds a
+    task; targets broadcast."""
+    register_views(spark, sf_dir)
+    return spark.sql(_MIX_SPARK)
+
+
+ORACLE_Q_CORPUS_MIX = f"""
+WITH budget AS (
+  SELECT CAST(FLOOR(SUM(n_chars) * 0.30) AS BIGINT) AS total_budget FROM documents
+), weights AS (
+  SELECT * FROM {_MIX_WEIGHTS_DUCK}
+), targets AS (
+  SELECT w.lang, CAST(FLOOR(w.wt * b.total_budget) AS BIGINT) AS target_chars
+  FROM weights w CROSS JOIN budget b
+), ordered AS (
+  SELECT lang, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY lang
+           ORDER BY md5('mix:' || doc_id::VARCHAR), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents
+)
+SELECT t.lang, t.target_chars,
+       CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+       ROUND(CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS DOUBLE)
+             / t.target_chars, 4) AS fill_ratio
+FROM targets t JOIN ordered o ON o.lang = t.lang
+GROUP BY t.lang, t.target_chars
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
+    "corpus_mix": q_corpus_mix,
     "vocab_oov_rate": q_vocab_oov_rate,
     "token_counts": q_token_counts,
     "doc_winnow": q_doc_winnow,
@@ -631,6 +706,7 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": ORACLE_Q_TEXT_STATS,
+    "corpus_mix": ORACLE_Q_CORPUS_MIX,
     "vocab_oov_rate": ORACLE_Q_VOCAB_OOV_RATE,
     "token_counts": ORACLE_Q_TOKEN_COUNTS,
     "doc_winnow": ORACLE_Q_DOC_WINNOW,
