@@ -120,6 +120,64 @@ FROM events p JOIN events c
 """
 
 
+def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER streaming interval join — the reference's TimeIntervalJoin
+    null-PADDING semantics (TimeIntervalJoin.java:51, padLeft/padRight via
+    EmitAwareCollector): a purchase with no click in [p_ts - 30min, p_ts]
+    emits once the watermark proves no matching click can still arrive.
+    Spark's stream-stream left join holds the row in state and emits the
+    null-padded result on watermark expiry — the two far-future final
+    batches (advancer, then a batch for the eviction to run in) drain every
+    pending unmatched row, exactly like the window-evictor harness."""
+    import datetime as _dt
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    c_schema = "click_id long, cu long, c_ts timestamp"
+    b_schema = "purchase_id long, pu long, p_ts timestamp"
+    c_fin = [spark.createDataFrame([(-1, -1, max_ts + _dt.timedelta(hours=h))],
+                                   c_schema) for h in (2, 4)]
+    b_fin = [spark.createDataFrame([(-1, -1, max_ts + _dt.timedelta(hours=h))],
+                                   b_schema) for h in (2, 4)]
+    cs, ctmp = sources.replay_as_stream(spark, clicks, n_chunks=2,
+                                        order_col="c_ts", final_dfs=c_fin)
+    bs, btmp = sources.replay_as_stream(spark, buys, n_chunks=2,
+                                        order_col="p_ts", final_dfs=b_fin)
+    try:
+        joined = interval_join_stream(
+            bs, cs, F.col("pu") == F.col("cu"), "p_ts", "c_ts",
+            lower="30 MINUTES", upper="0 SECONDS",
+            left_delay="1 minute", right_delay="1 minute",
+            how="leftOuter",
+        )
+        out = _run_to_memory(joined.select("purchase_id", "click_id"))
+        return out.filter(F.col("purchase_id") >= 0)
+    finally:
+        sources.cleanup(ctmp)
+        sources.cleanup(btmp)
+
+
+ORACLE_Q_STREAM_INTERVAL_JOIN_LEFT = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id AS pu, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, c.click_id
+FROM p LEFT JOIN c
+  ON c.cu = p.pu
+ AND c.c_ts >= p.p_ts - INTERVAL '30 minutes' AND c.c_ts <= p.p_ts
+"""
+
+
 def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (30-min gap per user), append mode: only
     sessions CLOSED by the final watermark emit (session end = last event +
@@ -1572,6 +1630,7 @@ QUERIES = {
     "stream_event_sort": q_stream_event_sort,
     "stream_chained_window_agg": q_stream_chained_window_agg,
     "stream_interval_join": q_stream_interval_join,
+    "stream_interval_join_left": q_stream_interval_join_left,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -1606,6 +1665,7 @@ ORACLE = {
     "stream_event_sort": ORACLE_Q_STREAM_EVENT_SORT,
     "stream_chained_window_agg": ORACLE_Q_STREAM_CHAINED_WINDOW_AGG,
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
+    "stream_interval_join_left": ORACLE_Q_STREAM_INTERVAL_JOIN_LEFT,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
