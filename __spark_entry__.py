@@ -34,6 +34,7 @@ def _modules():
     from flink_release_1_14_5_comment_spark.pipeline import (
         clustering,
         dedup,
+        end_to_end,
         graph,
         multimodal,
         packing,
@@ -44,7 +45,7 @@ def _modules():
     )
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
-    return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal, sketches,
+    return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal, sketches, end_to_end,
             time_windows, temporal_joins, patterns, analytic_shapes, tpch, scale,
             relational_ext, relational, io_queries, stream_queries]
 

@@ -93,6 +93,9 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_contamination",
     "weighted_sample",
+    # r5: the composed gate→dedup→near-dup→mix pipeline (flagship; its cost
+    # is dominated by the same LSH stage dedup_minhash_lsh times standalone)
+    "pipeline_end_to_end",
 ]
 
 
