@@ -1413,6 +1413,62 @@ FROM events c JOIN events p
 """
 
 
+def q_stream_window_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER streaming window join (reference WindowJoinOperator's
+    null-padding arm: a (key, window) bucket whose right side stays empty
+    emits the left rows null-padded when the window closes). Spark holds the
+    unmatched left rows in state until the watermark passes the window end;
+    the two far-future final batches drain every open window, exactly like
+    the interval-join harness."""
+    import datetime as _dt
+
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        window_join_stream,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    c_fin = [spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(hours=h), -1)],
+        "k long, c_ts timestamp, click_id long") for h in (3, 6)]
+    b_fin = [spark.createDataFrame(
+        [(-1, max_ts + _dt.timedelta(hours=h), -1)],
+        "k long, p_ts timestamp, purchase_id long") for h in (3, 6)]
+    cs, ctmp = sources.replay_as_stream(spark, clicks, n_chunks=2,
+                                        order_col="c_ts", final_dfs=c_fin)
+    bs, btmp = sources.replay_as_stream(spark, buys, n_chunks=2,
+                                        order_col="p_ts", final_dfs=b_fin)
+    try:
+        joined = window_join_stream(
+            cs, bs, ["k"], "c_ts", "p_ts", size="1 hour",
+            delay="1 minute", how="leftOuter")
+        out = _run_to_memory(
+            joined.select("w_start", "k", "click_id", "purchase_id"))
+        return out.filter(F.col("k") >= 0)
+    finally:
+        sources.cleanup(ctmp)
+        sources.cleanup(btmp)
+
+
+ORACLE_Q_STREAM_WINDOW_JOIN_LEFT = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS w_start, user_id AS k, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT date_trunc('hour', ts) AS w_start, user_id AS k, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.w_start, c.k, c.click_id, p.purchase_id
+FROM c LEFT JOIN p ON p.k = c.k AND p.w_start = c.w_start
+"""
+
+
 def q_stream_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming LOOKUP JOIN (reference LookupJoinRunner / dimension-table
     join): the orders stream enriches against the static customer→nation
@@ -1631,6 +1687,7 @@ QUERIES = {
     "stream_chained_window_agg": q_stream_chained_window_agg,
     "stream_interval_join": q_stream_interval_join,
     "stream_interval_join_left": q_stream_interval_join_left,
+    "stream_window_join_left": q_stream_window_join_left,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -1666,6 +1723,7 @@ ORACLE = {
     "stream_chained_window_agg": ORACLE_Q_STREAM_CHAINED_WINDOW_AGG,
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
     "stream_interval_join_left": ORACLE_Q_STREAM_INTERVAL_JOIN_LEFT,
+    "stream_window_join_left": ORACLE_Q_STREAM_WINDOW_JOIN_LEFT,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
