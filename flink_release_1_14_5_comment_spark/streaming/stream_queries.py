@@ -1101,6 +1101,88 @@ def q_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sources.cleanup(rtmp)
 
 
+def q_stream_regular_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER full-history streaming join with its COMPLETE retraction
+    changelog oracle-checked (reference AbstractStreamingJoinOperator outer
+    bookkeeping, OuterJoinRecordStateView numOfAssociations): left rows
+    (even-partkey lineitems of Jan+Feb-1995 orders) replay first, the real
+    right rows (Jan-1995 orders) arrive strictly last via the final_dfs
+    path. The changelog is closed-form:
+
+      * every left row is born null-padded (+I l, NULL) — the right side is
+        empty when it arrives;
+      * each Jan right arrival retracts (-D) exactly its key's pads and
+        re-emits the joined rows (+I l, custkey);
+      * a Jan order with NO even-partkey lineitems lands on an empty left
+        side and emits its own pad (+I NULL, custkey) — the pad-RIGHT arm,
+        which left/right joins never exercise;
+      * Feb-matched-only lineitems keep their pads (their key never gets a
+        right row).
+
+    End state folds to the batch FULL OUTER join."""
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        regular_join_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    jan = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01"))
+    janfeb = t["orders"].filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-03-01"))
+    left = (t["lineitem"]
+            .filter(F.col("l_partkey") % 2 == 0)
+            .select(F.col("l_orderkey").alias("orderkey"),
+                    "l_linenumber",
+                    F.col("l_quantity").cast("int").alias("qty"))
+            .join(janfeb.select(F.col("o_orderkey").alias("orderkey")),
+                  "orderkey", "semi")
+            .withColumn("__seq", F.lit(1)))
+    right_real = jan.select(F.col("o_orderkey").alias("orderkey"),
+                            F.col("o_custkey").alias("custkey"),
+                            F.lit(2).alias("__seq"))
+    right_filler = spark.createDataFrame(
+        [(-1, -1, 0)], "orderkey long, custkey long, __seq int")
+    ls, ltmp = sources.replay_as_stream(spark, left, n_chunks=2,
+                                        order_col="orderkey")
+    rs, rtmp = sources.replay_as_stream(spark, right_filler, n_chunks=1,
+                                        final_dfs=[right_real])
+    try:
+        out = regular_join_stream(ls, rs, ["orderkey"], how="full",
+                                  seq_col="__seq")
+        return _run_to_memory(out).filter(F.col("orderkey") >= 0)
+    finally:
+        sources.cleanup(ltmp)
+        sources.cleanup(rtmp)
+
+
+ORACLE_Q_STREAM_REGULAR_JOIN_FULL = """
+WITH left_rows AS (
+  SELECT l.l_orderkey AS orderkey, l.l_linenumber,
+         CAST(l.l_quantity AS INT) AS qty
+  FROM lineitem l
+  WHERE l.l_partkey % 2 = 0 AND EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1995-03-01')
+), jan AS (
+  SELECT o_orderkey AS orderkey, o_custkey AS custkey FROM orders
+  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-02-01'
+)
+SELECT '+I' AS op, orderkey, l_linenumber, qty, CAST(NULL AS BIGINT) AS custkey
+FROM left_rows
+UNION ALL
+SELECT '-D', lr.orderkey, lr.l_linenumber, lr.qty, CAST(NULL AS BIGINT)
+FROM left_rows lr WHERE EXISTS (SELECT 1 FROM jan j WHERE j.orderkey = lr.orderkey)
+UNION ALL
+SELECT '+I', lr.orderkey, lr.l_linenumber, lr.qty, j.custkey
+FROM left_rows lr JOIN jan j ON j.orderkey = lr.orderkey
+UNION ALL
+SELECT '+I', j.orderkey, CAST(NULL AS INT), CAST(NULL AS INT), j.custkey
+FROM jan j WHERE NOT EXISTS (SELECT 1 FROM left_rows lr WHERE lr.orderkey = j.orderkey)
+"""
+
+
 ORACLE_Q_STREAM_ANTI_JOIN = """
 WITH left_rows AS (
   SELECT l.l_orderkey AS orderkey, l.l_linenumber,
@@ -1688,6 +1770,7 @@ QUERIES = {
     "stream_interval_join": q_stream_interval_join,
     "stream_interval_join_left": q_stream_interval_join_left,
     "stream_window_join_left": q_stream_window_join_left,
+    "stream_regular_join_full": q_stream_regular_join_full,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -1724,6 +1807,7 @@ ORACLE = {
     "stream_interval_join": ORACLE_Q_STREAM_INTERVAL_JOIN,
     "stream_interval_join_left": ORACLE_Q_STREAM_INTERVAL_JOIN_LEFT,
     "stream_window_join_left": ORACLE_Q_STREAM_WINDOW_JOIN_LEFT,
+    "stream_regular_join_full": ORACLE_Q_STREAM_REGULAR_JOIN_FULL,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
