@@ -38,13 +38,30 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        # \N as the null literal (the reference's csv.null-literal option):
+        # without it CSV cannot distinguish NULL from empty string — Spark
+        # writes both as an empty field. Embedded newlines/quotes/delimiters
+        # are quoted by the writer; read_table's multiLine handles them back.
+        # ignore*WhiteSpace default TRUE on write and silently trim padded
+        # values — the reference's serializer writes values verbatim.
+        writer = (writer.option("header", "true").option("nullValue", "\\N")
+                  .option("ignoreLeadingWhiteSpace", "false")
+                  .option("ignoreTrailingWhiteSpace", "false"))
     getattr(writer, fmt)(path)
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
-               schema: StructType | str | None = None) -> DataFrame:
-    """Schema-explicit batch file source."""
+               schema: StructType | str | None = None,
+               csv_multiline: bool = True) -> DataFrame:
+    """Schema-explicit batch file source.
+
+    ``csv_multiline`` (default on) makes quoted embedded newlines parse as
+    one record — the correctness default, matching what write_table's quoted
+    output needs. The cost: a multiLine CSV file is NOT splittable (one task
+    per file). Pass False for line-splittable scans of data known to carry
+    no embedded newlines — the same trade the reference's per-line CSV
+    reader makes implicitly (it cannot split quoted-newline files either).
+    """
     if fmt == "avro":
         from flink_release_1_14_5_comment_spark.avro_format import read_avro
 
@@ -55,7 +72,9 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
-        reader = reader.option("header", "true")
+        reader = (reader.option("header", "true")
+                  .option("nullValue", "\\N")
+                  .option("multiLine", "true" if csv_multiline else "false"))
     return getattr(reader, fmt)(path)
 
 
