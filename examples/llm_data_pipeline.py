@@ -23,6 +23,9 @@ Stages (each is an oracle-gated operator — see pipeline/*.py):
  16. IVF-PQ serving        — codes-only ANN scan with ADC scoring
  17. sketch screens        — count-min heavy hitters, Bloom contamination
  18. sampling & mixing     — E-S weighted sample, NTILE decile planning
+ 19. budgeted mixture      — per-language char-budget greedy cut (corpus_mix)
+ 20. ONE composed job      — gate → exact → near-dup → mix as a single
+                             oracle-graded query (pipeline/end_to_end.py)
 """
 
 from __future__ import annotations
@@ -109,6 +112,14 @@ def main() -> None:
     print("== 18. sampling & mixing plans: E-S weighted sample, deciles ==")
     sketches.q_weighted_sample(spark, SF_DIR).show(6)
     sketches.q_quality_ntile_buckets(spark, SF_DIR).orderBy("decile").show()
+
+    print("== 19. budgeted mixture cut: per-language fill ratios ==")
+    text_analysis.q_corpus_mix(spark, SF_DIR).orderBy("lang").show()
+
+    print("== 20. the composed pipeline as ONE job: training-set manifest ==")
+    from flink_release_1_14_5_comment_spark.pipeline import end_to_end
+    end_to_end.q_pipeline_end_to_end(spark, SF_DIR) \
+        .orderBy("lang", "source").show(8)
 
     print("== cleaned-corpus summary (quality + exact + near-dup composed) ==")
     dedup.q_corpus_clean(spark, SF_DIR).show()
