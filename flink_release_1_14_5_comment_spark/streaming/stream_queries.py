@@ -738,6 +738,56 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
 """
 
 
+def q_stream_dedup_keeplast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keep-LAST dedup with its UPDATE changelog oracle-checked
+    (reference RowTimeDeduplicateFunction keep-last / ProcTimeDeduplicate
+    KeepLastRow: first winner emits +I, every replacement emits +U). Two
+    EXACT micro-batches split by event_id parity (the final_dfs path, same
+    as stream_changelog_topn); (user_id, ts) is unique in the testdata, so
+    the changelog is closed-form: batch 1 emits +I for each key's even-id
+    winner, batch 2 emits for each key's odd-id winner — as +I where the
+    key is new, as +U where the odd winner's rowtime beats the stored even
+    winner; an older batch-2 winner emits NOTHING (the state guard)."""
+    from flink_release_1_14_5_comment_spark.streaming.dedup import (
+        dedup_keep_last,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id",
+        (F.col("event_id") % 2).alias("chunk"))
+    c0 = ev.filter(F.col("chunk") == 0).drop("chunk")
+    c1 = ev.filter(F.col("chunk") == 1).drop("chunk")
+    stream, tmp = sources.replay_as_stream(spark, c0, n_chunks=1,
+                                           final_dfs=[c1])
+    try:
+        out = dedup_keep_last(stream, ["user_id"], "ts", ["event_id"])
+        return _run_to_memory(out, mode="update").select(
+            "user_id", F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"), "__rowkind")
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_DEDUP_KEEPLAST = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 2 AS chunk FROM events
+), w1 AS (
+  SELECT user_id, ts, event_id FROM e WHERE chunk = 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+), w2 AS (
+  SELECT user_id, ts, event_id FROM e WHERE chunk = 1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1
+)
+SELECT user_id, ts AS last_ts, event_id AS last_event_id, '+I' AS __rowkind
+FROM w1
+UNION ALL
+SELECT w2.user_id, w2.ts, w2.event_id,
+       CASE WHEN w1.user_id IS NULL THEN '+I' ELSE '+U' END
+FROM w2 LEFT JOIN w1 ON w1.user_id = w2.user_id
+WHERE w1.user_id IS NULL OR w2.ts >= w1.ts
+"""
+
+
 def q_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming rowtime temporal (AS-OF) join: each purchase matched to the
     user's latest view at-or-before it (streaming/temporal_join.
@@ -1771,6 +1821,7 @@ QUERIES = {
     "stream_interval_join_left": q_stream_interval_join_left,
     "stream_window_join_left": q_stream_window_join_left,
     "stream_regular_join_full": q_stream_regular_join_full,
+    "stream_dedup_keeplast": q_stream_dedup_keeplast,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -1808,6 +1859,7 @@ ORACLE = {
     "stream_interval_join_left": ORACLE_Q_STREAM_INTERVAL_JOIN_LEFT,
     "stream_window_join_left": ORACLE_Q_STREAM_WINDOW_JOIN_LEFT,
     "stream_regular_join_full": ORACLE_Q_STREAM_REGULAR_JOIN_FULL,
+    "stream_dedup_keeplast": ORACLE_Q_STREAM_DEDUP_KEEPLAST,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
