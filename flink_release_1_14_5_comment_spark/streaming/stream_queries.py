@@ -1008,6 +1008,51 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GROUPING SETS — the reference plans these as an Expand node
+    (each input row fans out once per grouping set, tagged with the set id)
+    feeding ONE keyed group aggregate (StreamExecExpand + GroupAggFunction;
+    grouping-set queries on update streams, FLINK-20967 lineage). Spark
+    expresses the expand as a self-union of per-set projections over the
+    same source stream — each (gid, grp) key then updates independently in
+    the one aggregation's state, exactly the reference's layout. COMPLETE
+    mode materializes end-of-input state == the batch GROUPING SETS."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type", "user_id", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=2,
+                                           order_col="user_id")
+    try:
+        by_type = stream.select(
+            F.lit(1).alias("gid"), F.col("event_type").alias("grp"), "value")
+        by_bucket = stream.select(
+            F.lit(2).alias("gid"),
+            F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string")
+                     ).alias("grp"), "value")
+        total = stream.select(
+            F.lit(3).alias("gid"), F.lit("ALL").alias("grp"), "value")
+        expanded = by_type.unionByName(by_bucket).unionByName(total)
+        agg = expanded.groupBy("gid", "grp").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"))
+        return _run_to_memory(agg, mode="complete")
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_GROUPING_SETS = """
+WITH expanded AS (
+  SELECT 1 AS gid, event_type AS grp, value FROM events
+  UNION ALL
+  SELECT 2, 'u' || (user_id % 10)::VARCHAR, value FROM events
+  UNION ALL
+  SELECT 3, 'ALL', value FROM events
+)
+SELECT gid, grp, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM expanded GROUP BY gid, grp
+"""
+
+
 def q_stream_regular_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded FULL-HISTORY stream-stream inner join (reference
     StreamingJoinOperator.java:36): January-1995 orders and their lineitems
@@ -1822,6 +1867,7 @@ QUERIES = {
     "stream_window_join_left": q_stream_window_join_left,
     "stream_regular_join_full": q_stream_regular_join_full,
     "stream_dedup_keeplast": q_stream_dedup_keeplast,
+    "stream_grouping_sets": q_stream_grouping_sets,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -1860,6 +1906,7 @@ ORACLE = {
     "stream_window_join_left": ORACLE_Q_STREAM_WINDOW_JOIN_LEFT,
     "stream_regular_join_full": ORACLE_Q_STREAM_REGULAR_JOIN_FULL,
     "stream_dedup_keeplast": ORACLE_Q_STREAM_DEDUP_KEEPLAST,
+    "stream_grouping_sets": ORACLE_Q_STREAM_GROUPING_SETS,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
