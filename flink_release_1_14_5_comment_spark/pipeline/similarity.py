@@ -822,8 +822,87 @@ GROUP BY e.qid
 """
 
 
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss / Achlioptas ±1) — 64-d → 16-d.
+# ---------------------------------------------------------------------------
+
+_RP_K, _RP_D = 16, 64
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix: the sign of md5("rp:j:i") parity,
+    computed ONCE in Python and embedded as a literal in BOTH dialects — the
+    oracle needs no engine hash agreement at all. Production would use a
+    seeded RNG; determinism is the point here (Achlioptas 2003 shows ±1
+    entries satisfy the JL guarantee)."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest(), 16) % 2 == 0
+             else -1 for i in range(_RP_D)] for j in range(_RP_K)]
+
+
+def _rp_literal(open_b: str, close_b: str) -> str:
+    rows = [open_b + ", ".join(str(v) for v in row) + close_b
+            for row in _rp_signs()]
+    return open_b + ", ".join(rows) + close_b
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by ±1 random projection with its distortion
+    audit: project every 64-d embedding to 16-d (y_j = Σᵢ s_jᵢ·xᵢ, JL-scaled
+    by 1/√k) and report per-label norm-distortion statistics — the check a
+    team runs before swapping full vectors for projected ones in the ANN
+    index. Pure codegen array expressions (one map, no shuffle but the final
+    bounded-key agg); at 100 TB the projection is exactly this map — the
+    16×64 sign matrix is a query literal, nothing is broadcast or joined.
+    The companion PQ/IVF operators quantize; this *rotates* — the standard
+    preprocessing step in front of either."""
+    t = register_views(spark, sf_dir)
+    signs = _rp_literal("array(", ")")
+    emb = "cast(embedding as array<double>)"
+    proj = (f"transform({signs}, row -> "
+            f"aggregate(zip_with({emb}, row, (x, s) -> x * s), 0D, (a, b) -> a + b))")
+    norm_p = f"sqrt(aggregate(transform({proj}, y -> y * y), 0D, (a, b) -> a + b))"
+    norm_x = f"sqrt(aggregate(transform({emb}, x -> x * x), 0D, (a, b) -> a + b))"
+    ratio = f"({norm_p} / sqrt({_RP_K}D)) / ({norm_x} / sqrt({_RP_D}D))"
+    return (
+        _spread(t["embeddings"])
+        .select("label", F.expr(ratio).alias("r"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("r"), 4).alias("avg_distortion"),
+             F.round(F.min("r"), 4).alias("min_distortion"),
+             F.round(F.max("r"), 4).alias("max_distortion"))
+    )
+
+
+def _rp_oracle() -> str:
+    signs = _rp_literal("[", "]")
+    proj = (f"list_transform({signs}, row -> "
+            f"list_sum(list_transform(range(1, {_RP_D} + 1), i -> emb[i] * row[i])))")
+    return f"""
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+), scored AS (
+  SELECT label,
+         (sqrt(list_sum(list_transform({proj}, y -> y * y))) / sqrt({_RP_K}))
+         / (sqrt(list_sum(list_transform(emb, x -> x * x))) / sqrt({_RP_D})) AS r
+  FROM e
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(r), 4) AS avg_distortion,
+       ROUND(MIN(r), 4) AS min_distortion,
+       ROUND(MAX(r), 4) AS max_distortion
+FROM scored GROUP BY label
+"""
+
+
+ORACLE_Q_EMBEDDING_RANDOM_PROJECTION = _rp_oracle()
+
+
 QUERIES = {
     "knn_cosine": q_knn_cosine,
+    "embedding_random_projection": q_embedding_random_projection,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -837,6 +916,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_cosine": ORACLE_Q_KNN_COSINE,
+    "embedding_random_projection": ORACLE_Q_EMBEDDING_RANDOM_PROJECTION,
     "ann_recall_eval": ORACLE_Q_ANN_RECALL_EVAL,
     "ann_lsh_buckets": ORACLE_Q_ANN_LSH_BUCKETS,
     "ann_lsh_topk": ORACLE_Q_ANN_LSH_TOPK,
