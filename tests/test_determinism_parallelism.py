@@ -1,0 +1,54 @@
+"""Results must not depend on the cluster shape: every determinism claim in
+the docstrings (md5 ordering, literal sign matrices, integer-cents sums)
+has to hold under a DIFFERENT partitioning than the one the oracle sweep
+runs with. This drives representative queries in a subprocess whose session
+uses local[3] and spark.sql.shuffle.partitions=7 (coprime with everything
+the code repartitions by) and compares against the sf0.001 DuckDB oracle —
+if any operator's output secretly leaned on partition count, task order, or
+defaultParallelism, this catches it before a 1000-executor cluster does."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+# One per determinism mechanism: hash-ordered sampling windows (corpus_mix),
+# LSH banding + verified pairs (dedup_minhash_lsh), literal-matrix array
+# folds (embedding_random_projection), multi-stage composition
+# (pipeline_end_to_end), rank windows with tiebreaks (topn), md5 bucketing
+# (split_assign), global NTILE sort (quality_ntile_buckets).
+QUERIES = [
+    "corpus_mix",
+    "dedup_minhash_lsh",
+    "embedding_random_projection",
+    "pipeline_end_to_end",
+    "topn",
+    "split_assign",
+    "quality_ntile_buckets",
+]
+
+SCRIPT = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[3]")
+         .config("spark.sql.shuffle.partitions", "7")
+         .config("spark.default.parallelism", "3")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+import __spark_entry__ as e
+from tests.oracle_util import compare, duckdb_conn
+Q, O = e.queries(), e.oracle_sql()
+con = duckdb_conn("/root/testdata/sf0.001")
+for name in {QUERIES!r}:
+    compare(Q[name](spark, "/root/testdata/sf0.001"),
+            con.execute(O[name]).fetchdf(), name)
+    print("DETERMINISM_OK", name)
+"""
+
+
+def test_oracle_parity_under_odd_parallelism():
+    r = subprocess.run([sys.executable, "-c", SCRIPT],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-4000:]
+    for name in QUERIES:
+        assert f"DETERMINISM_OK {name}" in r.stdout, name
