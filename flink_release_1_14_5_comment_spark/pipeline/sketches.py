@@ -473,8 +473,79 @@ def q_approx_distinct_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LC_SPARK)
 
 
+# ---------------------------------------------------------------------------
+# 7. Fixed-bin histogram quantile sketch (the mergeable-quantile pattern).
+# ---------------------------------------------------------------------------
+
+_HQ_WIDTH = 16   # chars per bin
+_HQ_BINS = 64    # covers n_chars 0..1024; last bin absorbs the tail
+
+
+def _hq_sql(values_clause: str, exact_fn: str) -> str:
+    """Shared SQL for both dialects — only the VALUES spelling and the exact
+    percentile function differ."""
+    return f"""
+WITH h AS (
+  SELECT lang,
+         LEAST(CAST(FLOOR(n_chars / {_HQ_WIDTH}) AS INT), {_HQ_BINS - 1}) AS bin,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+), c AS (
+  SELECT lang, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS total
+  FROM h
+), qs AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM {values_clause}
+), first_bin AS (
+  SELECT lang, q, bin, cnt, cum, total,
+         ROW_NUMBER() OVER (PARTITION BY lang, q ORDER BY bin) AS rn
+  FROM c CROSS JOIN qs WHERE c.cum >= q * c.total
+), est AS (
+  SELECT lang, q, total,
+         ROUND(CAST(bin * {_HQ_WIDTH}
+               + {_HQ_WIDTH} * (q * total - (cum - cnt)) / cnt AS DOUBLE), 4) AS est_val
+  FROM first_bin WHERE rn = 1
+), exact AS (
+  SELECT lang,
+         ROUND(CAST({exact_fn}(n_chars, 0.5) AS DOUBLE), 4) AS exact_p50,
+         ROUND(CAST({exact_fn}(n_chars, 0.9) AS DOUBLE), 4) AS exact_p90
+  FROM documents GROUP BY lang
+)
+SELECT e.lang,
+       CAST(MAX(e.total) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN e.q = 0.5 THEN e.est_val END) AS est_p50,
+       MAX(x.exact_p50) AS exact_p50,
+       MAX(CASE WHEN e.q = 0.9 THEN e.est_val END) AS est_p90,
+       MAX(x.exact_p90) AS exact_p90
+FROM est e
+JOIN exact x ON x.lang = e.lang
+GROUP BY e.lang
+"""
+
+
+_HQ_SPARK = _hq_sql("VALUES (0.5), (0.9) AS t(q)", "percentile")
+ORACLE_Q_HISTOGRAM_QUANTILE = _hq_sql("(VALUES (0.5), (0.9)) t(q)",
+                                      "quantile_cont")
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles beside the exact answer: bin
+    n_chars into 64 equi-width cells per language, then read p50/p90 off the
+    cumulative histogram with linear interpolation. The histogram is THE
+    mergeable-quantile state at 100 TB — 64 counts per group OR together
+    across partitions (map-side combinable, constant size), replacing the
+    per-group full sort exact percentiles need; t-digest/KLL refine the same
+    idea with adaptive bins. Deterministic bins → the oracle checks the
+    ESTIMATE exactly, not statistically, and the exact column quantifies the
+    sketch's error in the artifact itself."""
+    register_views(spark, sf_dir)
+    return spark.sql(_HQ_SPARK)
+
+
 QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "histogram_quantile": q_histogram_quantile,
     "bloom_contamination": q_bloom_contamination,
     "quality_percentile_cut": q_quality_percentile_cut,
     "weighted_sample": q_weighted_sample,
@@ -484,6 +555,7 @@ QUERIES = {
 
 ORACLE = {
     "cms_heavy_hitters": ORACLE_Q_CMS_HEAVY_HITTERS,
+    "histogram_quantile": ORACLE_Q_HISTOGRAM_QUANTILE,
     "bloom_contamination": ORACLE_Q_BLOOM_CONTAMINATION,
     "quality_percentile_cut": ORACLE_Q_QUALITY_PERCENTILE_CUT,
     "weighted_sample": ORACLE_Q_WEIGHTED_SAMPLE,
