@@ -173,14 +173,50 @@ WHERE p_ts IS NOT NULL
 """
 
 
+_MR_SQL_TEXT = """
+SELECT * FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts
+  MEASURES SUM(P.value) AS purchase_value
+  AFTER MATCH NO SKIP
+  PATTERN (V C P) WITHIN INTERVAL '24' HOUR
+  DEFINE
+    V AS event_type = 'view',
+    C AS event_type = 'click',
+    P AS event_type = 'purchase'
+)
+"""
+
+
+def q_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME V->C->P funnel as cep_nfa_batch, entered through the Flink
+    SQL TEXT (reference MatchRecognizeITCase / StreamExecMatch): the query
+    string is parsed by parse_match_recognize_sql (paren-aware DEFINE and
+    MEASURES splitting, WITHIN normalization, AFTER MATCH strategy) onto the
+    identical NFA — so this grades the PARSER + translation layer against
+    the closed-form oracle, where cep_nfa_batch grades only the operator.
+    Identical oracle by design: any drift between the SQL path and the
+    programmatic path shows up as exactly one of the two failing."""
+    from flink_release_1_14_5_comment_spark.streaming.match_recognize import (
+        match_recognize_sql,
+    )
+
+    t = register_views(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_id", "ts", "event_type", "value")
+    return match_recognize_sql(ev, _MR_SQL_TEXT, id_col="event_id").select(
+        "user_id", "match_start", "match_end", "purchase_value")
+
+
 QUERIES = {
     "funnel_match": q_funnel_match,
     "sessionize_paths": q_sessionize_paths,
     "cep_nfa_batch": q_cep_nfa_batch,
+    "match_recognize_sql": q_match_recognize_sql,
 }
 
 ORACLE = {
     "funnel_match": ORACLE_Q_FUNNEL_MATCH,
     "sessionize_paths": ORACLE_Q_SESSIONIZE_PATHS,
     "cep_nfa_batch": ORACLE_Q_CEP_NFA_BATCH,
+    "match_recognize_sql": ORACLE_Q_CEP_NFA_BATCH,
 }
