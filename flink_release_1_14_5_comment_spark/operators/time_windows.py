@@ -52,6 +52,43 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+_TVF_SQL_TEXT = """
+SELECT window_start, window_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+GROUP BY window_start, window_end, event_type
+"""
+
+
+def q_window_tvf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly tumble as window_tumble, entered through the Flink
+    WINDOW TVF SQL TEXT (FLIP-145 `TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts),
+    INTERVAL '1' HOUR))`, reference StreamExecWindowTableFunction):
+    TableEnvironment.sql_query translates the TVF onto Spark's window()
+    (api/sql_translate.py) — so this grades the TRANSLATION layer against
+    the closed-form oracle, where window_tumble grades only the operator.
+    window_start AND window_end both surface (the TVF's extra column)."""
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        TableEnvironment,
+    )
+
+    register_views(spark, sf_dir)
+    env = TableEnvironment(spark)
+    return env.sql_query(_TVF_SQL_TEXT).to_data_frame()
+
+
+ORACLE_Q_WINDOW_TVF_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def q_window_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 minutes (HOP). Spark's window() with a
     slide duplicates each row into size/slide windows — identical to the
@@ -201,6 +238,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "window_tumble": q_window_tumble,
+    "window_tvf_sql": q_window_tvf_sql,
     "window_hop": q_window_hop,
     "window_session": q_window_session,
     "window_cumulate": q_window_cumulate,
@@ -209,6 +247,7 @@ QUERIES = {
 
 ORACLE = {
     "window_tumble": ORACLE_Q_WINDOW_TUMBLE,
+    "window_tvf_sql": ORACLE_Q_WINDOW_TVF_SQL,
     "window_hop": ORACLE_Q_WINDOW_HOP,
     "window_session": ORACLE_Q_WINDOW_SESSION,
     "window_cumulate": ORACLE_Q_WINDOW_CUMULATE,
