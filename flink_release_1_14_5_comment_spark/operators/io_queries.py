@@ -213,11 +213,55 @@ GROUP BY n.n_name
 """
 
 
+def q_ddl_filesystem_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Flink DDL front door, oracle-graded: CREATE TABLE with a
+    declared schema + filesystem connector WITH-options (reference
+    FlinkSqlParserImpl DDL + FileSystemTableSource option binding), then an
+    aggregate through TableEnvironment.sql_query. The declared-schema scan
+    (never inferred — the reference's model) and the option plumbing are
+    what this grades; the aggregate mirrors the direct-parquet oracle, so a
+    mis-bound path/format/schema fails the hash. The orders table is read
+    through the DDL-declared TIMESTAMP column, covering the NANOS parquet
+    conversion on the DDL path too."""
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        TableEnvironment,
+    )
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TEMPORARY TABLE orders_ddl_q (
+            o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+            o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+            o_orderpriority STRING
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/orders.parquet', 'format' = 'parquet')
+    """)
+    return env.sql_query("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               MIN(o_orderdate) AS first_order
+        FROM orders_ddl_q
+        GROUP BY o_orderpriority
+    """).to_data_frame()
+
+
+ORACLE_Q_DDL_FILESYSTEM_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       MIN(o_orderdate) AS first_order
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "io_roundtrip_csv": q_io_roundtrip_csv,
     "io_roundtrip_json": q_io_roundtrip_json,
     "io_roundtrip_avro": q_io_roundtrip_avro,
     "io_roundtrip_jdbc": q_io_roundtrip_jdbc,
+    "ddl_filesystem_sql": q_ddl_filesystem_sql,
 }
 
 ORACLE = {
@@ -225,4 +269,5 @@ ORACLE = {
     "io_roundtrip_json": ORACLE_Q_IO_ROUNDTRIP_JSON,
     "io_roundtrip_avro": ORACLE_Q_IO_ROUNDTRIP_AVRO,
     "io_roundtrip_jdbc": ORACLE_Q_IO_ROUNDTRIP_JDBC,
+    "ddl_filesystem_sql": ORACLE_Q_DDL_FILESYSTEM_SQL,
 }
