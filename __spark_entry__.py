@@ -43,12 +43,13 @@ def _modules():
         sketches,
         text_analysis,
     )
+    from flink_release_1_14_5_comment_spark.api import api_queries
     from flink_release_1_14_5_comment_spark.functions import udf_queries
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
     return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal, sketches, end_to_end,
             time_windows, temporal_joins, patterns, analytic_shapes, tpch, scale,
-            relational_ext, relational, io_queries, udf_queries, stream_queries]
+            relational_ext, relational, io_queries, udf_queries, api_queries, stream_queries]
 
 
 # The round-1 driver graded only the FIRST 50 dict entries, so insertion

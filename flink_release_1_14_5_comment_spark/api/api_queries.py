@@ -1,0 +1,103 @@
+"""Oracle-graded facade queries: the Table API and DataStream API front
+doors (SURVEY §2 Table/DataStream API rows, reference Table.java /
+DataStream.java).
+
+Both facades are parity-tested against the SQL path in pytest
+(tests/test_table_api_breadth.py, tests/test_api.py); these queries put the
+facades behind the driver's DuckDB gate so a translation bug in the fluent
+layer (expression parsing, `.sum`/`.count` property aggregates, window
+aliasing, keyed topology wiring) fails the official value hash — the same
+treatment the MATCH_RECOGNIZE SQL text and the window-TVF translation got.
+
+Scale: the facades emit ordinary DataFrame plans — everything Catalyst does
+for the SQL path (pushdown, broadcast, codegen) applies verbatim; nothing
+here adds an operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+
+def q_table_api_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fluent Table-API chain exercising where / add_columns /
+    rename_columns / drop_columns / group_by / select with Flink's
+    `.sum`/`.count` property-aggregate spelling (reference Table.java:462-519
+    column ops, ApiExpressionUtils aggregates)."""
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        TableEnvironment,
+    )
+
+    register_views(spark, sf_dir)
+    env = TableEnvironment(spark)
+    t = (env.from_path("documents")
+         .where("lang IN ('en', 'de', 'fr')")
+         .add_columns("n_chars / 10.0 AS deci")
+         .rename_columns("source AS src")
+         .drop_columns("text")
+         .group_by("lang, src")
+         .select("lang, src, doc_id.count AS n_docs, n_chars.sum AS chars, "
+                 "deci.avg AS avg_deci"))
+    df = t.to_data_frame()
+    return df.select("lang", "src", F.col("n_docs").cast("long").alias("n_docs"),
+                     F.col("chars").cast("long").alias("chars"),
+                     F.round(F.col("avg_deci").cast("double"), 4)
+                     .alias("avg_deci"))
+
+
+ORACLE_Q_TABLE_API_FLUENT = """
+SELECT lang, source AS src,
+       CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)  AS chars,
+       ROUND(AVG(n_chars / 10.0), 4) AS avg_deci
+FROM documents
+WHERE lang IN ('en', 'de', 'fr')
+GROUP BY lang, source
+"""
+
+
+def q_datastream_api_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DataStream-API topology on a bounded frame — from_data_frame →
+    filter → map (expression fast path) → key_by → window → aggregate
+    (reference DataStream.java map/filter, KeyedStream.window, 1.14's
+    unified batch execution of DataStream programs). End state of the
+    bounded topology == the batch windowed aggregate the oracle states."""
+    from flink_release_1_14_5_comment_spark.api.datastream import (
+        StreamExecutionEnvironment,
+    )
+    from flink_release_1_14_5_comment_spark.catalog import load_tables
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    out = (env.from_data_frame(ev)
+           .filter("event_type = 'click'")
+           .map(["user_id", "value * 2 AS v2", "ts"])
+           .key_by("user_id")
+           .window("ts", "1 hour")
+           .aggregate([F.count(F.lit(1)).alias("n"),
+                       F.round(F.sum("v2"), 2).alias("sum_v2")]))
+    return out.to_data_frame().select(
+        "w_start", "user_id", F.col("n").cast("long").alias("n"), "sum_v2")
+
+
+ORACLE_Q_DATASTREAM_API_FLUENT = """
+SELECT date_trunc('hour', ts) AS w_start, user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value * 2), 2) AS sum_v2
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "table_api_fluent": q_table_api_fluent,
+    "datastream_api_fluent": q_datastream_api_fluent,
+}
+
+ORACLE = {
+    "table_api_fluent": ORACLE_Q_TABLE_API_FLUENT,
+    "datastream_api_fluent": ORACLE_Q_DATASTREAM_API_FLUENT,
+}
