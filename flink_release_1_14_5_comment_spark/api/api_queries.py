@@ -92,12 +92,47 @@ GROUP BY 1, 2
 """
 
 
+def q_legacy_cast_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink 1.14 LEGACY CAST semantics graded: pre-FLIP-211 CAST returns
+    NULL on malformed input, while this engine runs Spark with ANSI mode
+    (errors). TableEnvironment(legacy_cast=True) rewrites every CAST( in
+    the SQL text to TRY_CAST( — this query puts that rewrite behind the
+    oracle: CAST('en' AS INT) must yield NULL (counted per language), and
+    the numeric suffix cast must still succeed, under one GROUP BY."""
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        TableEnvironment,
+    )
+
+    register_views(spark, sf_dir)
+    env = TableEnvironment(spark, legacy_cast=True)
+    return env.sql_query("""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(substr(source, 4) AS INT)) AS BIGINT) AS src_sum,
+               CAST(SUM(CASE WHEN CAST(lang AS INT) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS null_casts
+        FROM documents GROUP BY lang
+    """).to_data_frame()
+
+
+ORACLE_Q_LEGACY_CAST_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(TRY_CAST(substr(source, 4) AS INT)) AS BIGINT) AS src_sum,
+       CAST(SUM(CASE WHEN TRY_CAST(lang AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_casts
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "table_api_fluent": q_table_api_fluent,
     "datastream_api_fluent": q_datastream_api_fluent,
+    "legacy_cast_sql": q_legacy_cast_sql,
 }
 
 ORACLE = {
     "table_api_fluent": ORACLE_Q_TABLE_API_FLUENT,
     "datastream_api_fluent": ORACLE_Q_DATASTREAM_API_FLUENT,
+    "legacy_cast_sql": ORACLE_Q_LEGACY_CAST_SQL,
 }
