@@ -256,12 +256,46 @@ GROUP BY o_orderpriority
 """
 
 
+def q_sink_not_null_enforcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SinkNotNullEnforcer graded (reference SinkNotNullEnforcer.java —
+    table.exec.sink.not-null-enforcer): a NOT NULL sink column receives
+    injected NULLs (every 13th order's priority), the enforcer in DROP mode
+    silently filters them before the write, and the surviving rollup must
+    equal the oracle's explicit IS NOT NULL filter. ERROR mode (assert_true
+    job failure) is covered in pytest — a raised exception cannot be a
+    hash."""
+    from flink_release_1_14_5_comment_spark.streaming.changelog import (
+        enforce_not_null,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_tables(spark, sf_dir)["orders"].withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+        .otherwise(F.col("o_orderpriority")))
+    kept = enforce_not_null(orders, ["o_orderpriority"], mode="drop")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+
+
+ORACLE_Q_SINK_NOT_NULL_ENFORCER = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderkey % 13 <> 0
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "io_roundtrip_csv": q_io_roundtrip_csv,
     "io_roundtrip_json": q_io_roundtrip_json,
     "io_roundtrip_avro": q_io_roundtrip_avro,
     "io_roundtrip_jdbc": q_io_roundtrip_jdbc,
     "ddl_filesystem_sql": q_ddl_filesystem_sql,
+    "sink_not_null_enforcer": q_sink_not_null_enforcer,
 }
 
 ORACLE = {
@@ -270,4 +304,5 @@ ORACLE = {
     "io_roundtrip_avro": ORACLE_Q_IO_ROUNDTRIP_AVRO,
     "io_roundtrip_jdbc": ORACLE_Q_IO_ROUNDTRIP_JDBC,
     "ddl_filesystem_sql": ORACLE_Q_DDL_FILESYSTEM_SQL,
+    "sink_not_null_enforcer": ORACLE_Q_SINK_NOT_NULL_ENFORCER,
 }

@@ -1008,6 +1008,67 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_co_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataStream coGroup oracle-graded (reference CoGroupedStreams.java /
+    DataStream.java:730): per (user, 1-hour window) the user fn receives
+    BOTH sides' buffered rows and fires even when one side is empty — the
+    full-outer semantics window join cannot give. Far-future advancer +
+    flusher batches on both streams drain every open window, so the
+    completed stream equals the batch full-outer per-window counts with
+    COALESCE-0 — stated exactly by the oracle."""
+    import datetime as _dt
+
+    from flink_release_1_14_5_comment_spark.streaming.stream_joins import (
+        co_group_stream,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    schema = "user_id long, ts timestamp, value double"
+    fins = lambda: [spark.createDataFrame(  # noqa: E731 - two fresh frames per side
+        [(-1, max_ts + _dt.timedelta(hours=h), 0.0)], schema) for h in (3, 6)]
+    cs, ctmp = sources.replay_as_stream(spark, clicks, n_chunks=2,
+                                        order_col="ts", final_dfs=fins())
+    bs, btmp = sources.replay_as_stream(spark, buys, n_chunks=2,
+                                        order_col="ts", final_dfs=fins())
+    try:
+        out = co_group_stream(
+            cs, bs, ["user_id"], "ts", "ts", "1 hour",
+            fn=lambda l, r: {"n_clicks": len(l), "n_buys": len(r),
+                             "click_value": round(float(l["value"].sum()), 2)
+                             if len(l) else 0.0},
+            extra_schema="n_clicks long, n_buys long, click_value double",
+        )
+        return _run_to_memory(out).filter(F.col("user_id") >= 0)
+    finally:
+        sources.cleanup(ctmp)
+        sources.cleanup(btmp)
+
+
+ORACLE_Q_STREAM_CO_GROUP = """
+WITH c AS (
+  SELECT user_id, date_trunc('hour', ts) AS w_start,
+         CAST(COUNT(*) AS BIGINT) AS n_clicks,
+         ROUND(SUM(value), 2) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), b AS (
+  SELECT user_id, date_trunc('hour', ts) AS w_start,
+         CAST(COUNT(*) AS BIGINT) AS n_buys
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.w_start, b.w_start) AS w_start,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(b.n_buys, 0) AS n_buys,
+       COALESCE(c.click_value, 0.0) AS click_value
+FROM c FULL JOIN b ON b.user_id = c.user_id AND b.w_start = c.w_start
+"""
+
+
 def q_stream_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming GROUPING SETS — the reference plans these as an Expand node
     (each input row fans out once per grouping set, tagged with the set id)
@@ -1868,6 +1929,7 @@ QUERIES = {
     "stream_regular_join_full": q_stream_regular_join_full,
     "stream_dedup_keeplast": q_stream_dedup_keeplast,
     "stream_grouping_sets": q_stream_grouping_sets,
+    "stream_co_group": q_stream_co_group,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -1907,6 +1969,7 @@ ORACLE = {
     "stream_regular_join_full": ORACLE_Q_STREAM_REGULAR_JOIN_FULL,
     "stream_dedup_keeplast": ORACLE_Q_STREAM_DEDUP_KEEPLAST,
     "stream_grouping_sets": ORACLE_Q_STREAM_GROUPING_SETS,
+    "stream_co_group": ORACLE_Q_STREAM_CO_GROUP,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
