@@ -1008,6 +1008,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_changelog_drop_update_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropUpdateBefore graded (reference StreamExecDropUpdateBefore — the
+    planner inserts it in front of upsert sinks keyed by PK, where -U rows
+    are redundant): a closed-form changelog (+I for every order, -U/+U
+    re-pricing every even-keyed order) flows through drop_update_before;
+    the surviving per-rowkind counts and cent-exact sums must equal the
+    oracle's reconstruction WITHOUT the -U rows — dropping too much (+U?)
+    or too little (-U kept) breaks either the counts or the sums."""
+    from flink_release_1_14_5_comment_spark.streaming.changelog import (
+        drop_update_before,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    v1 = o.select("o_orderkey", "o_orderstatus", cents.alias("price_c"),
+                  F.lit("+I").alias("__rowkind"))
+    ub = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_c"),
+        F.lit("-U").alias("__rowkind"))
+    ua = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", (cents * 2).alias("price_c"),
+        F.lit("+U").alias("__rowkind"))
+    changelog = v1.unionByName(ub).unionByName(ua)
+    kept = drop_update_before(changelog)
+    return kept.groupBy("o_orderstatus", "__rowkind").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("price_c") / 100, 2).alias("sum_price"))
+
+
+ORACLE_Q_CHANGELOG_DROP_UPDATE_BEFORE = """
+WITH cents AS (
+  SELECT o_orderkey, o_orderstatus,
+         ROUND(o_totalprice * 100, 0) AS price_c
+  FROM orders
+), kept AS (
+  SELECT o_orderstatus, '+I' AS __rowkind, price_c FROM cents
+  UNION ALL
+  SELECT o_orderstatus, '+U', price_c * 2 FROM cents WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderstatus, __rowkind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(price_c) / 100, 2) AS sum_price
+FROM kept GROUP BY o_orderstatus, __rowkind
+"""
+
+
 def q_stream_co_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataStream coGroup oracle-graded (reference CoGroupedStreams.java /
     DataStream.java:730): per (user, 1-hour window) the user fn receives
@@ -1930,6 +1976,7 @@ QUERIES = {
     "stream_dedup_keeplast": q_stream_dedup_keeplast,
     "stream_grouping_sets": q_stream_grouping_sets,
     "stream_co_group": q_stream_co_group,
+    "changelog_drop_update_before": q_changelog_drop_update_before,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -1970,6 +2017,7 @@ ORACLE = {
     "stream_dedup_keeplast": ORACLE_Q_STREAM_DEDUP_KEEPLAST,
     "stream_grouping_sets": ORACLE_Q_STREAM_GROUPING_SETS,
     "stream_co_group": ORACLE_Q_STREAM_CO_GROUP,
+    "changelog_drop_update_before": ORACLE_Q_CHANGELOG_DROP_UPDATE_BEFORE,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
