@@ -1008,6 +1008,53 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamingFileSink graded end-to-end (reference FileSink.java:111 /
+    StreamingFileSink bucketed rolling files with exactly-once commit):
+    the events stream replays in micro-batches through writeStream.parquet
+    (checkpointed — Spark's commit protocol is the exactly-once mechanism),
+    then the committed files are read back and aggregated. A lost batch,
+    double-committed file, or torn row changes the counts/sums vs the
+    direct-parquet oracle."""
+    import tempfile
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "user_id", "event_type", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=3,
+                                           order_col="event_id")
+    sink_dir = tempfile.mkdtemp(prefix="spark_graft_fsink_")
+    try:
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink_dir + "/data")
+             .option("checkpointLocation", sink_dir + "/ckpt")
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+        back = spark.read.parquet(sink_dir + "/data")
+        rows = (back.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.round(F.sum("value"), 2).alias("sum_value"),
+                     F.min("event_id").cast("long").alias("min_id"),
+                     F.max("event_id").cast("long").alias("max_id")))
+        # materialize before the source/sink tempdirs are removed
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        return out
+    finally:
+        sources.cleanup(tmp)
+        sources.cleanup(sink_dir)
+
+
+ORACLE_Q_STREAMING_FILE_SINK = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS sum_value,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
 def q_changelog_drop_update_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DropUpdateBefore graded (reference StreamExecDropUpdateBefore — the
     planner inserts it in front of upsert sinks keyed by PK, where -U rows
@@ -1977,6 +2024,7 @@ QUERIES = {
     "stream_grouping_sets": q_stream_grouping_sets,
     "stream_co_group": q_stream_co_group,
     "changelog_drop_update_before": q_changelog_drop_update_before,
+    "streaming_file_sink": q_streaming_file_sink,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -2018,6 +2066,7 @@ ORACLE = {
     "stream_grouping_sets": ORACLE_Q_STREAM_GROUPING_SETS,
     "stream_co_group": ORACLE_Q_STREAM_CO_GROUP,
     "changelog_drop_update_before": ORACLE_Q_CHANGELOG_DROP_UPDATE_BEFORE,
+    "streaming_file_sink": ORACLE_Q_STREAMING_FILE_SINK,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
