@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import load_tables
@@ -1005,6 +1005,61 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(MIN(value), 2) AS min_value,
        ROUND(MAX(value), 2) AS max_value
 FROM events GROUP BY event_type
+"""
+
+
+def q_keyed_process_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyedProcessFunction + keyed STATE graded (reference
+    KeyedProcessFunction.java / ValueState): a user-written process function
+    (the api/datastream.py KeyedStream.process contract) accumulates
+    per-user count / cent-exact sum / running max across micro-batches in
+    explicit state and emits its state after every batch. The counter is
+    strictly monotone per emission, so the final state row per user is
+    selected deterministically (max n) and must equal the batch aggregate —
+    state lost between batches, a double-applied batch, or a key-routing
+    error all break it."""
+    from typing import Iterator as _It
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "value")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=3,
+                                           order_col="event_id")
+
+    def fn(key, pdfs: _It, state) -> _It:
+        n, cents, vmax = state.get if state.exists else (0, 0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round(0).sum())
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, cents, vmax))
+        import pandas as _pd
+
+        yield _pd.DataFrame([{"user_id": key[0], "n": n,
+                              "sum_cents": cents, "max_value": vmax}])
+
+    try:
+        out = (stream.groupBy("user_id").applyInPandasWithState(
+            fn, "user_id long, n long, sum_cents long, max_value double",
+            "n long, sum_cents long, max_value double", "update",
+            __import__("pyspark.sql.streaming.state",
+                       fromlist=["GroupStateTimeout"]).GroupStateTimeout.NoTimeout))
+        rows = _run_to_memory(out, mode="update")
+    finally:
+        sources.cleanup(tmp)
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "n",
+                    F.round(F.col("sum_cents") / 100, 2).alias("sum_value"),
+                    F.round("max_value", 2).alias("max_value")))
+
+
+ORACLE_Q_KEYED_PROCESS_STATE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(ROUND(value * 100, 0)) / 100, 2) AS sum_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events GROUP BY user_id
 """
 
 
@@ -2025,6 +2080,7 @@ QUERIES = {
     "stream_co_group": q_stream_co_group,
     "changelog_drop_update_before": q_changelog_drop_update_before,
     "streaming_file_sink": q_streaming_file_sink,
+    "keyed_process_state": q_keyed_process_state,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -2067,6 +2123,7 @@ ORACLE = {
     "stream_co_group": ORACLE_Q_STREAM_CO_GROUP,
     "changelog_drop_update_before": ORACLE_Q_CHANGELOG_DROP_UPDATE_BEFORE,
     "streaming_file_sink": ORACLE_Q_STREAMING_FILE_SINK,
+    "keyed_process_state": ORACLE_Q_KEYED_PROCESS_STATE,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
