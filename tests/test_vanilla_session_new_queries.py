@@ -1,0 +1,42 @@
+"""Driver-fidelity check for the round-5 query families: the driver grades
+with its OWN vanilla SparkSession (none of session.get_spark's confs), so
+every new query family must pass the oracle under one. This extends the
+round-2 lesson (test_oracle_parity.test_driver_style_subprocess — one query)
+to a representative of each round-5 addition: IO round-trips, the DDL /
+TVF / MATCH_RECOGNIZE / legacy-CAST SQL front doors, the API facades, the
+Arrow UDF paths, async I/O, stateful process functions, the outer stream
+joins, and the composed pipeline."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+NAMES = [
+    "io_roundtrip_csv", "ddl_filesystem_sql", "python_udf_gauntlet",
+    "stream_interval_join_left", "keyed_process_state", "corpus_mix",
+    "match_recognize_sql", "table_api_fluent", "async_io_enrich",
+    "pipeline_end_to_end", "window_tvf_sql", "legacy_cast_sql",
+]
+
+SCRIPT = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as e
+from tests.oracle_util import compare, duckdb_conn
+Q, O = e.queries(), e.oracle_sql()
+con = duckdb_conn("/root/testdata/sf0.001")
+for n in {NAMES!r}:
+    compare(Q[n](spark, "/root/testdata/sf0.001"), con.execute(O[n]).fetchdf(), n)
+    print("VANILLA_OK", n)
+"""
+
+
+def test_round5_queries_under_vanilla_session():
+    r = subprocess.run([sys.executable, "-c", SCRIPT],
+                       capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-4000:]
+    for n in NAMES:
+        assert f"VANILLA_OK {n}" in r.stdout, n
