@@ -179,10 +179,60 @@ FROM documents
 """
 
 
+def q_stream_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingest pipeline on a STREAM, oracle-graded: the binary
+    media table replays in micro-batches, feature extraction runs as the
+    same stateless Arrow mapInPandas inside the streaming topology (the
+    shape a production media-ingest job has: decode/extract per batch as
+    files land), and a complete-mode aggregate materializes per-bucket
+    rollups. End state must equal the batch pipeline's — a dropped batch or
+    a binary column mangled by the replay round-trip breaks byte counts and
+    md5-derived feature sums alike."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_14_5_comment_spark.streaming import sources
+
+    media = synthetic_media(spark, sf_dir)
+    stream, tmp = sources.replay_as_stream(spark, media, n_chunks=3,
+                                           order_col="media_id")
+    try:
+        feats = extract_features(stream)
+        agg = (feats
+               .withColumn("bucket", F.col("media_id") % 8)
+               .withColumn("feat_sum", F.expr(
+                   "aggregate(features, cast(0.0 as double), (a, v) -> a + v)"))
+               .groupBy("bucket")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_media"),
+                    F.sum("n_bytes").cast("long").alias("total_bytes"),
+                    F.round(F.sum("feat_sum"), 4).alias("feat_total")))
+        name = "sq" + __import__("uuid").uuid4().hex[:10]
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(name)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_MULTIMODAL_PIPELINE = """
+SELECT doc_id % 8 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       ROUND(SUM(list_sum(list_transform(range(0, 8),
+             i -> (('0x' || substr(md5(text), i*2 + 1, 2))::INT) / 255.0))), 4) AS feat_total
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
+    "stream_multimodal_pipeline": q_stream_multimodal_pipeline,
 }
 
 ORACLE = {
     "multimodal_features": ORACLE_Q_MULTIMODAL_FEATURES,
+    "stream_multimodal_pipeline": ORACLE_Q_STREAM_MULTIMODAL_PIPELINE,
 }
+
