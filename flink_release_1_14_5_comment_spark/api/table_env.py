@@ -452,6 +452,13 @@ class TableEnvironment:
                 reader = self.spark.read
                 if fmt == "csv":
                     reader = reader.option("header", options.get("csv.include-header", "true"))
+                if fmt in ("csv", "json"):
+                    # Text formats carry no type information — the DECLARED
+                    # schema drives the read, exactly Flink's model (the
+                    # reference never infers; CsvRowDataDeserializationSchema
+                    # is built from the DDL row type). Parquet/ORC embed
+                    # their schema; inference there IS the file's own types.
+                    reader = reader.schema(self._ddl_schema(cols))
                 df = self._apply_generated_columns(getattr(reader, fmt)(path), cols)
             else:
                 # SINK-table DDL (CREATE TABLE then INSERT INTO — the

@@ -435,3 +435,22 @@ def test_datastream_partitioning_wrappers(spark, sf_dir):
         ds.broadcast_hint().to_data_frame(),
         F.expr("o_orderkey % 25 = n_nationkey"))
     assert "BroadcastHashJoin" in joined._jdf.queryExecution().toString()
+
+
+def test_csv_ddl_uses_declared_schema(spark, tmp_path):
+    """Text formats must be read through the DECLARED DDL schema, never
+    inference (round-5 fix: CSV filesystem tables came back all-strings).
+    Reference model: CsvRowDataDeserializationSchema is built from the DDL
+    row type."""
+    d = str(tmp_path / "csvddl")
+    spark.createDataFrame([(1, 2.5, "x"), (2, None, "y")],
+                          "a bigint, b double, c string") \
+        .write.mode("overwrite").option("header", "true").csv(d)
+    env = TableEnvironment.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE csv_ddl_schema_t (a BIGINT, b DOUBLE, c STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{d}', 'format' = 'csv')
+    """)
+    df = env.from_path("csv_ddl_schema_t").to_data_frame()
+    assert dict(df.dtypes) == {"a": "bigint", "b": "double", "c": "string"}
+    assert df.filter("a = 1").collect()[0]["b"] == 2.5
