@@ -757,6 +757,12 @@ class TableEnvironment:
         if sink["format"] == "csv":
             reader = reader.option("header", sink["options"].get(
                 "csv.include-header", "true"))
+        if sink["format"] in ("csv", "json") and declared and not part_cols:
+            # Text formats re-read through the DECLARED schema (same fix as
+            # the CREATE TABLE scan path); the partitioned branch below
+            # cast-backs instead, because partition values live in directory
+            # names that Spark's discovery must map first.
+            reader = reader.schema(schema)
         out = getattr(reader, sink["format"])(sink["path"])
         if part_cols and declared:
             # Spark's partition discovery infers directory values (dt=

@@ -118,3 +118,23 @@ def test_insert_maps_columns_to_declared_schema_positionally(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="declares 3"):
         env.execute_sql("INSERT INTO named_sink SELECT 1, 'x'")
+
+
+def test_csv_sink_reread_uses_declared_schema(spark, tmp_path):
+    """INSERT into a CSV sink table re-registers the view through the
+    DECLARED schema — not string inference (round-5 fix, the sink-side twin
+    of the CREATE TABLE scan-path fix)."""
+    from flink_release_1_14_5_comment_spark.api.table_env import (
+        TableEnvironment,
+    )
+
+    env = TableEnvironment.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE csv_sink_sch_t (a BIGINT, b DOUBLE)
+        WITH ('connector' = 'filesystem',
+              'path' = '{tmp_path}/snk', 'format' = 'csv')
+    """)
+    env.execute_sql("INSERT INTO csv_sink_sch_t VALUES (1, 2.5), (2, 3.5)")
+    df = env.from_path("csv_sink_sch_t").to_data_frame()
+    assert dict(df.dtypes) == {"a": "bigint", "b": "double"}
+    assert sorted(r["b"] for r in df.collect()) == [2.5, 3.5]
