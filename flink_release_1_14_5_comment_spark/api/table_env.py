@@ -426,6 +426,45 @@ class TableEnvironment:
 
         return pat.sub(repl, sql)
 
+    @staticmethod
+    def _format_options(fmt: str, options: dict, side: str) -> dict:
+        """flink-csv / flink-json WITH-options → Spark reader/writer options
+        (reference CsvFormatFactory / JsonFormatFactory option sets). Only
+        options with a faithful Spark equivalent map; unknown csv./json.
+        options raise rather than silently changing the file contract."""
+        known = {
+            ("csv", "csv.field-delimiter"): ("sep", "both"),
+            ("csv", "csv.quote-character"): ("quote", "both"),
+            ("csv", "csv.escape-character"): ("escape", "both"),
+            ("csv", "csv.null-literal"): ("nullValue", "both"),
+            ("csv", "csv.allow-comments"): ("comment", "read"),
+            ("csv", "csv.ignore-parse-errors"): ("mode", "read"),
+            ("csv", "csv.include-header"): ("header", "both"),
+            ("json", "json.ignore-parse-errors"): ("mode", "read"),
+        }
+        out = {}
+        if fmt == "csv":
+            out["header"] = options.get("csv.include-header", "true")
+        for k, v in options.items():
+            if not k.startswith(("csv.", "json.")):
+                continue
+            spec = known.get((fmt, k))
+            if spec is None:
+                raise NotImplementedError(
+                    f"format option {k!r} has no Spark mapping")
+            opt, sides = spec
+            if sides != "both" and sides != side:
+                continue
+            if k.endswith("ignore-parse-errors"):
+                out["mode"] = ("DROPMALFORMED"
+                               if str(v).lower() == "true" else "FAILFAST")
+            elif k == "csv.allow-comments":
+                if str(v).lower() == "true":
+                    out["comment"] = "#"
+            else:
+                out[opt] = v
+        return out
+
     def _create_table(self, name: str, cols: str, opts: str,
                       partition_by: list[str] | None = None) -> None:
         options = dict(_OPT_RE.findall(opts))
@@ -450,9 +489,9 @@ class TableEnvironment:
             if _os.path.isfile(path) or (
                     _os.path.isdir(path) and _os.listdir(path)):
                 reader = self.spark.read
-                if fmt == "csv":
-                    reader = reader.option("header", options.get("csv.include-header", "true"))
                 if fmt in ("csv", "json"):
+                    reader = reader.options(
+                        **self._format_options(fmt, options, "read"))
                     # Text formats carry no type information — the DECLARED
                     # schema drives the read, exactly Flink's model (the
                     # reference never infers; CsvRowDataDeserializationSchema
@@ -749,14 +788,14 @@ class TableEnvironment:
                 # partitioned inserts; Spark's default would drop the whole
                 # table directory.
                 writer = writer.option("partitionOverwriteMode", "dynamic")
-        if sink["format"] == "csv":
-            writer = writer.option("header", sink["options"].get(
-                "csv.include-header", "true"))
+        if sink["format"] in ("csv", "json"):
+            writer = writer.options(**self._format_options(
+                sink["format"], sink["options"], "write"))
         getattr(writer, sink["format"])(sink["path"])
         reader = self.spark.read
-        if sink["format"] == "csv":
-            reader = reader.option("header", sink["options"].get(
-                "csv.include-header", "true"))
+        if sink["format"] in ("csv", "json"):
+            reader = reader.options(**self._format_options(
+                sink["format"], sink["options"], "read"))
         if sink["format"] in ("csv", "json") and declared and not part_cols:
             # Text formats re-read through the DECLARED schema (same fix as
             # the CREATE TABLE scan path); the partitioned branch below

@@ -454,3 +454,32 @@ def test_csv_ddl_uses_declared_schema(spark, tmp_path):
     df = env.from_path("csv_ddl_schema_t").to_data_frame()
     assert dict(df.dtypes) == {"a": "bigint", "b": "double", "c": "string"}
     assert df.filter("a = 1").collect()[0]["b"] == 2.5
+
+
+def test_csv_format_options_mapping(spark, tmp_path):
+    """flink-csv WITH-options map to Spark reader options (round-5):
+    csv.field-delimiter, csv.null-literal, csv.ignore-parse-errors; an
+    unmapped csv.* option raises instead of silently changing the file
+    contract."""
+    import pytest
+
+    d = str(tmp_path / "csvopts")
+    import os
+    os.makedirs(d)
+    with open(d + "/part.csv", "w") as f:
+        f.write("a;b\n1;2.5\n2;\\N\nGARBAGE-LINE-NO-DELIM-EXTRA;;;;\n")
+    env = TableEnvironment.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE csv_opts_map_t (a BIGINT, b DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{d}', 'format' = 'csv',
+              'csv.field-delimiter' = ';', 'csv.null-literal' = '\\N',
+              'csv.ignore-parse-errors' = 'true')
+    """)
+    rows = sorted(env.from_path("csv_opts_map_t").to_data_frame().collect())
+    assert [(r["a"], r["b"]) for r in rows] == [(1, 2.5), (2, None)]
+    with pytest.raises(NotImplementedError, match="no Spark mapping"):
+        env.execute_sql(f"""
+            CREATE TABLE csv_opts_bad_t (a BIGINT)
+            WITH ('connector' = 'filesystem', 'path' = '{d}',
+                  'format' = 'csv', 'csv.disable-quote-character' = 'true')
+        """)
