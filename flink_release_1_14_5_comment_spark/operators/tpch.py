@@ -58,9 +58,16 @@ from flink_release_1_14_5_comment_spark.catalog import register_views
 # docstring). At 100 TB this is one hash-partitioned groupBy over
 # (l_partkey, l_suppkey) — ~part×supp cardinality, uniform keys — and
 # Catalyst prunes lineitem to the four columns the CTE touches.
+# ps_supplycost derives by FLOOR(min·1e6)/1e6, not ROUND(min, 6): FLOOR,
+# multiply and divide are exact IEEE ops, so both engines hold the BIT-
+# identical double. ROUND(double, 6) was the round-5 sf0.1 lesson — Spark
+# rounds the double's shortest decimal repr (HALF_UP on the string), DuckDB
+# rounds the exact binary value, and a handful of (part, supp) minima at
+# sf0.1 sat exactly on the diverging half-ulp, shifting Q9 profit sums by
+# supplycost_ulp × quantity.
 _PS_CTE = """WITH partsupp AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         ROUND(MIN(l_extendedprice / l_quantity), 6) AS ps_supplycost,
+         FLOOR(MIN(l_extendedprice / l_quantity) * 1000000) / CAST(1000000 AS DOUBLE) AS ps_supplycost,
          ROUND(SUM(l_quantity), 2) AS ps_availqty
   FROM lineitem
   GROUP BY l_partkey, l_suppkey

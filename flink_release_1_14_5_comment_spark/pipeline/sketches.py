@@ -257,59 +257,68 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. Exact-percentile quality cut.
 # ---------------------------------------------------------------------------
 
-_PCT_SPARK = f"""
+def _pct_sql(score_expr: str) -> str:
+    """Shared percentile-cut SQL: linear-interpolated p10/p50/p90 computed
+    MANUALLY from exact order statistics — a + (b-a)·frac over the same
+    IEEE doubles in both engines, so the cuts are BIT-identical and the
+    tail counts can compare raw scores against them with no ULP boundary
+    (round-5 fix: Spark `percentile` vs DuckDB `quantile_cont` agreed to
+    ~1e-15 but not to the bit, and at sf0.1 two docs sat exactly on the
+    diverging bit)."""
+    return f"""
 WITH scored AS (
-  SELECT doc_id, lang,
-         CAST(length(text) AS DOUBLE) / size({_TOKS_SPARK}) AS score
+  SELECT doc_id, lang, {score_expr} AS score
   FROM documents
+), counts AS (
+  SELECT lang, COUNT(*) AS n FROM scored GROUP BY lang
+), ranked AS (
+  SELECT lang, score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn
+  FROM scored
+), pos AS (
+  SELECT c.lang, t.q,
+         CAST(FLOOR(t.q * (c.n - 1)) AS BIGINT) AS lo,
+         t.q * (c.n - 1) - FLOOR(t.q * (c.n - 1)) AS frac
+  FROM counts c
+  CROSS JOIN (SELECT CAST(0.1 AS DOUBLE) AS q
+              UNION ALL SELECT 0.5 UNION ALL SELECT 0.9) t
 ), cuts AS (
+  SELECT p.lang, p.q,
+         ra.score + (COALESCE(rb.score, ra.score) - ra.score) * p.frac AS cut
+  FROM pos p
+  JOIN ranked ra ON ra.lang = p.lang AND ra.rn = p.lo + 1
+  LEFT JOIN ranked rb ON rb.lang = p.lang AND rb.rn = p.lo + 2
+), wide AS (
   SELECT lang,
-         percentile(score, 0.1) AS p10,
-         percentile(score, 0.5) AS p50,
-         percentile(score, 0.9) AS p90
-  FROM scored GROUP BY lang
+         MAX(CASE WHEN q = 0.1 THEN cut END) AS p10,
+         MAX(CASE WHEN q = 0.5 THEN cut END) AS p50,
+         MAX(CASE WHEN q = 0.9 THEN cut END) AS p90
+  FROM cuts GROUP BY lang
 )
 SELECT s.lang,
-       ROUND(MAX(c.p10), 4) AS p10,
-       ROUND(MAX(c.p50), 4) AS p50,
-       ROUND(MAX(c.p90), 4) AS p90,
-       CAST(SUM(CASE WHEN s.score < c.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_tail,
-       CAST(SUM(CASE WHEN s.score > c.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tail,
+       ROUND(MAX(w.p10), 4) AS p10,
+       ROUND(MAX(w.p50), 4) AS p50,
+       ROUND(MAX(w.p90), 4) AS p90,
+       CAST(SUM(CASE WHEN s.score < w.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_tail,
+       CAST(SUM(CASE WHEN s.score > w.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tail,
        CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM scored s JOIN cuts c ON s.lang = c.lang
+FROM scored s JOIN wide w ON s.lang = w.lang
 GROUP BY s.lang
 """
 
-ORACLE_Q_QUALITY_PERCENTILE_CUT = f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-         length(text)::DOUBLE / len({_TOKS_DUCK}) AS score
-  FROM documents
-), cuts AS (
-  SELECT lang,
-         quantile_cont(score, 0.1) AS p10,
-         quantile_cont(score, 0.5) AS p50,
-         quantile_cont(score, 0.9) AS p90
-  FROM scored GROUP BY lang
-)
-SELECT s.lang,
-       ROUND(MAX(c.p10), 4) AS p10,
-       ROUND(MAX(c.p50), 4) AS p50,
-       ROUND(MAX(c.p90), 4) AS p90,
-       CAST(SUM(CASE WHEN s.score < c.p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_tail,
-       CAST(SUM(CASE WHEN s.score > c.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tail,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM scored s JOIN cuts c ON s.lang = c.lang
-GROUP BY s.lang
-"""
+
+_PCT_SPARK = _pct_sql(f"CAST(length(text) AS DOUBLE) / size({_TOKS_SPARK})")
+ORACLE_Q_QUALITY_PERCENTILE_CUT = _pct_sql(
+    f"length(text)::DOUBLE / len({_TOKS_DUCK})")
 
 
 def q_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact p10/p50/p90 of a chars-per-token quality score with
     tail counts — the threshold-derivation step of a quality filter (CCNet
-    keeps the best-perplexity tercile the same way). Spark `percentile` and
-    DuckDB `quantile_cont` share linear-interpolation semantics, so the
-    oracle checks the cuts exactly. At 100 TB substitute
+    keeps the best-perplexity tercile the same way). The interpolation runs
+    on exact order statistics with the identical formula text in both
+    engines (see _pct_sql), matching percentile/quantile_cont semantics
+    bit-for-bit. At 100 TB substitute
     `approx_percentile(score, array(0.1,0.5,0.9), accuracy)` — same plan
     shape, one pass, no per-group sort."""
     register_views(spark, sf_dir)
