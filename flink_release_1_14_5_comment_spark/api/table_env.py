@@ -259,6 +259,39 @@ class TableEnvironment:
             # Spark's catalog commands return the same report shapes the
             # reference prints (TableEnvironment.executeSql passthrough)
             return Table(self.spark.sql(stripped), self)
+        # Catalog navigation statements (reference TableEnvironmentImpl
+        # executeSql SHOW/USE operations, 1.14 SQL-client surface). Column
+        # names mirror Flink's result schemas.
+        up = re.sub(r"\s+", " ", stripped).strip().upper()
+        if up == "SHOW CURRENT CATALOG":
+            return Table(self.spark.createDataFrame(
+                [(self.spark.catalog.currentCatalog(),)],
+                "`current catalog name` string"), self)
+        if up == "SHOW CURRENT DATABASE":
+            return Table(self.spark.createDataFrame(
+                [(self.spark.catalog.currentDatabase(),)],
+                "`current database name` string"), self)
+        if up == "SHOW CATALOGS":
+            return Table(self.spark.sql("SHOW CATALOGS")
+                         .withColumnRenamed("catalog", "catalog name"), self)
+        if up == "SHOW DATABASES":
+            return Table(self.spark.sql("SHOW DATABASES")
+                         .withColumnRenamed("namespace", "database name"), self)
+        if up == "SHOW MODULES":
+            # Spark has no module system — the loaded surface corresponds to
+            # Flink's single default 'core' module.
+            return Table(self.spark.createDataFrame(
+                [("core",)], "`module name` string"), self)
+        m = re.match(r"^\s*USE\s+(?:DATABASE\s+)?(\w+)\s*$", stripped,
+                     re.IGNORECASE)
+        if m and not stripped.upper().startswith("USE CATALOG"):
+            self.spark.catalog.setCurrentDatabase(m.group(1))
+            return None
+        m = re.match(r"^\s*USE\s+CATALOG\s+(\w+)\s*$", stripped,
+                     re.IGNORECASE)
+        if m:
+            self.spark.catalog.setCurrentCatalog(m.group(1))
+            return None
         return self.sql_query(stripped)
 
     def explain_sql(self, sql: str) -> str:

@@ -483,3 +483,20 @@ def test_csv_format_options_mapping(spark, tmp_path):
             WITH ('connector' = 'filesystem', 'path' = '{d}',
                   'format' = 'csv', 'csv.disable-quote-character' = 'true')
         """)
+
+
+def test_catalog_navigation_statements(spark):
+    """1.14 catalog navigation: SHOW CURRENT CATALOG/DATABASE, SHOW
+    CATALOGS/DATABASES/MODULES, USE — result column names mirror Flink's
+    (TableEnvironmentImpl executeSql SHOW operations)."""
+    env = TableEnvironment.create(spark)
+    cur = env.execute_sql("SHOW CURRENT CATALOG").to_data_frame()
+    assert cur.columns == ["current catalog name"]
+    assert cur.collect()[0][0] == "spark_catalog"
+    db = env.execute_sql("SHOW CURRENT DATABASE").to_data_frame()
+    assert db.columns == ["current database name"]
+    assert env.execute_sql("SHOW MODULES").to_data_frame().collect()[0][0] == "core"
+    assert "database name" in env.execute_sql("SHOW DATABASES").to_data_frame().columns
+    assert env.execute_sql("USE default") is None
+    assert env.execute_sql("SHOW CURRENT DATABASE").to_data_frame() \
+        .collect()[0][0] == "default"
