@@ -840,6 +840,51 @@ HAVING SUM(l.w) >= 2.0
 """
 
 
+def q_graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph SUMMARIZATION (Gelly's Summarization algorithm,
+    flink-gelly/.../library/Summarization.java): contract every supplier
+    vertex to its nation label and merge parallel co-supply edges into one
+    summary edge per label pair carrying the multiplicity — the standard
+    coarsening step before running an expensive algorithm on a huge graph.
+    The label pair is min/max-normalized so the undirected contraction is
+    deterministic regardless of which supplier id ordered the base edge.
+    Scale: one broadcast label join (suppliers are a dimension) + one
+    bounded-key groupBy (≤ nations² pairs); the 100 TB co-supply edge list
+    never materializes per-pair state beyond its combiner."""
+    t = register_views(spark, sf_dir)
+    labels = (t["supplier"].join(
+        F.broadcast(t["nation"]),
+        F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.concat(F.lit("S_"), F.col("s_suppkey").cast("string")).alias("node"),
+                F.col("n_name").alias("label")))
+    e = _cosupply_edges(spark, sf_dir)
+    labeled = (e.join(labels.withColumnRenamed("node", "src")
+                      .withColumnRenamed("label", "src_label"), "src")
+               .join(labels.withColumnRenamed("node", "dst")
+                     .withColumnRenamed("label", "dst_label"), "dst"))
+    return (labeled.select(
+        F.least("src_label", "dst_label").alias("label_a"),
+        F.greatest("src_label", "dst_label").alias("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+
+
+ORACLE_Q_GRAPH_SUMMARIZE = f"""
+WITH e AS ({_COSUPPLY_EDGES_CTE}),
+labels AS (
+  SELECT 'S_' || s_suppkey AS node, n_name AS label
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+)
+SELECT LEAST(ls.label, ld.label) AS label_a,
+       GREATEST(ls.label, ld.label) AS label_b,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM e
+JOIN labels ls ON ls.node = e.src
+JOIN labels ld ON ld.node = e.dst
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "graph_pagerank": q_graph_pagerank,
@@ -850,6 +895,7 @@ QUERIES = {
     "graph_jaccard": q_graph_jaccard,
     "graph_adamic_adar": q_graph_adamic_adar,
     "graph_hits": q_graph_hits,
+    "graph_summarize": q_graph_summarize,
 }
 
 ORACLE = {
@@ -862,4 +908,5 @@ ORACLE = {
     "graph_jaccard": ORACLE_Q_GRAPH_JACCARD,
     "graph_adamic_adar": ORACLE_Q_GRAPH_ADAMIC_ADAR,
     "graph_hits": _hits_oracle(),
+    "graph_summarize": ORACLE_Q_GRAPH_SUMMARIZE,
 }
