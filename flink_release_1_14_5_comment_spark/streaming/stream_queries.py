@@ -1008,6 +1008,67 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SinkUpsertMaterializer graded end-to-end (reference
+    SinkUpsertMaterializer.java:57): a keyed changelog replays in two EXACT
+    batches — batch 1 inserts every even-keyed order, batch 2 re-prices
+    every 4th key (+U), deletes every 96th (-D), and late-inserts the odd
+    keys — and the foreachBatch merge (union with the current table,
+    keep-newest-per-key, cross-batch delete shadowing) materializes the
+    final keyed parquet table. The table must equal the closed-form fold:
+    latest version per surviving key."""
+    import tempfile
+
+    o = load_tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_c"),
+        F.lit(1).alias("seq"), F.lit("+I").alias("__rowkind"))
+    upd = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_orderstatus", (cents * 2).alias("price_c"),
+        F.lit(2).alias("seq"), F.lit("+U").alias("__rowkind"))
+    dels = o.filter(F.col("o_orderkey") % 96 == 0).select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_c"),
+        F.lit(3).alias("seq"), F.lit("-D").alias("__rowkind"))
+    late = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", cents.alias("price_c"),
+        F.lit(2).alias("seq"), F.lit("+I").alias("__rowkind"))
+    b2 = upd.unionByName(dels).unionByName(late)
+    stream, tmp = sources.replay_as_stream(spark, b1, n_chunks=1,
+                                           final_dfs=[b2])
+    target = tempfile.mkdtemp(prefix="spark_graft_upsert_") + "/t"
+    try:
+        from flink_release_1_14_5_comment_spark.streaming.changelog import (
+            upsert_sink,
+        )
+
+        q = upsert_sink(stream, ["o_orderkey"], "seq", target)
+        # upsert_sink runs a continuous-trigger stream (a real sink never
+        # stops); the harness drains what the replay produced, then stops.
+        q.processAllAvailable()
+        q.stop()
+        final = spark.read.parquet(target).select(
+            "o_orderkey", "o_orderstatus",
+            F.round(F.col("price_c") / 100, 2).alias("price"))
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        sources.cleanup(tmp)
+
+
+ORACLE_Q_STREAM_UPSERT_MATERIALIZE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         ROUND(o_totalprice * 100, 0) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus,
+       ROUND(CASE WHEN o_orderkey % 4 = 0 THEN cents * 2 ELSE cents END
+             / 100, 2) AS price
+FROM base
+WHERE o_orderkey % 96 <> 0
+"""
+
+
 def q_keyed_process_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KeyedProcessFunction + keyed STATE graded (reference
     KeyedProcessFunction.java / ValueState): a user-written process function
@@ -2081,6 +2142,7 @@ QUERIES = {
     "changelog_drop_update_before": q_changelog_drop_update_before,
     "streaming_file_sink": q_streaming_file_sink,
     "keyed_process_state": q_keyed_process_state,
+    "stream_upsert_materialize": q_stream_upsert_materialize,
     "stream_window_session": q_stream_window_session,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_over_unbounded": q_stream_over_unbounded,
@@ -2124,6 +2186,7 @@ ORACLE = {
     "changelog_drop_update_before": ORACLE_Q_CHANGELOG_DROP_UPDATE_BEFORE,
     "streaming_file_sink": ORACLE_Q_STREAMING_FILE_SINK,
     "keyed_process_state": ORACLE_Q_KEYED_PROCESS_STATE,
+    "stream_upsert_materialize": ORACLE_Q_STREAM_UPSERT_MATERIALIZE,
     "stream_window_session": ORACLE_Q_STREAM_WINDOW_SESSION,
     "stream_cep_funnel": ORACLE_Q_STREAM_CEP_FUNNEL,
     "stream_over_unbounded": ORACLE_Q_STREAM_OVER_UNBOUNDED,
