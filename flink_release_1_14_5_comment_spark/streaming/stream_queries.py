@@ -1047,10 +1047,10 @@ def q_stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stops); the harness drains what the replay produced, then stops.
         q.processAllAvailable()
         q.stop()
-        final = spark.read.parquet(target).select(
+        # target outlives the call — keep the result lazy, never collected
+        return spark.read.parquet(target).select(
             "o_orderkey", "o_orderstatus",
             F.round(F.col("price_c") / 100, 2).alias("price"))
-        return spark.createDataFrame(final.collect(), final.schema)
     finally:
         sources.cleanup(tmp)
 
@@ -1148,17 +1148,15 @@ def q_streaming_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
              .start())
         q.awaitTermination(300)
         back = spark.read.parquet(sink_dir + "/data")
-        rows = (back.groupBy("event_type")
+        # the sink dir outlives the call (a few MB of committed parquet per
+        # run) so the result stays LAZY — no driver-side materialization
+        return (back.groupBy("event_type")
                 .agg(F.count(F.lit(1)).cast("long").alias("n"),
                      F.round(F.sum("value"), 2).alias("sum_value"),
                      F.min("event_id").cast("long").alias("min_id"),
                      F.max("event_id").cast("long").alias("max_id")))
-        # materialize before the source/sink tempdirs are removed
-        out = spark.createDataFrame(rows.collect(), rows.schema)
-        return out
     finally:
         sources.cleanup(tmp)
-        sources.cleanup(sink_dir)
 
 
 ORACLE_Q_STREAMING_FILE_SINK = """
