@@ -346,8 +346,95 @@ def q_best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _BEST_WORST_SQL)
 
 
+# Both engines share date_trunc('week', ...) (ISO Monday) and pure-integer
+# week indexing from the epoch, so the cohort matrix is arithmetic-exact.
+_COHORT_SPARK = """
+WITH activity AS (
+  SELECT user_id,
+         CAST(FLOOR(DATEDIFF(CAST(ts AS DATE), DATE '1970-01-01') / 7) AS BIGINT) AS week_idx
+  FROM events GROUP BY 1, 2
+), cohorts AS (
+  SELECT user_id, MIN(week_idx) AS cohort_week FROM activity GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort_week
+), cells AS (
+  SELECT c.cohort_week, a.week_idx - c.cohort_week AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT ce.cohort_week, ce.week_offset,
+       CAST(ce.n_active AS BIGINT) AS n_active,
+       CAST(sz.n_cohort AS BIGINT) AS n_cohort,
+       ROUND(CAST(ce.n_active AS DOUBLE) / sz.n_cohort, 4) AS retention
+FROM cells ce JOIN sizes sz ON sz.cohort_week = ce.cohort_week
+"""
+
+_COHORT_DUCK = """
+WITH activity AS (
+  SELECT user_id,
+         CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01', ts::DATE) / 7) AS BIGINT) AS week_idx
+  FROM events GROUP BY 1, 2
+), cohorts AS (
+  SELECT user_id, MIN(week_idx) AS cohort_week FROM activity GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort_week
+), cells AS (
+  SELECT c.cohort_week, a.week_idx - c.cohort_week AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT ce.cohort_week, ce.week_offset,
+       CAST(ce.n_active AS BIGINT) AS n_active,
+       CAST(sz.n_cohort AS BIGINT) AS n_cohort,
+       ROUND(CAST(ce.n_active AS DOUBLE) / sz.n_cohort, 4) AS retention
+FROM cells ce JOIN sizes sz ON sz.cohort_week = ce.cohort_week
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the events stream — THE
+    product-analytics workload (cohort = a user's first active epoch-week;
+    cell = share of the cohort active again N weeks later). Three bounded
+    aggregations: per-(user, week) dedup, per-user min, per-(cohort, offset)
+    distinct count — at 100 TB the user-week dedup is the only large
+    shuffle and it is map-side combinable; the matrix itself is tiny."""
+    return _sql(spark, sf_dir, _COHORT_SPARK)
+
+
+_FUNNEL_RATES = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM events GROUP BY 1, 2
+)
+SELECT day,
+       CAST(SUM(saw) AS BIGINT) AS n_view,
+       CAST(SUM(saw * clicked) AS BIGINT) AS n_view_click,
+       CAST(SUM(saw * clicked * bought) AS BIGINT) AS n_full_funnel,
+       ROUND(CAST(SUM(saw * clicked) AS DOUBLE)
+             / NULLIF(SUM(saw), 0), 4) AS click_rate,
+       ROUND(CAST(SUM(saw * clicked * bought) AS DOUBLE)
+             / NULLIF(SUM(saw * clicked), 0), 4) AS purchase_rate
+FROM daily GROUP BY day
+"""
+
+
+def q_funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily set-based funnel conversion table (view → click → purchase per
+    user-day; the ORDERED within-24h funnel is funnel_match/cep_nfa_batch —
+    this is the dashboard rollup a growth team reads). One user-day dedup
+    aggregate + one daily rollup; identical SQL text in both engines."""
+    return _sql(spark, sf_dir, _FUNNEL_RATES)
+
+
 QUERIES = {
     "sales_rollup_nation_year": q_sales_rollup_nation_year,
+    "cohort_retention": q_cohort_retention,
+    "funnel_conversion_rates": q_funnel_conversion_rates,
     "deep_chain_regions": q_deep_chain_regions,
     "having_corr_revenue": q_having_corr_revenue,
     "exists_returned_customers": q_exists_returned_customers,
@@ -364,6 +451,8 @@ QUERIES = {
 
 ORACLE = {
     "sales_rollup_nation_year": _ROLLUP_SQL.format(gid="GROUPING(n_name, yr)"),
+    "cohort_retention": _COHORT_DUCK,
+    "funnel_conversion_rates": _FUNNEL_RATES,
     "deep_chain_regions": _DEEP_CHAIN_SQL,
     "having_corr_revenue": _HAVING_CORR_SQL,
     "exists_returned_customers": _EXISTS_SQL,
