@@ -689,9 +689,56 @@ GROUP BY t.lang, t.target_chars
 """
 
 
+# Identical SQL text in both engines: levenshtein / substr / ROW_NUMBER all
+# agree, and the typo injection is deterministic (every 7th supplier's last
+# character becomes 'X').
+_FUZZY_SQL = """
+WITH catalog AS (
+  SELECT s_suppkey AS clean_key, s_name AS clean_name FROM supplier
+), dirty AS (
+  SELECT s_suppkey AS dirty_key,
+         CASE WHEN s_suppkey % 7 = 0
+              THEN CONCAT(SUBSTR(s_name, 1, LENGTH(s_name) - 1), 'X')
+              ELSE s_name END AS dirty_name
+  FROM supplier
+), cand AS (
+  SELECT d.dirty_key, d.dirty_name, c.clean_key,
+         LEVENSHTEIN(d.dirty_name, c.clean_name) AS dist
+  FROM dirty d JOIN catalog c
+    ON SUBSTR(d.dirty_name, 1, 16) = SUBSTR(c.clean_name, 1, 16)
+  WHERE LEVENSHTEIN(d.dirty_name, c.clean_name) <= 2
+), best AS (
+  SELECT dirty_key, clean_key, dist,
+         ROW_NUMBER() OVER (PARTITION BY dirty_key
+                            ORDER BY dist, clean_key) AS rn
+  FROM cand
+)
+SELECT dirty_key, clean_key AS matched_key, CAST(dist AS BIGINT) AS dist,
+       CAST(CASE WHEN dirty_key = clean_key THEN 1 ELSE 0 END AS BIGINT)
+         AS is_correct
+FROM best WHERE rn = 1
+"""
+
+
+def q_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution — the data-cleaning workhorse the
+    dedup family doesn't cover (record linkage against a clean catalog, not
+    self-dedup): deterministic typos corrupt every 7th supplier name, and
+    each dirty record re-matches the catalog via BLOCKING (16-char prefix
+    equi-join — never a cross join) + Levenshtein ≤ 2 + best-match rank
+    (min distance, then min key). `is_correct` audits linkage accuracy in
+    the artifact itself. Scale: blocking turns the O(n²) distance matrix
+    into per-block candidates; block width is the recall/cost knob exactly
+    as in the MinHash banding family (a boundary-crossing typo is missed —
+    inherent to blocking, mirrored identically by the oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_FUZZY_SQL)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "corpus_mix": q_corpus_mix,
+    "fuzzy_entity_match": q_fuzzy_entity_match,
     "vocab_oov_rate": q_vocab_oov_rate,
     "token_counts": q_token_counts,
     "doc_winnow": q_doc_winnow,
@@ -707,6 +754,7 @@ QUERIES = {
 ORACLE = {
     "text_stats": ORACLE_Q_TEXT_STATS,
     "corpus_mix": ORACLE_Q_CORPUS_MIX,
+    "fuzzy_entity_match": _FUZZY_SQL,
     "vocab_oov_rate": ORACLE_Q_VOCAB_OOV_RATE,
     "token_counts": ORACLE_Q_TOKEN_COUNTS,
     "doc_winnow": ORACLE_Q_DOC_WINNOW,
