@@ -163,13 +163,55 @@ def q_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+# 32-bit Morton (Z-order) code: interleave 16 bits of partkey with 16 bits
+# of suppkey. `>> & <<` parse identically in Spark SQL and DuckDB, so ONE
+# SQL text serves both engines.
+_ZORDER_SQL = """
+WITH coded AS (
+  SELECT l_partkey, l_suppkey,
+         (((l_partkey >> 0) & 1) << 1) + (((l_suppkey >> 0) & 1) << 0) + (((l_partkey >> 1) & 1) << 3) + (((l_suppkey >> 1) & 1) << 2) + (((l_partkey >> 2) & 1) << 5) + (((l_suppkey >> 2) & 1) << 4) + (((l_partkey >> 3) & 1) << 7) + (((l_suppkey >> 3) & 1) << 6) + (((l_partkey >> 4) & 1) << 9) + (((l_suppkey >> 4) & 1) << 8) + (((l_partkey >> 5) & 1) << 11) + (((l_suppkey >> 5) & 1) << 10) + (((l_partkey >> 6) & 1) << 13) + (((l_suppkey >> 6) & 1) << 12) + (((l_partkey >> 7) & 1) << 15) + (((l_suppkey >> 7) & 1) << 14) + (((l_partkey >> 8) & 1) << 17) + (((l_suppkey >> 8) & 1) << 16) + (((l_partkey >> 9) & 1) << 19) + (((l_suppkey >> 9) & 1) << 18) + (((l_partkey >> 10) & 1) << 21) + (((l_suppkey >> 10) & 1) << 20) + (((l_partkey >> 11) & 1) << 23) + (((l_suppkey >> 11) & 1) << 22) + (((l_partkey >> 12) & 1) << 25) + (((l_suppkey >> 12) & 1) << 24) + (((l_partkey >> 13) & 1) << 27) + (((l_suppkey >> 13) & 1) << 26) + (((l_partkey >> 14) & 1) << 29) + (((l_suppkey >> 14) & 1) << 28) + (((l_partkey >> 15) & 1) << 31) + (((l_suppkey >> 15) & 1) << 30) AS z
+  FROM lineitem
+), bucketed AS (
+  SELECT z >> 24 AS z_bucket, l_partkey, l_suppkey FROM coded
+)
+SELECT CAST(z_bucket AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+       CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS part_span,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+       CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS supp_span
+FROM bucketed
+GROUP BY z_bucket
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustering audit — the multi-dimensional
+    data-skipping layout (Delta OPTIMIZE ZORDER, Iceberg sort orders): each
+    lineitem row gets a 32-bit interleaved (partkey, suppkey) code, rows
+    bucket by the code's top byte, and the output is the ZONE MAP a scan
+    planner would consult — per-bucket min/max spans on BOTH dimensions.
+    Narrow spans on both axes at once are the whole point (a single-column
+    sort narrows one axis and leaves the other full-range): a predicate on
+    EITHER key prunes most buckets. The code is a pure codegen map; the
+    audit is one bounded-key agg (<=256 buckets). At 100 TB you'd
+    repartitionByRange(z) and write — the zone map here is exactly what
+    parquet row-group min/max stats would then contain."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ZORDER_SQL)
+
+
 QUERIES = {
     "skew_salted_join": q_skew_salted_join,
     "split_distinct_agg": q_split_distinct_agg,
     "range_join_tiers": q_range_join_tiers,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLE = {
+    "zorder_layout": _ZORDER_SQL,
     "skew_salted_join": _SALTED_JOIN_PLAIN_SQL,
     "split_distinct_agg": _SPLIT_DISTINCT_PLAIN_SQL,
     "range_join_tiers": _RANGE_JOIN_BODY.format(
