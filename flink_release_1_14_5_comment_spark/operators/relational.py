@@ -888,6 +888,68 @@ GROUP BY event_type
 """
 
 
+_COLLECTIONS_SPARK = """
+WITH base AS (
+  SELECT l_linestatus,
+         array(CAST(l_quantity AS BIGINT),
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT),
+               CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS arr,
+         map('qty', CAST(l_quantity AS BIGINT),
+             'disc', CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS m
+  FROM lineitem WHERE l_orderkey % 5 = 0
+)
+SELECT l_linestatus,
+       CAST(SUM(size(arr)) AS BIGINT) AS total_card,
+       CAST(SUM(element_at(arr, 1)) AS BIGINT) AS sum_first,
+       CAST(SUM(CASE WHEN array_contains(arr, CAST(10 AS BIGINT))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_has_ten,
+       CAST(SUM(element_at(sort_array(arr), 1)) AS BIGINT) AS sum_min_elem,
+       CAST(SUM(size(array_distinct(arr))) AS BIGINT) AS total_distinct_card,
+       CAST(SUM(aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x)) AS BIGINT)
+         AS sum_fold,
+       CAST(SUM(element_at(m, 'qty') + element_at(m, 'disc')) AS BIGINT)
+         AS sum_map_vals,
+       CAST(SUM(size(map_keys(m))) AS BIGINT) AS total_map_card
+FROM base GROUP BY l_linestatus
+"""
+
+ORACLE_Q_SCALAR_COLLECTIONS = """
+WITH base AS (
+  SELECT l_linestatus,
+         [CAST(l_quantity AS BIGINT),
+          CAST(ROUND(l_discount * 100, 0) AS BIGINT),
+          CAST(ROUND(l_tax * 100, 0) AS BIGINT)] AS arr,
+         MAP { 'qty': CAST(l_quantity AS BIGINT),
+               'disc': CAST(ROUND(l_discount * 100, 0) AS BIGINT) } AS m
+  FROM lineitem WHERE l_orderkey % 5 = 0
+)
+SELECT l_linestatus,
+       CAST(SUM(len(arr)) AS BIGINT) AS total_card,
+       CAST(SUM(arr[1]) AS BIGINT) AS sum_first,
+       CAST(SUM(CASE WHEN list_contains(arr, 10) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_has_ten,
+       CAST(SUM(list_min(arr)) AS BIGINT) AS sum_min_elem,
+       CAST(SUM(len(list_distinct(arr))) AS BIGINT) AS total_distinct_card,
+       CAST(SUM(list_sum(arr)) AS BIGINT) AS sum_fold,
+       CAST(SUM((m['qty'])[1] + (m['disc'])[1]) AS BIGINT) AS sum_map_vals,
+       CAST(SUM(cardinality(m)) AS BIGINT) AS total_map_card
+FROM base GROUP BY l_linestatus
+"""
+
+
+def q_scalar_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection constructors + functions (SURVEY §2.8; reference
+    FlinkSqlOperatorTable ARRAY/MAP value constructors, CARDINALITY,
+    ELEMENT/item access, and the array function family): ARRAY and MAP
+    built per row from lineitem columns, then CARDINALITY, subscripting,
+    membership, sort-min, distinct-cardinality, a higher-order fold, and
+    map key/value access — every value integer-exact so the gauntlet is
+    hash-checked with no rounding slack."""
+    t = register_views(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("lineitem")
+    return spark.sql(_COLLECTIONS_SPARK)
+
+
 def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional functions: CASE WHEN, NULLIF, COALESCE, IS DISTINCT FROM
     (BuiltInFunctionDefinitions.java:130-302)."""
@@ -951,6 +1013,7 @@ QUERIES = {
     "scalar_math": q_scalar_math,
     "scalar_temporal": q_scalar_temporal,
     "scalar_json": q_scalar_json,
+    "scalar_collections": q_scalar_collections,
     "case_coalesce": q_case_coalesce,
 }
 
@@ -984,5 +1047,6 @@ ORACLE = {
     "scalar_math": ORACLE_Q_SCALAR_MATH,
     "scalar_temporal": ORACLE_Q_SCALAR_TEMPORAL,
     "scalar_json": ORACLE_Q_SCALAR_JSON,
+    "scalar_collections": ORACLE_Q_SCALAR_COLLECTIONS,
     "case_coalesce": ORACLE_Q_CASE_COALESCE,
 }
