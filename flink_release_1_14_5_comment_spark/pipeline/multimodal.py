@@ -205,12 +205,14 @@ def q_stream_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).cast("long").alias("n_media"),
                     F.sum("n_bytes").cast("long").alias("total_bytes"),
                     F.round(F.sum("feat_sum"), 4).alias("feat_total")))
-        name = "sq" + __import__("uuid").uuid4().hex[:10]
-        q = (agg.writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination(300)
-        out = spark.table(name)
-        return spark.createDataFrame(out.collect(), out.schema)
+        # lazy memory-sink read (the streaming_file_sink pattern): the
+        # complete-mode memory table outlives the terminated query, so no
+        # driver-side collect/recreate is needed
+        from flink_release_1_14_5_comment_spark.streaming.stream_queries import (
+            _run_to_memory,
+        )
+
+        return _run_to_memory(agg, mode="complete")
     finally:
         sources.cleanup(tmp)
 

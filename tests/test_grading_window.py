@@ -27,33 +27,36 @@ def test_priority_all_resolvable_with_oracles():
     assert list(qs)[:50] == entry._PRIORITY
 
 
-# r5 window: full rotation onto the never-officially-graded set (VERDICT r4
-# #1). Families graded green in r2-r4 (core aggs/joins/windows/dedup/...)
-# keep that multi-round official record plus the per-commit pytest sweep;
-# the anchors below assert the r5 window's own family spread so a rotation
-# edit can't silently drop one of the NEW evidence families.
+# r6 window: window 1 of 2 over the 88-entry official-evidence backlog
+# (VERDICT r5 #1). Families graded green in r2-r5 (TPC-H, core streaming,
+# ANN, scalar gauntlets, graph...) keep that multi-round official record
+# plus the per-commit pytest sweep; the anchors below assert the r6
+# window's own family spread so a rotation edit can't silently drop one
+# of the NEW evidence families.
 FAMILY_ANCHORS = {
-    "tpch-join-agg": "tpch_q9",
-    "tpch-subquery": "tpch_q21",
-    "tpch-exists": "tpch_q4",
-    "stream-semi": "stream_semi_join",
-    "stream-anti": "stream_anti_join",
-    "stream-session": "stream_window_session",
-    "stream-cep": "stream_cep_funnel",
-    "count-window": "stream_count_window",
-    "evictor": "stream_window_evictor",
-    "session-evictor": "stream_session_evictor",
-    "stream-join": "stream_window_join",
-    "lookup": "stream_lookup_join",
-    "temporal-table-fn": "temporal_table_fn",
-    "ann-pq": "ann_pq_topk",
-    "ann-ivfpq": "ann_ivfpq_topk",
-    "quality-lm": "lm_perplexity",
-    "dedup-recall": "dedup_recall_eval",
-    "text": "tfidf_top_terms",
-    "cep-batch": "cep_nfa_batch",
-    "scalar": "scalar_string",
-    "graph": "graph_triangles",
+    "sql-front-door-tvf": "window_tvf_sql",
+    "sql-front-door-mr": "match_recognize_sql",
+    "sql-front-door-cast": "legacy_cast_sql",
+    "sql-front-door-ddl": "ddl_filesystem_sql",
+    "unnest": "unnest_tokens",
+    "lateral": "lateral_topk",
+    "python-udf": "python_udf_gauntlet",
+    "changelog-dub": "changelog_drop_update_before",
+    "changelog-upsert-mat": "stream_upsert_materialize",
+    "changelog-notnull": "sink_not_null_enforcer",
+    "stream-over-rows": "stream_over_rows",
+    "stream-over-range": "stream_over_range",
+    "setop-all": "set_except_all",
+    "grouping-sets": "cube",
+    "io-roundtrip": "io_roundtrip_avro",
+    "streaming-file-sink": "streaming_file_sink",
+    "api-facade": "table_api_fluent",
+    "table-agg": "table_flat_aggregate",
+    "stream-join-left": "stream_regular_join_full",
+    "stream-dedup": "stream_dedup_keeplast",
+    "cdc": "cdc_debezium_agg",
+    "relational-ext": "exists_and_not_exists",
+    "semantic-dedup": "dedup_semantic",
 }
 
 
