@@ -29,6 +29,7 @@ def _modules():
         scale,
         temporal_joins,
         time_windows,
+        tpcds_shapes,
         tpch,
     )
     from flink_release_1_14_5_comment_spark.pipeline import (
@@ -48,7 +49,8 @@ def _modules():
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
     return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal, sketches, end_to_end,
-            time_windows, temporal_joins, patterns, analytic_shapes, tpch, scale,
+            time_windows, temporal_joins, patterns, analytic_shapes, tpch,
+            tpcds_shapes, scale,
             relational_ext, relational, io_queries, udf_queries, api_queries, stream_queries]
 
 

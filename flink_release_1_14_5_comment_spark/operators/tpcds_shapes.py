@@ -1,0 +1,384 @@
+"""Adapted TPC-DS query pack (VERDICT r5 #4): the reference's flagship
+batch gate is 103 literal TPC-DS queries (flink-end-to-end-tests/
+flink-tpcds-test/TpcdsTestProgram.java:76-87). The testdata ships a TPC-H
+star schema, so the literal corpus can't run — this module adapts the
+TPC-DS query SHAPES that the TPC-H suite + analytic_shapes.py still
+under-covered onto the existing tables, one graded query per shape:
+
+* q51  — two-channel CUMULATIVE sums full-outer-compared (crossover scan)
+* q63  — monthly revenue vs rolling in-year average per brand
+* q14  — INTERSECT of item sets across channels, then channel UNION + ROLLUP
+* q1/q30 — correlated scalar subquery over a RETURNS aggregate (1.2x avg)
+* q34  — per-ticket item-count band → repeat-buyer listing
+* q59  — month-over-year self-join of a weekly/monthly revenue frame
+* q93  — fact LEFT JOIN returns-fact with COALESCE-patched net revenue
+* q11/q4 — two-year spending-ratio comparison across two channels
+* q67  — rank-within-ROLLUP cells, top-k per grouping level
+* q35  — double-EXISTS-filtered demographic group aggregate
+
+Scale notes (100 TB): every shape aggregates facts FIRST (one shuffle per
+fact key, dims broadcast) and runs windows / self-joins over the small
+aggregated frames — cumulative windows partition by nation (bounded), the
+q59/q11 self-joins key on (entity, period) agg outputs, and the q14
+INTERSECT plans as semi joins over distinct part keys. No window or join
+ever touches raw fact rows except the keyed fact-fact joins themselves.
+
+Determinism (module convention, see analytic_shapes.py): ALL money flows
+as integer cents (per-row ROUND(x*100) is bit-identical across engines on
+identical doubles; BIGINT sums are order-independent exact), divided back
+to 2dp/4dp only at output; counts CAST BIGINT; averages/ratios as
+multiply-before-divide on the exact cents; rankings carry unique
+tiebreakers with explicit NULLS placement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+# TPC-DS q51: per-entity cumulative revenue of two channels (even/odd
+# lineitem parity — the testdata has no shipmode column) compared row by
+# row; emit periods where one channel's running total leads. Cumulative
+# SUMs run over exact integer cents, so the crossover predicate is pure
+# integer comparison — it cannot flip on a last-ulp difference.
+_Q51_SQL = """
+WITH m AS (
+  SELECT n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         SUM(CASE WHEN l_linenumber % 2 = 0
+                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS even_cents,
+         SUM(CASE WHEN l_linenumber % 2 = 1
+                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS odd_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+                        + EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+), cum AS (
+  SELECT n_name, ym,
+         SUM(even_cents) OVER (PARTITION BY n_name ORDER BY ym
+                               ROWS UNBOUNDED PRECEDING) AS cum_even,
+         SUM(odd_cents)  OVER (PARTITION BY n_name ORDER BY ym
+                               ROWS UNBOUNDED PRECEDING) AS cum_odd
+  FROM m
+)
+SELECT n_name, ym,
+       round(cum_even / 100, 2) AS cum_even_rev,
+       round(cum_odd  / 100, 2) AS cum_odd_rev
+FROM cum
+WHERE cum_even > cum_odd
+"""
+
+# TPC-DS q63: monthly brand revenue vs the brand's own in-year monthly
+# average; keep months deviating by more than 10%. The window runs over the
+# one-row-per-(brand, month) agg frame; the average is an exact cents
+# window sum over a window count (multiply-before-divide on the 1.1/0.9
+# deviation bounds, so the filter compares exact integers scaled once).
+_Q63_SQL = """
+WITH bm AS (
+  SELECT p_brand,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS rev_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey  = p_partkey
+  GROUP BY p_brand, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+), w AS (
+  SELECT p_brand, yr, mon, rev_cents,
+         SUM(rev_cents) OVER (PARTITION BY p_brand, yr) AS yr_cents,
+         CAST(COUNT(*) OVER (PARTITION BY p_brand, yr) AS BIGINT) AS yr_months
+  FROM bm
+)
+SELECT p_brand, yr, mon,
+       round(rev_cents / 100, 2) AS rev,
+       -- never round(avg): identical integer division → bit-identical
+       -- doubles in both engines (a 4dp ROUND can tie-break differently)
+       yr_cents / (100 * yr_months) AS avg_monthly
+FROM w
+WHERE rev_cents * yr_months > 1.1 * yr_cents
+   OR rev_cents * yr_months < 0.9 * yr_cents
+"""
+
+# TPC-DS q14: parts sold in ALL THREE quantity-band "channels" (INTERSECT
+# over distinct part keys → semi-join plan), then per-channel sales of
+# those cross-channel parts with a two-level ROLLUP. {gid} differs per
+# engine: Spark grouping_id(...) / DuckDB GROUPING(...).
+_Q14_SQL = """
+WITH cross_items AS (
+  SELECT l_partkey AS pk FROM lineitem WHERE l_quantity < 10
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 25
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_quantity >= 25
+), sales AS (
+  SELECT CASE WHEN l_quantity < 10 THEN 'small'
+              WHEN l_quantity < 25 THEN 'mid'
+              ELSE 'large' END AS channel,
+         p_brand,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN cross_items ON l_partkey = pk
+  JOIN part        ON l_partkey = p_partkey
+)
+SELECT channel, p_brand, CAST({gid} AS BIGINT) AS gid,
+       round(SUM(cents) / 100, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM sales
+GROUP BY ROLLUP (channel, p_brand)
+"""
+
+# TPC-DS q1/q30: customers whose total returned revenue exceeds 1.2x the
+# average return total of their nation — correlated scalar subquery over a
+# returns AGGREGATE (not the raw fact), decorrelated by both engines into
+# an agg + join. Mean as 1.2*SUM/COUNT, multiply before divide.
+_Q1_SQL = """
+WITH ret AS (
+  SELECT o_custkey AS ck, c_nationkey AS nk,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS ret_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey, c_nationkey
+)
+SELECT c_custkey, c_mktsegment,
+       round(r.ret_cents / 100, 2) AS ret_amt
+FROM ret r
+JOIN customer ON c_custkey = r.ck
+WHERE r.ret_cents > (SELECT 1.2 * SUM(r2.ret_cents) / COUNT(*)
+                     FROM ret r2 WHERE r2.nk = r.nk)
+"""
+
+# TPC-DS q34: tickets (orders) whose item count falls in a band, then the
+# repeat buyers behind them — agg → HAVING band → fact join → agg → HAVING.
+_Q34_SQL = """
+WITH big AS (
+  SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 5 AND 7
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_band_orders,
+       CAST(SUM(n_items) AS BIGINT) AS total_items
+FROM big
+JOIN orders   ON o_orderkey = ok
+JOIN customer ON c_custkey  = o_custkey
+GROUP BY c_custkey, c_mktsegment
+HAVING COUNT(*) >= 2
+"""
+
+# TPC-DS q59: the same per-(nation, month) revenue frame self-joined one
+# year apart — period-over-period comparison as a JOIN (q47's LAG sibling).
+_Q59_SQL = """
+WITH nm AS (
+  SELECT n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+)
+SELECT a.n_name, a.yr AS yr1, a.mon,
+       round(a.rev_cents / 100, 2) AS rev1,
+       round(b.rev_cents / 100, 2) AS rev2,
+       CASE WHEN a.rev_cents > 0
+            THEN round(CAST(b.rev_cents AS DOUBLE) / a.rev_cents, 4) END AS ratio
+FROM nm a
+JOIN nm b ON a.n_name = b.n_name AND a.mon = b.mon AND b.yr = a.yr + 1
+"""
+
+# TPC-DS q93: net revenue after returns — fact LEFT JOIN a returns-fact
+# aggregate keyed on the same order, COALESCE patching the no-returns side.
+_Q93_SQL = """
+WITH ret AS (
+  SELECT l_orderkey AS ok,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS ret_cents
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(ret_cents) AS BIGINT) AS n_with_returns,
+       round(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100, 2) AS gross,
+       round(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 - COALESCE(ret_cents, 0)) / 100, 2) AS net
+FROM orders
+LEFT JOIN ret ON o_orderkey = ok
+GROUP BY o_orderpriority
+"""
+
+# TPC-DS q11/q4: customers whose year-over-year spending ratio in the
+# high-priority channel beats their ratio in the low-priority channel —
+# per-(customer, year) two-channel agg self-joined a year apart, ratio
+# comparison on bit-identical rounded doubles.
+_Q11_SQL = """
+WITH cy AS (
+  SELECT o_custkey AS ck,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS hi_cents,
+         SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS lo_cents
+  FROM orders
+  GROUP BY o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT a.ck AS c_custkey, a.yr AS yr1,
+       round(CAST(b.hi_cents AS DOUBLE) / a.hi_cents, 4) AS hi_ratio,
+       round(CAST(b.lo_cents AS DOUBLE) / a.lo_cents, 4) AS lo_ratio
+FROM cy a
+JOIN cy b ON a.ck = b.ck AND b.yr = a.yr + 1
+WHERE a.hi_cents > 0 AND a.lo_cents > 0
+  AND CAST(b.hi_cents AS DOUBLE) / a.hi_cents
+      > CAST(b.lo_cents AS DOUBLE) / a.lo_cents
+"""
+
+# TPC-DS q67: rank inside each ROLLUP level (the window partitions by
+# grouping id, so detail rows, per-nation subtotals, and the grand total
+# each rank in their own small partition), top-5 per level. Explicit NULLS
+# FIRST on the tiebreakers — engine defaults differ.
+_Q67_SQL = """
+WITH base AS (
+  SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+), cell AS (
+  SELECT n_name, yr, CAST({gid} AS BIGINT) AS gid,
+         round(SUM(cents) / 100, 2) AS rev
+  FROM base
+  GROUP BY ROLLUP (n_name, yr)
+)
+SELECT n_name, yr, gid, rev, rk
+FROM (
+  SELECT n_name, yr, gid, rev,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY gid
+           ORDER BY rev DESC, n_name ASC NULLS FIRST, yr ASC NULLS FIRST
+         ) AS BIGINT) AS rk
+  FROM cell
+) t
+WHERE rk <= 5
+"""
+
+# TPC-DS q35: demographic aggregate over customers passing TWO correlated
+# EXISTS filters (both decorrelate to semi joins), grouped by two dim
+# attributes with count/sum/min/max.
+_Q35_SQL = """
+SELECT c_mktsegment, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100, 2) AS total_bal,
+       round(MIN(c_acctbal), 2) AS min_bal,
+       round(MAX(c_acctbal), 2) AS max_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem
+              JOIN orders o2 ON l_orderkey = o2.o_orderkey
+              WHERE o2.o_custkey = c_custkey AND l_quantity > 30)
+GROUP BY c_mktsegment, n_name
+"""
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+def q_tpcds_q51_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51 shape: two-channel cumulative revenue crossover per nation —
+    DECIMAL running sums over the (nation, month) agg frame."""
+    return _sql(spark, sf_dir, _Q51_SQL)
+
+
+def q_tpcds_q63_rolling_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q63 shape: monthly brand revenue vs the brand's in-year monthly
+    average, >10% deviations kept — window over the agg output."""
+    return _sql(spark, sf_dir, _Q63_SQL)
+
+
+def q_tpcds_q14_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q14 shape: 3-way INTERSECT of channel item sets, then channel sales
+    of the cross-channel parts under a two-level ROLLUP."""
+    return _sql(spark, sf_dir, _Q14_SQL.format(gid="grouping_id(channel, p_brand)"))
+
+
+def q_tpcds_q1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1/q30 shape: correlated scalar subquery over a returns aggregate —
+    customers beating 1.2x their nation's average return total."""
+    return _sql(spark, sf_dir, _Q1_SQL)
+
+
+def q_tpcds_q34_order_size_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q34 shape: ticket-size band (HAVING between) → repeat buyers."""
+    return _sql(spark, sf_dir, _Q34_SQL)
+
+
+def q_tpcds_q59_month_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q59 shape: per-(nation, month) revenue self-joined one year apart."""
+    return _sql(spark, sf_dir, _Q59_SQL)
+
+
+def q_tpcds_q93_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q93 shape: orders LEFT JOIN per-order returns aggregate, COALESCE-
+    patched net revenue per priority."""
+    return _sql(spark, sf_dir, _Q93_SQL)
+
+
+def q_tpcds_q11_loyalty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11/q4 shape: year-over-year spending ratios compared across two
+    channels per customer."""
+    return _sql(spark, sf_dir, _Q11_SQL)
+
+
+def q_tpcds_q67_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67 shape: top-5 by revenue inside every ROLLUP level (window
+    partitioned by grouping id over the EXPAND output)."""
+    return _sql(spark, sf_dir, _Q67_SQL.format(gid="grouping_id(n_name, yr)"))
+
+
+def q_tpcds_q35_grouped_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q35 shape: double-EXISTS-filtered demographic aggregate."""
+    return _sql(spark, sf_dir, _Q35_SQL)
+
+
+QUERIES = {
+    "tpcds_q51_cumulative": q_tpcds_q51_cumulative,
+    "tpcds_q63_rolling_brand": q_tpcds_q63_rolling_brand,
+    "tpcds_q14_cross_channel": q_tpcds_q14_cross_channel,
+    "tpcds_q1_returns_above_avg": q_tpcds_q1_returns_above_avg,
+    "tpcds_q34_order_size_band": q_tpcds_q34_order_size_band,
+    "tpcds_q59_month_over_year": q_tpcds_q59_month_over_year,
+    "tpcds_q93_net_after_returns": q_tpcds_q93_net_after_returns,
+    "tpcds_q11_loyalty_ratio": q_tpcds_q11_loyalty_ratio,
+    "tpcds_q67_topk_rollup": q_tpcds_q67_topk_rollup,
+    "tpcds_q35_grouped_exists": q_tpcds_q35_grouped_exists,
+}
+
+ORACLE = {
+    "tpcds_q51_cumulative": _Q51_SQL,
+    "tpcds_q63_rolling_brand": _Q63_SQL,
+    "tpcds_q14_cross_channel": _Q14_SQL.format(gid="GROUPING(channel, p_brand)"),
+    "tpcds_q1_returns_above_avg": _Q1_SQL,
+    "tpcds_q34_order_size_band": _Q34_SQL,
+    "tpcds_q59_month_over_year": _Q59_SQL,
+    "tpcds_q93_net_after_returns": _Q93_SQL,
+    "tpcds_q11_loyalty_ratio": _Q11_SQL,
+    "tpcds_q67_topk_rollup": _Q67_SQL.format(gid="GROUPING(n_name, yr)"),
+    "tpcds_q35_grouped_exists": _Q35_SQL,
+}

@@ -17,6 +17,10 @@ NAMES = [
     "stream_interval_join_left", "keyed_process_state", "corpus_mix",
     "match_recognize_sql", "table_api_fluent", "async_io_enrich",
     "pipeline_end_to_end", "window_tvf_sql", "legacy_cast_sql",
+    # round-6 additions: the adapted TPC-DS shape pack (one representative
+    # per plan family: ROLLUP+rank, INTERSECT+rollup, cumulative-window)
+    "tpcds_q67_topk_rollup", "tpcds_q14_cross_channel",
+    "tpcds_q51_cumulative",
 ]
 
 SCRIPT = f"""
