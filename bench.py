@@ -96,6 +96,16 @@ HEADLINE = [
     # r5: the composed gate→dedup→near-dup→mix pipeline (flagship; its cost
     # is dominated by the same LSH stage dedup_minhash_lsh times standalone)
     "pipeline_end_to_end",
+    # r6 (VERDICT r5 #7): the round-5 analytics family now perf-tracked
+    "fuzzy_entity_match",
+    "cohort_retention",
+    "funnel_conversion_rates",
+    "histogram_quantile",
+    "zorder_layout",
+    "corpus_mix",            # two-phase skew-proof cut (r6 rewrite)
+    # r6: adapted TPC-DS pack representatives (VERDICT r5 #4)
+    "tpcds_q67_topk_rollup",
+    "tpcds_q14_cross_channel",
 ]
 
 
@@ -134,6 +144,8 @@ def main() -> None:
         "embedding_kmeans",      # end of similarity/clustering family
         "text_stats", "sessionize_paths", "multimodal_features",
         "weighted_sample",       # end of sketch/sampling family
+        "pipeline_end_to_end",   # composed pipeline's caches die with it
+        "corpus_mix",            # end of r5/r6 analytics family
     }
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
