@@ -91,6 +91,65 @@ def test_corpus_mix_two_phase_equals_exact_under_skew(spark):
     assert g == e
 
 
+def test_corpus_mix_two_phase_edge_cases(spark):
+    """Adversarial frames for the bucket-classification boundaries:
+    zero-char docs (cum_before == cum_through buckets), a language in the
+    weights but absent from the docs (must not appear — inner semantics),
+    a language in the docs but not in the weights (ditto), a single-doc
+    language, and a tiny budget that drops whole languages."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_14_5_comment_spark.pipeline.text_analysis import (
+        corpus_mix_two_phase,
+    )
+
+    rows = (
+        # lang 'aa': single doc
+        [(0, "aa", 500)]
+        # lang 'bb': includes zero-char docs interleaved
+        + [(i, "bb", 0 if i % 3 == 0 else (i * 53) % 200 + 1)
+           for i in range(1, 120)]
+        # lang 'zz' exists in docs but NOT in weights
+        + [(i, "zz", 10) for i in range(200, 210)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"]) \
+        .select("doc_id", "lang", F.col("n_chars").cast("long"))
+    # 'cc' is weighted but has no docs; tiny budget exercises full-drop
+    weights = [("aa", 0.50), ("bb", 0.45), ("cc", 0.05)]
+    for frac in (0.02, 0.30, 0.95):
+        got = corpus_mix_two_phase(docs, weights, budget_frac=frac)
+        docs.createOrReplaceTempView("__edge_docs")
+        wvals = ", ".join(f"('{l}', {w})" for l, w in weights)
+        exact = spark.sql(f"""
+          WITH budget AS (
+            SELECT CAST(FLOOR(SUM(n_chars) * {frac}) AS BIGINT) AS total_budget
+            FROM __edge_docs
+          ), weights AS (SELECT * FROM VALUES {wvals} AS w(lang, wt)),
+          targets AS (
+            SELECT w.lang, CAST(FLOOR(w.wt * b.total_budget) AS BIGINT) AS target_chars
+            FROM weights w CROSS JOIN budget b
+          ), ordered AS (
+            SELECT lang, n_chars,
+                   SUM(n_chars) OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(concat('mix:', cast(doc_id AS string))), doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_chars
+            FROM __edge_docs
+          )
+          SELECT t.lang, t.target_chars,
+                 CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                 CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+                 ROUND(CAST(SUM(CASE WHEN o.cum_chars - o.n_chars < t.target_chars THEN o.n_chars ELSE 0 END) AS DOUBLE)
+                       / t.target_chars, 4) AS fill_ratio
+          FROM targets t JOIN ordered o ON o.lang = t.lang
+          GROUP BY t.lang, t.target_chars
+        """)
+        g = {r["lang"]: r.asDict() for r in got.collect()}
+        e = {r["lang"]: r.asDict() for r in exact.collect()}
+        assert g == e, f"frac={frac}"
+        assert "zz" not in g and "cc" not in g
+
+
 def test_pipeline_end_to_end_plan(spark, sf_dir):
     """The composed pipeline: near-dup drop is an ANTI join, shingle/sig
     frames are persisted (InMemoryTableScan reuse), no cartesian product."""
