@@ -15,6 +15,8 @@ under-covered onto the existing tables, one graded query per shape:
 * q11/q4 — two-year spending-ratio comparison across two channels
 * q67  — rank-within-ROLLUP cells, top-k per grouping level
 * q35  — double-EXISTS-filtered demographic group aggregate
+* q23  — frequent-item set × best-customer decile, semi-joined into the fact
+* q54  — per-customer spend bucketed into fixed-width revenue bands
 
 Scale notes (100 TB): every shape aggregates facts FIRST (one shuffle per
 fact key, dims broadcast) and runs windows / self-joins over the small
@@ -295,6 +297,57 @@ GROUP BY c_mktsegment, n_name
 """
 
 
+# TPC-DS q23: "frequent items bought by best customers" — two independent
+# derived sets (parts in ≥4 distinct orders; top-spending decile of
+# customers by exact cents) intersected against the fact via semi joins,
+# then a final per-year aggregate. The NTILE runs over the per-customer
+# agg frame (one row per customer), never fact rows.
+_Q23_SQL = """
+WITH freq_parts AS (
+  SELECT l_partkey AS fp
+  FROM lineitem
+  GROUP BY l_partkey
+  HAVING COUNT(DISTINCT l_orderkey) >= 4
+), spend AS (
+  SELECT o_custkey AS ck,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders
+  GROUP BY o_custkey
+), best AS (
+  SELECT ck FROM (
+    SELECT ck, NTILE(10) OVER (ORDER BY cents DESC, ck) AS decile
+    FROM spend
+  ) t WHERE decile = 1
+)
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       round(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT fp FROM freq_parts)
+  AND o_custkey IN (SELECT ck FROM best)
+GROUP BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+"""
+
+# TPC-DS q54: revenue-band census — per-customer spend (exact cents)
+# bucketed into fixed-width bands, output = (band, n_customers) histogram.
+# The banding is pure integer arithmetic on the agg frame.
+_Q54_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS ck,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT CAST(FLOOR(cents / 5000000) AS BIGINT) AS band_50k,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(MIN(cents) / 100, 2) AS min_spend,
+       round(MAX(cents) / 100, 2) AS max_spend
+FROM spend
+GROUP BY CAST(FLOOR(cents / 5000000) AS BIGINT)
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
@@ -357,6 +410,19 @@ def q_tpcds_q35_grouped_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q35_SQL)
 
 
+def q_tpcds_q23_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23 shape: frequent-item set x best-customer decile, both semi-joined
+    against the fact, per-year revenue of the intersection."""
+    return _sql(spark, sf_dir, _Q23_SQL)
+
+
+def q_tpcds_q54_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54 shape: per-customer spend bucketed into fixed-width revenue
+    bands (FLOOR on exact cents — CAST(double AS BIGINT) truncates in Spark
+    but ROUNDS in DuckDB, so the band edge must be an explicit FLOOR)."""
+    return _sql(spark, sf_dir, _Q54_SQL)
+
+
 QUERIES = {
     "tpcds_q51_cumulative": q_tpcds_q51_cumulative,
     "tpcds_q63_rolling_brand": q_tpcds_q63_rolling_brand,
@@ -368,6 +434,8 @@ QUERIES = {
     "tpcds_q11_loyalty_ratio": q_tpcds_q11_loyalty_ratio,
     "tpcds_q67_topk_rollup": q_tpcds_q67_topk_rollup,
     "tpcds_q35_grouped_exists": q_tpcds_q35_grouped_exists,
+    "tpcds_q23_frequent_items": q_tpcds_q23_frequent_items,
+    "tpcds_q54_revenue_bands": q_tpcds_q54_revenue_bands,
 }
 
 ORACLE = {
@@ -381,4 +449,6 @@ ORACLE = {
     "tpcds_q11_loyalty_ratio": _Q11_SQL,
     "tpcds_q67_topk_rollup": _Q67_SQL.format(gid="GROUPING(n_name, yr)"),
     "tpcds_q35_grouped_exists": _Q35_SQL,
+    "tpcds_q23_frequent_items": _Q23_SQL,
+    "tpcds_q54_revenue_bands": _Q54_SQL,
 }
