@@ -40,6 +40,7 @@ def _modules():
         multimodal,
         packing,
         quality,
+        retrieval,
         similarity,
         sketches,
         text_analysis,
@@ -48,7 +49,7 @@ def _modules():
     from flink_release_1_14_5_comment_spark.functions import udf_queries
     from flink_release_1_14_5_comment_spark.streaming import stream_queries
 
-    return [dedup, graph, clustering, similarity, text_analysis, quality, packing, multimodal, sketches, end_to_end,
+    return [dedup, graph, clustering, similarity, retrieval, text_analysis, quality, packing, multimodal, sketches, end_to_end,
             time_windows, temporal_joins, patterns, analytic_shapes, tpch,
             tpcds_shapes, scale,
             relational_ext, relational, io_queries, udf_queries, api_queries, stream_queries]

@@ -106,6 +106,10 @@ HEADLINE = [
     # r6: adapted TPC-DS pack representatives (VERDICT r5 #4)
     "tpcds_q67_topk_rollup",
     "tpcds_q14_cross_channel",
+    # r6 session 2: retrieval + HLL additions
+    "bm25_topk",
+    "hybrid_rrf_fusion",
+    "approx_distinct_hll",
 ]
 
 
@@ -146,6 +150,7 @@ def main() -> None:
         "weighted_sample",       # end of sketch/sampling family
         "pipeline_end_to_end",   # composed pipeline's caches die with it
         "corpus_mix",            # end of r5/r6 analytics family
+        "approx_distinct_hll",   # end of retrieval/sketch additions
     }
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 

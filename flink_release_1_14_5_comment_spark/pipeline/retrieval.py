@@ -1,0 +1,306 @@
+"""Retrieval over the `documents`/`embeddings` tables: BM25 lexical top-k
+and hybrid dense+sparse fusion (reciprocal rank fusion) — the search-side
+primitives a training-data pipeline uses for decontamination lookups,
+"more-like-this" near-dup triage, and retrieval-augmented filtering.
+
+Reference parity note: the reference engine (Flink 1.14) ships no retrieval
+operators; this module is deliberate beyond-reference surface alongside the
+dedup/ANN family (SURVEY.md §2.4 note). The *join/agg shapes* it exercises
+are the reference's hash-agg + broadcast-join physicals
+(flink-table/flink-table-runtime/.../operators/join/HashJoinOperator.java,
+aggregate/HashAggCodeGenerator.scala analog) — expressed declaratively so
+Catalyst picks them.
+
+Scale design (100 TB):
+- Document length (the BM25 normalizer) is computed with `size(split(...))`
+  — a pure per-row map; the full token multiset is NEVER shuffled for it.
+- Tokens are exploded once and immediately inner-joined to the BROADCAST
+  literal query-term table, so only tokens that appear in some query survive
+  past the scan stage; the tf aggregation shuffles a few terms × docs, not
+  the corpus token stream.
+- Dense scoring is probe-broadcast brute force over pre-normalized vectors
+  (the exactness baseline); the ANN serving path at scale is
+  similarity.py's LSH/IVF/PQ family — fusion only needs the rank lists.
+- All scores are rounded BEFORE ranking (4 dp) with doc_id tiebreaks, so
+  ranking is deterministic across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+# BM25 constants (Robertson/Sparck-Jones defaults; Lucene's idf variant).
+_K1 = 1.2
+_B = 0.75
+_TOP_K = 5
+
+# Literal query workload: term lists drawn from the synthetic corpus vocab.
+_BM25_QUERIES = [
+    (1, ("stream", "window", "join")),
+    (2, ("hash", "merge", "sort")),
+    (3, ("customer", "order", "table")),
+    (4, ("filter", "scan", "batch")),
+]
+
+# Probe documents for document-as-query fusion (ids exist at every SF).
+_PROBES = (7, 42, 123, 321)
+
+_RRF_K = 60  # Cormack, Clarke & Buettcher 2009 constant
+
+
+def _tok_arr() -> F.Column:
+    """Whitespace tokens with empties removed — pure map, codegen'd."""
+    return F.expr(
+        "filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), x -> x <> '')"
+    )
+
+
+_TOKS_DUCK = (
+    "list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), "
+    "x -> x <> '')"
+)
+
+
+def _doc_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-doc length frame, 1-row corpus stats frame). dl comes from
+    `size()` on the token array — no explode, no shuffle of tokens."""
+    dl = docs.select("doc_id", F.size(_tok_arr()).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # SUM(bigint)/COUNT is one exact integer sum + one division — the
+        # same double in any engine / partition order.
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return dl, stats
+
+
+def _bm25_scores(spark: SparkSession, docs: DataFrame, qterms: DataFrame) -> DataFrame:
+    """(qid, doc_id, score) for every doc matching ≥1 query term. qterms:
+    (qid, term) — small, broadcast. Token stream is filtered by the
+    broadcast join BEFORE any aggregation."""
+    dl, stats = _doc_stats(docs)
+    toks = docs.select("doc_id", F.explode(_tok_arr()).alias("tok"))
+    hits = toks.join(F.broadcast(qterms), toks.tok == qterms.term, "inner")
+    tf = hits.groupBy("qid", "term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        hits.select("term", "doc_id").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    per_term = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            idf * F.col("tf") * (_K1 + 1.0)
+            / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        per_term.groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("w"), 4).alias("score"))
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per query over the document corpus. See module docstring
+    for the 100 TB plan shape (broadcast term filter before the tf agg;
+    size()-based dl with no token shuffle)."""
+    t = register_views(spark, sf_dir)
+    rows = [(qid, term) for qid, terms in _BM25_QUERIES for term in terms]
+    qterms = spark.createDataFrame(rows, "qid int, term string")
+    scored = _bm25_scores(spark, t["documents"], qterms)
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(F.col("qid").cast("int").alias("qid"), "doc_id", "score", "rn")
+    )
+
+
+# Shared DuckDB CTE chain: expects a `qterms(qid, term)` CTE to already be
+# defined; yields dl/stats/toks/hits/tf/df_/scored.
+_BM25_SCORED_CTES = f"""
+dl AS (
+  SELECT doc_id, CAST(len({_TOKS_DUCK}) AS BIGINT) AS dl FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+), hits AS (
+  SELECT q.qid, q.term, t.doc_id FROM toks t JOIN qterms q ON t.tok = q.term
+), tf AS (
+  SELECT qid, term, doc_id, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3
+), df_ AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+), scored AS (
+  SELECT tf.qid, tf.doc_id,
+         -- every operand cast to DOUBLE so DuckDB's DECIMAL arithmetic
+         -- never enters: the Spark side computes in pure double
+         ROUND(SUM(
+           ln((s.n_docs - df_.df + 0.5::DOUBLE) / (df_.df + 0.5::DOUBLE) + 1.0)
+           * tf.tf * {_K1 + 1.0}
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))
+         ), 4) AS score
+  FROM tf JOIN df_ USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1, 2
+)"""
+
+_QTERMS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
+    f"({qid}, '{term}')" for qid, terms in _BM25_QUERIES for term in terms
+) + ") t(qid, term)"
+
+ORACLE_Q_BM25_TOPK = f"""
+WITH qterms AS ({_QTERMS_DUCK}),
+{_BM25_SCORED_CTES}
+SELECT CAST(qid AS INT) AS qid, doc_id, score, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid dense + sparse retrieval with reciprocal rank fusion.
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-as-query hybrid retrieval: for each probe document, rank the
+    corpus by (a) dense cosine over its embedding and (b) sparse BM25 over
+    its distinct tokens, then fuse with reciprocal rank fusion
+    (1/(60+rank), missing side contributes 0) and keep the top-5. This is
+    the near-dup/contamination triage query: the probe's own row surfaces
+    at dense rank 1 as a built-in sanity column. Both rank lists use
+    rounded scores + doc_id tiebreaks, so fusion is engine-deterministic."""
+    t = register_views(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+    probes_pred = F.col("doc_id").isin(*_PROBES)
+
+    # dense: broadcast the probe vectors, brute-force cosine (exact baseline)
+    pe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")).filter(
+        F.col("qid").isin(*_PROBES)
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(pe))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.expr(_DOT.format(a="embedding", b="qe"))
+                / (
+                    F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+                    * F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+                ),
+                4,
+            ).alias("dscore"),
+        )
+        .withColumn(
+            "drank",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("dscore").desc(), F.col("doc_id"))
+            ),
+        )
+    )
+
+    # sparse: the probe's DISTINCT tokens are the query-term table
+    qterms = (
+        docs.filter(probes_pred)
+        .select(F.col("doc_id").cast("int").alias("qid"), F.explode(_tok_arr()).alias("term"))
+        .distinct()
+    )
+    sparse = _bm25_scores(spark, docs, qterms).withColumn(
+        "srank",
+        F.row_number().over(
+            W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    )
+
+    fused = (
+        dense.select("qid", "doc_id", "drank")
+        .join(sparse.select("qid", "doc_id", "srank"), ["qid", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("drank")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("srank")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            "doc_id",
+            "rrf",
+            F.col("drank").cast("long").alias("dense_rank"),
+            F.col("srank").cast("long").alias("sparse_rank"),
+            "rn",
+        )
+    )
+
+
+_PROBE_LIST = ", ".join(str(p) for p in _PROBES)
+
+ORACLE_Q_HYBRID_RRF_FUSION = f"""
+WITH pe AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({_PROBE_LIST})
+), dense AS (
+  SELECT p.qid, e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], p.qe::DOUBLE[]), 4) AS dscore
+  FROM embeddings e CROSS JOIN pe p
+), dranked AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dscore DESC, doc_id) AS drank
+  FROM dense
+), qterms AS (
+  SELECT DISTINCT CAST(doc_id AS INT) AS qid, unnest({_TOKS_DUCK}) AS term
+  FROM documents WHERE doc_id IN ({_PROBE_LIST})
+),
+{_BM25_SCORED_CTES},
+sparse AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srank
+  FROM scored
+), fused AS (
+  SELECT COALESCE(d.qid, s.qid) AS qid,
+         COALESCE(d.doc_id, s.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0::DOUBLE / ({_RRF_K} + d.drank), 0.0)
+               + COALESCE(1.0::DOUBLE / ({_RRF_K} + s.srank), 0.0), 6) AS rrf,
+         d.drank, s.srank
+  FROM dranked d FULL OUTER JOIN sparse s
+    ON d.qid = s.qid AND d.doc_id = s.doc_id
+)
+SELECT CAST(qid AS INT) AS qid, doc_id, rrf,
+       CAST(drank AS BIGINT) AS dense_rank,
+       CAST(srank AS BIGINT) AS sparse_rank,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= {_TOP_K}
+"""
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "hybrid_rrf_fusion": q_hybrid_rrf_fusion,
+}
+
+ORACLE = {
+    "bm25_topk": ORACLE_Q_BM25_TOPK,
+    "hybrid_rrf_fusion": ORACLE_Q_HYBRID_RRF_FUSION,
+}

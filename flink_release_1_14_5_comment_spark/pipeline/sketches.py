@@ -552,6 +552,88 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HQ_SPARK)
 
 
+# ---------------------------------------------------------------------------
+# 8. HyperLogLog distinct estimation (Flajolet et al. 2007), m = 64 registers.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 from the HLL paper
+
+
+def _hll_sql(h_bucket: str, h_value: str, concat_item: str) -> str:
+    """Shared HLL SQL. Registers are MAX(rho) per (group, bucket); rho =
+    1 + leading zeros of a 32-bit hash = 33 - bit_length, via length(bin(h))
+    (identical no-leading-zero semantics in Spark and DuckDB). The register
+    sum uses POWER(0.5, rho): every term is an exact dyadic rational and the
+    64-term sum spans < 52 mantissa bits, so it is EXACTLY the same double
+    in any engine and any partition/merge order — that's what makes an HLL
+    estimate oracle-checkable here. Small-range correction (linear counting
+    on empty registers) applied per the paper."""
+    return f"""
+WITH ev AS (
+  SELECT event_type, {concat_item} AS item FROM events
+), regs AS (
+  SELECT event_type,
+         {h_bucket} % {_HLL_M} AS bucket,
+         MAX(CASE WHEN {h_value} = 0 THEN 33
+                  ELSE 33 - length(bin({h_value})) END) AS rho
+  FROM ev GROUP BY 1, 2
+), merged AS (
+  SELECT event_type,
+         COUNT(*) AS occupied,
+         SUM(POWER(0.5, rho)) AS s
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, occupied,
+         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+           / (s + ({_HLL_M} - occupied)) AS raw_est
+  FROM merged
+), corrected AS (
+  SELECT event_type, occupied,
+         CASE WHEN raw_est <= 2.5 * {_HLL_M} AND occupied < {_HLL_M}
+              THEN {_HLL_M} * LN({_HLL_M}.0 / ({_HLL_M} - occupied))
+              ELSE raw_est END AS est
+  FROM est
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT item) AS exact_distinct
+  FROM ev GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(c.occupied AS BIGINT) AS occupied,
+       ROUND(c.est, 4) AS est_distinct,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(ABS(c.est - x.exact_distinct) / x.exact_distinct, 4) AS rel_err
+FROM corrected c JOIN exact x ON c.event_type = x.event_type
+"""
+
+
+_HLL_SPARK = _hll_sql(
+    _h_spark("concat('hllb:', item)"),
+    _h_spark("concat('hllv:', item)"),
+    "concat('u', cast(user_id as string))",
+)
+ORACLE_Q_APPROX_DISTINCT_HLL = _hll_sql(
+    _h_duck("'hllb:' || item"),
+    _h_duck("'hllv:' || item"),
+    "'u' || user_id::VARCHAR",
+)
+
+
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimation per event type, reported beside
+    the exact count and relative error. The 64 registers are the whole
+    per-group state at 100 TB: MAX per (group, bucket) is map-side
+    combinable, so a count-distinct over billions of user ids shuffles 64
+    small integers per group instead of the id stream — the same
+    merge-by-MAX state layout Spark's own `approx_count_distinct` (HLL++)
+    maintains; this operator exists because md5-deterministic registers
+    make the ESTIMATE itself oracle-checkable, not just statistically
+    plausible. Linear counting handles the small-cardinality range exactly
+    as the 2007 paper prescribes."""
+    register_views(spark, sf_dir)
+    return spark.sql(_HLL_SPARK)
+
+
 QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "histogram_quantile": q_histogram_quantile,
@@ -560,6 +642,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "quality_ntile_buckets": q_quality_ntile_buckets,
     "approx_distinct_linear": q_approx_distinct_linear,
+    "approx_distinct_hll": q_approx_distinct_hll,
 }
 
 ORACLE = {
@@ -570,4 +653,5 @@ ORACLE = {
     "weighted_sample": ORACLE_Q_WEIGHTED_SAMPLE,
     "quality_ntile_buckets": ORACLE_Q_QUALITY_NTILE_BUCKETS,
     "approx_distinct_linear": ORACLE_Q_APPROX_DISTINCT_LINEAR,
+    "approx_distinct_hll": ORACLE_Q_APPROX_DISTINCT_HLL,
 }
