@@ -17,6 +17,11 @@ under-covered onto the existing tables, one graded query per shape:
 * q35  — double-EXISTS-filtered demographic group aggregate
 * q23  — frequent-item set × best-customer decile, semi-joined into the fact
 * q54  — per-customer spend bucketed into fixed-width revenue bands
+* q88  — independent scalar-aggregate subqueries cross-joined (count census)
+* q49  — per-channel worst return-ratio items, rank-limited
+* q75  — consecutive-year self-join, year-over-year decline scan
+* q78  — cross-channel participation ratio bands with null-patched sides
+* q97  — FULL OUTER JOIN overlap census of channel (customer, part) sets
 
 Scale notes (100 TB): every shape aggregates facts FIRST (one shuffle per
 fact key, dims broadcast) and runs windows / self-joins over the small
@@ -348,6 +353,114 @@ GROUP BY CAST(FLOOR(cents / 5000000) AS BIGINT)
 """
 
 
+# TPC-DS q88: the hour-band count census — EIGHT independent scalar
+# subqueries cross-joined into one row in the literal query; adapted as
+# four quantity×discount band counts, each its own scan subquery so the
+# plan keeps q88's repeated-scalar-aggregate cross-join shape (Catalyst
+# turns each into a 1-row broadcast; AQE reuses the exchange).
+_Q88_SQL = """
+SELECT t1.b1, t2.b2, t3.b3, t4.b4
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS b1 FROM lineitem
+      WHERE l_quantity BETWEEN 1 AND 10 AND l_discount < 0.03) t1,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS b2 FROM lineitem
+      WHERE l_quantity BETWEEN 11 AND 20 AND l_discount >= 0.03 AND l_discount < 0.06) t2,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS b3 FROM lineitem
+      WHERE l_quantity BETWEEN 21 AND 35 AND l_discount >= 0.06) t3,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS b4 FROM lineitem
+      WHERE l_quantity > 35) t4
+"""
+
+# TPC-DS q49: worst return-ratio items per channel, rank-limited. Ratio =
+# returned qty / sold qty — both exact BIGINTs, so the ranking key is ONE
+# IEEE division of identical operands in either engine (bit-identical),
+# with the part key as tiebreak.
+_Q49_SQL = """
+WITH sold AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS channel,
+         l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty,
+         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS ret_qty
+  FROM lineitem
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT channel, l_partkey, ret_qty, qty,
+         ROW_NUMBER() OVER (PARTITION BY channel
+                            ORDER BY CAST(ret_qty AS DOUBLE) / qty DESC, l_partkey) AS rnk
+  FROM sold WHERE ret_qty > 0
+)
+SELECT channel, l_partkey AS partkey,
+       CAST(ret_qty AS BIGINT) AS ret_qty, CAST(qty AS BIGINT) AS qty,
+       round(CAST(ret_qty AS DOUBLE) / qty, 4) AS return_ratio,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+# TPC-DS q75: year-over-year decline — per-(brand, year) quantity/revenue
+# frame self-joined on consecutive years, declining brands kept. The self
+# join runs on the agg output (one row per brand-year), never fact rows.
+_Q75_SQL = """
+WITH s AS (
+  SELECT p_brand,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey  = p_partkey
+  GROUP BY p_brand, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT c.p_brand, c.yr, p.yr AS prev_yr,
+       CAST(c.qty - p.qty AS BIGINT) AS qty_diff,
+       round((c.cents - p.cents) / 100, 2) AS amt_diff
+FROM s c JOIN s p ON c.p_brand = p.p_brand AND c.yr = p.yr + 1
+WHERE c.qty < p.qty
+"""
+
+# TPC-DS q78: cross-channel participation ratio per customer-year, banded.
+# The two channel aggregates FULL-OUTER-join per (customer, year) with
+# COALESCE null-patching; the band edge is FLOOR over one exact-integer
+# division (both operands < 2^52 → the quotient is the same double in any
+# engine; LEAST clamps the ratio-1 band).
+_Q78_SQL = """
+WITH base AS (
+  SELECT o_custkey AS ck,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         SUM(CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS web_qty,
+         SUM(CASE WHEN l_orderkey % 2 = 1 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS store_qty
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT yr,
+       CAST(LEAST(FLOOR(CAST(10 * web_qty AS DOUBLE) / (web_qty + store_qty)), 9) AS BIGINT) AS web_share_band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(web_qty) AS BIGINT) AS web_qty,
+       CAST(SUM(store_qty) AS BIGINT) AS store_qty
+FROM base
+GROUP BY yr, CAST(LEAST(FLOOR(CAST(10 * web_qty AS DOUBLE) / (web_qty + store_qty)), 9) AS BIGINT)
+"""
+
+# TPC-DS q97: channel-overlap census — DISTINCT (customer, part) sets of
+# two channels FULL OUTER JOINed, conditional counts of web-only /
+# store-only / both. The join keys are the distinct pairs (already
+# aggregated), the output is one row.
+_Q97_SQL = """
+WITH web AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 2 = 0
+), store AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 2 = 1
+)
+SELECT CAST(SUM(CASE WHEN w.ck IS NOT NULL AND s.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+       CAST(SUM(CASE WHEN w.ck IS NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(SUM(CASE WHEN w.ck IS NOT NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+FROM web w FULL OUTER JOIN store s ON w.ck = s.ck AND w.pk = s.pk
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
@@ -423,6 +536,34 @@ def q_tpcds_q54_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q54_SQL)
 
 
+def q_tpcds_q88_count_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88 shape: independent scalar-aggregate subqueries cross-joined into
+    one census row (each a 1-row broadcast side)."""
+    return _sql(spark, sf_dir, _Q88_SQL)
+
+
+def q_tpcds_q49_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q49 shape: per-channel worst-return-ratio items, rank-limited."""
+    return _sql(spark, sf_dir, _Q49_SQL)
+
+
+def q_tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q75 shape: consecutive-year self-join of the brand-year frame,
+    declining brands kept."""
+    return _sql(spark, sf_dir, _Q75_SQL)
+
+
+def q_tpcds_q78_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q78 shape: per-customer-year channel participation bands."""
+    return _sql(spark, sf_dir, _Q78_SQL)
+
+
+def q_tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q97 shape: FULL OUTER JOIN overlap census of two channels' distinct
+    (customer, part) sets."""
+    return _sql(spark, sf_dir, _Q97_SQL)
+
+
 QUERIES = {
     "tpcds_q51_cumulative": q_tpcds_q51_cumulative,
     "tpcds_q63_rolling_brand": q_tpcds_q63_rolling_brand,
@@ -436,6 +577,11 @@ QUERIES = {
     "tpcds_q35_grouped_exists": q_tpcds_q35_grouped_exists,
     "tpcds_q23_frequent_items": q_tpcds_q23_frequent_items,
     "tpcds_q54_revenue_bands": q_tpcds_q54_revenue_bands,
+    "tpcds_q88_count_census": q_tpcds_q88_count_census,
+    "tpcds_q49_return_ratio_rank": q_tpcds_q49_return_ratio_rank,
+    "tpcds_q75_yoy_decline": q_tpcds_q75_yoy_decline,
+    "tpcds_q78_channel_ratio": q_tpcds_q78_channel_ratio,
+    "tpcds_q97_channel_overlap": q_tpcds_q97_channel_overlap,
 }
 
 ORACLE = {
@@ -451,4 +597,9 @@ ORACLE = {
     "tpcds_q35_grouped_exists": _Q35_SQL,
     "tpcds_q23_frequent_items": _Q23_SQL,
     "tpcds_q54_revenue_bands": _Q54_SQL,
+    "tpcds_q88_count_census": _Q88_SQL,
+    "tpcds_q49_return_ratio_rank": _Q49_SQL,
+    "tpcds_q75_yoy_decline": _Q75_SQL,
+    "tpcds_q78_channel_ratio": _Q78_SQL,
+    "tpcds_q97_channel_overlap": _Q97_SQL,
 }
