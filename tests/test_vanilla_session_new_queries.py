@@ -21,6 +21,10 @@ NAMES = [
     # per plan family: ROLLUP+rank, INTERSECT+rollup, cumulative-window)
     "tpcds_q67_topk_rollup", "tpcds_q14_cross_channel",
     "tpcds_q51_cumulative",
+    # round-6 session-2 additions: retrieval + HLL + the TPC-DS extension
+    # wave (q97's FULL OUTER overlap census is the new plan family)
+    "bm25_topk", "hybrid_rrf_fusion", "approx_distinct_hll",
+    "tpcds_q97_channel_overlap",
 ]
 
 SCRIPT = f"""
