@@ -2126,6 +2126,81 @@ LIMIT 10
 """
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup detection — the production ingest
+    topology: documents arrive in order, each is MinHash-banded statelessly
+    (the same codegen'd signature pipeline pipeline/dedup.py's batch LSH
+    uses), and a KEYED STATE index per (band, s0, s1) bucket holds the ids
+    already seen, so every new doc emits candidate pairs ONLY against
+    previously-indexed docs (plus earlier arrivals in its own micro-batch)
+    and is then appended to the index. Each pair is emitted exactly once,
+    when its later member arrives — no recompute over the existing corpus,
+    the streaming analog of dedup_incremental's batch anti-join. State per
+    bucket is the id list (bounded by bucket occupancy, ~1 for md5-uniform
+    buckets); at 100 TB the same operator runs under the RocksDB state
+    store with a bucket-size cap as the hot-bucket guard (identical docs
+    pile into one bucket — cap + exact-dedup upstream handles them).
+    Reference analogs: KeyedProcessFunction.java keyed-state accumulation +
+    the FLIP-27 continuous ingestion the reference's streaming dedup rides
+    (flink-table-runtime DeduplicateKeepFirstRowFunction.java pattern, here
+    inverted to emit the collision instead of dropping it). The oracle is
+    the batch band self-join over the full corpus — chunking must not
+    change the pair set."""
+    from typing import Iterator as _It
+
+    from flink_release_1_14_5_comment_spark.pipeline.dedup import (
+        minhash_signatures,
+        shingle_frame,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    stream, tmp = sources.replay_as_stream(spark, docs, n_chunks=3,
+                                           order_col="doc_id")
+
+    def fn(key, pdfs: _It, state) -> _It:
+        import pandas as _pd
+
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        new_ids: list[int] = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["doc_id"])
+        new_ids.sort()
+        pairs = [(old, new) for new in new_ids for old in seen]
+        pairs += [(a, b) for i, a in enumerate(new_ids) for b in new_ids[i + 1:]]
+        state.update((seen + new_ids,))
+        if pairs:
+            yield _pd.DataFrame(
+                {"band": int(key[0]), "a_id": [p[0] for p in pairs],
+                 "b_id": [p[1] for p in pairs]})
+
+    sig = minhash_signatures(shingle_frame(stream))
+    try:
+        out = (sig.groupBy("band", "s0", "s1").applyInPandasWithState(
+            fn, "band int, a_id long, b_id long",
+            "ids array<bigint>", "append",
+            __import__("pyspark.sql.streaming.state",
+                       fromlist=["GroupStateTimeout"]).GroupStateTimeout.NoTimeout))
+        rows = _run_to_memory(out, mode="append")
+    finally:
+        sources.cleanup(tmp)
+    return rows.select("band", "a_id", "b_id")
+
+
+def _oracle_stream_incremental_dedup() -> str:
+    from flink_release_1_14_5_comment_spark.pipeline.dedup import (
+        ORACLE_DOCS_CTE,
+        ORACLE_SH_CTE,
+        ORACLE_SIG_CTE,
+    )
+
+    return f"""
+WITH docs AS ({ORACLE_DOCS_CTE}), sh AS ({ORACLE_SH_CTE}), sig AS ({ORACLE_SIG_CTE})
+SELECT CAST(a.band AS INT) AS band, a.doc_id AS a_id, b.doc_id AS b_id
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+"""
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_event_sort": q_stream_event_sort,
@@ -2161,6 +2236,7 @@ QUERIES = {
     "stream_window_join": q_stream_window_join,
     "stream_lookup_join": q_stream_lookup_join,
     "stream_heavy_hitters": q_stream_heavy_hitters,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_over_rows": q_stream_over_rows,
     "stream_distinct_agg": q_stream_distinct_agg,
     "stream_upsert_pipeline": q_stream_upsert_pipeline,
@@ -2205,6 +2281,7 @@ ORACLE = {
     "stream_window_join": ORACLE_Q_STREAM_WINDOW_JOIN,
     "stream_lookup_join": ORACLE_Q_STREAM_LOOKUP_JOIN,
     "stream_heavy_hitters": ORACLE_Q_STREAM_HEAVY_HITTERS,
+    "stream_incremental_dedup": _oracle_stream_incremental_dedup(),
     "stream_over_rows": ORACLE_Q_STREAM_OVER_ROWS,
     "stream_distinct_agg": ORACLE_Q_STREAM_DISTINCT_AGG,
     "stream_upsert_pipeline": ORACLE_Q_STREAM_UPSERT_PIPELINE,

@@ -24,7 +24,7 @@ NAMES = [
     # round-6 session-2 additions: retrieval + HLL + the TPC-DS extension
     # wave (q97's FULL OUTER overlap census is the new plan family)
     "bm25_topk", "hybrid_rrf_fusion", "approx_distinct_hll",
-    "tpcds_q97_channel_overlap",
+    "tpcds_q97_channel_overlap", "stream_incremental_dedup",
 ]
 
 SCRIPT = f"""
