@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
@@ -175,6 +175,69 @@ WITH RECURSIVE pairs AS (
 SELECT doc_id, keep_id,
        CAST(COUNT(*) OVER (PARTITION BY keep_id) AS BIGINT) AS cluster_size
 FROM cc
+"""
+
+
+def q_dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection policy: for every near-dup cluster,
+    keep the LONGEST member (n_chars desc, doc_id tiebreak) instead of the
+    min-id default — the RefinedWeb/C4-style "best document wins" dedup
+    policy, composed from the same cluster frame q_dedup_clusters grades.
+    Output is one row per cluster: representative id, size, and how many
+    docs the policy drops. The argmax is a window over the cluster frame
+    (one row per clustered doc — tiny vs the corpus), never the raw
+    documents table."""
+    cc = q_dedup_clusters(spark, sf_dir)
+    docs = register_views(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.col("doc_id"))
+    return (
+        cc.withColumnRenamed("keep_id", "cluster_id")
+        .join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_id"),
+            "cluster_size",
+            F.col("n_chars").cast("long").alias("rep_n_chars"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+ORACLE_Q_DEDUP_CLUSTER_REPRESENTATIVES = f"""
+WITH RECURSIVE pairs AS (
+  WITH docs AS ({ORACLE_DOCS_CTE}), sh AS ({ORACLE_SH_CTE}),
+  sig AS ({ORACLE_SIG_CTE}), cand AS ({ORACLE_CAND_CTE})
+  SELECT doc_a, doc_b FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE len(list_intersect(sa.sh, sb.sh))
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+), cc AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+), sized AS (
+  SELECT doc_id, cluster_id,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM cc
+), ranked AS (
+  SELECT s.cluster_id, s.doc_id, s.cluster_size, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+                            ORDER BY d.n_chars DESC, s.doc_id) AS rn
+  FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT cluster_id, doc_id AS rep_id, cluster_size,
+       CAST(n_chars AS BIGINT) AS rep_n_chars,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
 """
 
 
@@ -890,6 +953,7 @@ GROUP BY 1, 2
 
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_representatives": q_dedup_cluster_representatives,
     "graph_pagerank": q_graph_pagerank,
     "graph_sssp": q_graph_sssp,
     "graph_triangles": q_graph_triangles,
@@ -903,6 +967,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_clusters": ORACLE_Q_DEDUP_CLUSTERS,
+    "dedup_cluster_representatives": ORACLE_Q_DEDUP_CLUSTER_REPRESENTATIVES,
     "graph_pagerank": _pagerank_oracle(),
     "graph_sssp": ORACLE_Q_GRAPH_SSSP,
     "graph_triangles": ORACLE_Q_GRAPH_TRIANGLES,

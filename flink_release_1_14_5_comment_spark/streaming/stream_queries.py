@@ -2201,6 +2201,77 @@ FROM sig a JOIN sig b
 """
 
 
+def q_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: the 64 registers per event type ARE the
+    streaming state — a complete-mode MAX(rho) aggregate per (event_type,
+    bucket), bounded at 64 rows per group no matter the stream's
+    cardinality (the mergeability that makes HLL the production
+    count-distinct at 100 TB: MAX is associative/commutative, so Spark's
+    partial aggregation merges register states exactly like an HLL union).
+    End-of-input register table feeds the batch-side estimate, which must
+    equal sketches.q_approx_distinct_hll's batch registers bit-for-bit —
+    same md5 registers, same dyadic-rational sum, same linear-counting
+    small-range correction."""
+    from flink_release_1_14_5_comment_spark.pipeline.sketches import _h_spark
+
+    _HLL_M, _ALPHA = 64, 0.709
+    hb = _h_spark("concat('hllb:', item)")
+    hv = _h_spark("concat('hllv:', item)")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("item"))
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=3)
+    try:
+        regs = (
+            stream
+            .withColumn("bucket", F.expr(f"{hb} % {_HLL_M}"))
+            .withColumn("rho", F.expr(
+                f"CASE WHEN {hv} = 0 THEN 33 ELSE 33 - length(bin({hv})) END"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        cells = _run_to_memory(regs, mode="complete")
+    finally:
+        sources.cleanup(tmp)
+    merged = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.expr("power(0.5, rho)")).alias("s"),
+    )
+    est = merged.withColumn(
+        "raw_est",
+        F.lit(_ALPHA) * _HLL_M * _HLL_M
+        / (F.col("s") + (_HLL_M - F.col("occupied"))),
+    ).withColumn(
+        "est",
+        F.when(
+            (F.col("raw_est") <= 2.5 * _HLL_M) & (F.col("occupied") < _HLL_M),
+            _HLL_M * F.log(F.lit(float(_HLL_M)) / (_HLL_M - F.col("occupied"))),
+        ).otherwise(F.col("raw_est")),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("item").alias("exact_distinct"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("occupied").cast("long").alias("occupied"),
+            F.round("est", 4).alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 4).alias("rel_err"),
+        )
+    )
+
+
+def _oracle_stream_approx_distinct() -> str:
+    from flink_release_1_14_5_comment_spark.pipeline.sketches import (
+        ORACLE_Q_APPROX_DISTINCT_HLL,
+    )
+
+    return ORACLE_Q_APPROX_DISTINCT_HLL
+
+
 QUERIES = {
     "stream_window_tumble": q_stream_window_tumble,
     "stream_event_sort": q_stream_event_sort,
@@ -2237,6 +2308,7 @@ QUERIES = {
     "stream_lookup_join": q_stream_lookup_join,
     "stream_heavy_hitters": q_stream_heavy_hitters,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_approx_distinct": q_stream_approx_distinct,
     "stream_over_rows": q_stream_over_rows,
     "stream_distinct_agg": q_stream_distinct_agg,
     "stream_upsert_pipeline": q_stream_upsert_pipeline,
@@ -2282,6 +2354,7 @@ ORACLE = {
     "stream_lookup_join": ORACLE_Q_STREAM_LOOKUP_JOIN,
     "stream_heavy_hitters": ORACLE_Q_STREAM_HEAVY_HITTERS,
     "stream_incremental_dedup": _oracle_stream_incremental_dedup(),
+    "stream_approx_distinct": _oracle_stream_approx_distinct(),
     "stream_over_rows": ORACLE_Q_STREAM_OVER_ROWS,
     "stream_distinct_agg": ORACLE_Q_STREAM_DISTINCT_AGG,
     "stream_upsert_pipeline": ORACLE_Q_STREAM_UPSERT_PIPELINE,

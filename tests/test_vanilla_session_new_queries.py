@@ -25,6 +25,7 @@ NAMES = [
     # wave (q97's FULL OUTER overlap census is the new plan family)
     "bm25_topk", "hybrid_rrf_fusion", "approx_distinct_hll",
     "tpcds_q97_channel_overlap", "stream_incremental_dedup",
+    "dedup_cluster_representatives", "stream_approx_distinct",
 ]
 
 SCRIPT = f"""
