@@ -290,14 +290,55 @@ FROM buys o ASOF JOIN rates r
 """
 
 
+# SCD Type-2 history build — the PRODUCER side of the versioned tables the
+# temporal joins above consume (reference: the "versioned table" the
+# temporal table function wraps, TemporalTableFunction docs / the per-key
+# sorted version list TemporalRowTimeJoinOperator.java keeps as state).
+# Shared SQL text for both engines: max_by picks the last write per (key,
+# ts) instant (event_id = the total write order), LEAD closes each
+# version's validity interval, the open interval marks the current row.
+_SCD2_SQL = """
+WITH chg AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value
+  FROM events GROUP BY user_id, ts
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       ROUND(value, 2) AS value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) history table from a raw change
+    stream: one validity interval [valid_from, valid_to) per version per
+    key, open-ended for the current row. One (key, ts) collapse + one
+    window over the per-key version list — the same shape the temporal
+    table function's state keeps, materialized as a queryable table. At
+    100 TB the window partitions by key (unbounded key count → scales with
+    the shuffle, no global sort); incremental maintenance is a MERGE that
+    closes only the affected keys' open intervals.
+    tests/test_scd2_consistency.py proves the interval semantics: probing
+    the built history with valid_from <= t < valid_to reproduces the as-of
+    join's answer exactly."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCD2_SQL)
+
+
 QUERIES = {
     "interval_join": q_interval_join,
     "asof_join": q_asof_join,
     "temporal_table_fn": q_temporal_table_fn,
+    "scd2_build": q_scd2_build,
 }
 
 ORACLE = {
     "interval_join": ORACLE_Q_INTERVAL_JOIN,
     "asof_join": ORACLE_Q_ASOF_JOIN,
     "temporal_table_fn": ORACLE_Q_TEMPORAL_TABLE_FN,
+    "scd2_build": _SCD2_SQL,
 }

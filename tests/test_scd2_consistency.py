@@ -1,0 +1,68 @@
+"""scd2_build semantics: probing the built history table with its validity
+intervals (valid_from <= t < valid_to, open current row) must reproduce the
+as-of join's answer — the producer and consumer sides of the temporal
+machinery agree."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+    q_scd2_build,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interval_probe_equals_asof(spark):
+    hist = q_scd2_build(spark, SF)
+    ev = register_views(spark, SF)["events"]
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pt"))
+
+    via_interval = (
+        probes.join(
+            hist,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pt") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("pt") < F.col("valid_to"))),
+        )
+        .select("pid", F.col("value").alias("v"))
+    )
+
+    # as-of: newest change with ts <= probe time, last write wins at a tie
+    chg = ev.groupBy(F.col("user_id").alias("cu"), F.col("ts").alias("ct")).agg(
+        F.round(F.expr("max_by(value, event_id)"), 2).alias("cv"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("pid").orderBy(F.col("ct").desc())
+    via_asof = (
+        probes.join(chg, (F.col("pu") == F.col("cu")) & (F.col("pt") >= F.col("ct")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pid", F.col("cv").alias("v"))
+    )
+
+    a = {(r.pid, r.v) for r in via_interval.collect()}
+    b = {(r.pid, r.v) for r in via_asof.collect()}
+    assert a == b and a, f"interval-probe vs as-of mismatch: {len(a)} vs {len(b)}"
+
+
+def test_history_invariants(spark):
+    rows = q_scd2_build(spark, SF).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        # exactly one open (current) interval per key, and it is the last
+        assert [r.is_current for r in vs].count(True) == 1
+        assert vs[-1].is_current
+        for prev, nxt in zip(vs, vs[1:]):
+            # contiguous, non-overlapping: each interval closes at the
+            # successor's start
+            assert prev.valid_to == nxt.valid_from
+            assert prev.valid_from < prev.valid_to
