@@ -25,6 +25,12 @@ QUERIES = [
     "topn",
     "split_assign",
     "quality_ntile_buckets",
+    # round-6 session-2 mechanisms: rounded-score+tiebreak rank fusion
+    # (hybrid_rrf_fusion exercises bm25 + cosine ranking), dyadic-rational
+    # HLL register sums, SCD2 window versioning
+    "hybrid_rrf_fusion",
+    "approx_distinct_hll",
+    "scd2_build",
 ]
 
 SCRIPT = f"""
