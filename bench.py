@@ -67,9 +67,11 @@ HEADLINE = [
     "interval_join",
     "asof_join",
     "temporal_table_fn",
+    "scd2_build",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_cluster_representatives",  # shares the persisted MinHash/CC caches
     "dedup_simhash",
     "dedup_embedding",
     "corpus_clean",
