@@ -22,6 +22,10 @@ under-covered onto the existing tables, one graded query per shape:
 * q75  — consecutive-year self-join, year-over-year decline scan
 * q78  — cross-channel participation ratio bands with null-patched sides
 * q97  — FULL OUTER JOIN overlap census of channel (customer, part) sets
+* q31  — consecutive-quarter cross-channel growth comparison (exact cross-multiply)
+* q17  — sale → return → re-purchase: three fact instances chained on (cust, part)
+* q39  — variance-over-aggregate volatility scan from exact integer moments
+* q95  — multi-hop EXISTS (same customer+part, different order) + distinct count
 
 Scale notes (100 TB): every shape aggregates facts FIRST (one shuffle per
 fact key, dims broadcast) and runs windows / self-joins over the small
@@ -461,6 +465,179 @@ FROM web w FULL OUTER JOIN store s ON w.ck = s.ck AND w.pk = s.pk
 """
 
 
+# TPC-DS q31: market-share GROWTH comparison across consecutive periods and
+# channels — per (nation, quarter) revenue for two channels, self-joined on
+# consecutive quarters, keep nations where the web channel grew faster than
+# the store channel. The growth comparison cross-multiplies exact cents
+# (w1*s0 > s1*w0) so no float ratio ever enters the predicate.
+_Q31_SQL = """
+WITH nq AS (
+  SELECT n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 10 + EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS yq,
+         SUM(CASE WHEN l_orderkey % 2 = 0
+                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS web_cents,
+         SUM(CASE WHEN l_orderkey % 2 = 1
+                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS store_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey  = o_orderkey
+  JOIN customer ON o_custkey   = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) * 10 + EXTRACT(QUARTER FROM o_orderdate) AS BIGINT)
+)
+SELECT c.n_name, c.yq, p.yq AS prev_yq,
+       round(c.web_cents / 100, 2) AS web_rev,
+       round(c.store_cents / 100, 2) AS store_rev
+FROM nq c JOIN nq p
+  ON c.n_name = p.n_name
+ AND c.yq = CASE WHEN p.yq % 10 = 4 THEN p.yq + 7 ELSE p.yq + 1 END
+WHERE p.web_cents > 0 AND p.store_cents > 0
+  AND c.web_cents * p.store_cents > c.store_cents * p.web_cents
+"""
+
+# TPC-DS q17: the sale → return → re-purchase chain — THREE fact instances
+# joined on the customer key with strictly increasing order dates. The
+# synthetic data never repeats a (customer, part) purchase, so the chain is
+# keyed at the order grain: a completed ('F') order, a later still-open
+# ('O') order, and a later urgent re-order — same progression shape as
+# q17's store_sales → store_returns → catalog_sales. All three sides
+# shuffle once on the same customer key, so the chain is two
+# co-partitioned non-equi joins over bounded per-key order counts (~10),
+# never a cardinality explosion.
+_Q17_SQL = """
+WITH f AS (
+  SELECT o_custkey AS ck, o_orderdate AS d FROM orders WHERE o_orderstatus = 'F'
+), o AS (
+  SELECT o_custkey AS ck, o_orderdate AS d FROM orders WHERE o_orderstatus = 'O'
+), u AS (
+  SELECT o_custkey AS ck, o_orderdate AS d,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), chains AS (
+  SELECT f.ck, u.cents
+  FROM f
+  JOIN o ON o.ck = f.ck AND o.d > f.d
+  JOIN u ON u.ck = f.ck AND u.d > o.d
+), seg AS (
+  SELECT c_custkey AS ck, c_mktsegment FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(COUNT(DISTINCT ch.ck) AS BIGINT) AS n_customers,
+       round(SUM(ch.cents) / 100, 2) AS chained_urgent_value
+FROM chains ch JOIN seg ON seg.ck = ch.ck
+GROUP BY c_mktsegment
+"""
+
+
+# DuckDB plans the mixed equi+inequality chain join as a PIECEWISE_MERGE
+# join on the DATE alone (the customer key becomes a post-filter), which
+# cross-products all order dates — minutes at sf0.1. The oracle therefore
+# computes the identical chain counts by factorizing the triple join into
+# two strict-before cumulative windows (exact integer sums, tie-safe via
+# the secondary sort tag): cf(o) = #F-orders strictly before o, then
+# g(u) = sum of cf over O-orders strictly before u; n_chains = sum g,
+# value = sum cents*g. Same values, O(n log n).
+_Q17_ORACLE = """
+WITH f AS (
+  SELECT o_custkey AS ck, o_orderdate AS d FROM orders WHERE o_orderstatus = 'F'
+), o AS (
+  SELECT o_custkey AS ck, o_orderdate AS d FROM orders WHERE o_orderstatus = 'O'
+), u AS (
+  SELECT o_custkey AS ck, o_orderdate AS d,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), ev1 AS (
+  SELECT ck, d, 1 AS w, 1 AS tag FROM f        -- f sorts AFTER o at same date
+  UNION ALL
+  SELECT ck, d, 0 AS w, 0 AS tag FROM o
+), oc AS (                                      -- cf per o-row
+  SELECT ck, d, cum AS cf FROM (
+    SELECT ck, d, tag,
+           SUM(w) OVER (PARTITION BY ck ORDER BY d, tag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM ev1
+  ) t WHERE tag = 0
+), ev2 AS (
+  SELECT ck, d, cf AS w, 1 AS tag, CAST(NULL AS BIGINT) AS cents FROM oc  -- o sorts AFTER u at same date
+  UNION ALL
+  SELECT ck, d, 0 AS w, 0 AS tag, cents FROM u
+), uc AS (                                      -- g per u-row
+  SELECT ck, cents, cum AS g FROM (
+    SELECT ck, d, tag, cents,
+           SUM(w) OVER (PARTITION BY ck ORDER BY d, tag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM ev2
+  ) t WHERE tag = 0
+), per_ck AS (
+  SELECT ck, SUM(g) AS tc, SUM(cents * g) AS cents_total
+  FROM uc GROUP BY ck
+  HAVING SUM(g) > 0
+)
+SELECT c_mktsegment,
+       CAST(SUM(tc) AS BIGINT) AS n_chains,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(SUM(cents_total) / 100, 2) AS chained_urgent_value
+FROM per_ck JOIN customer ON c_custkey = ck
+GROUP BY c_mktsegment
+"""
+
+# TPC-DS q39: inventory-variance scan — per (part-bucket, month) quantity
+# totals, then mean/variance over the months per bucket; keep the volatile
+# buckets. Variance comes from exact integer sums (n·Σx² − (Σx)²) so the
+# coefficient-of-variation filter is deterministic: one sqrt + one division
+# on exact integers, and the predicate compares SCALED integers
+# (n·Σx² − (Σx)² compared against cv²·(Σx)²·(n−1)/n scaled out) — here kept
+# as the standard cv > 1.0 form, which on exact operands is the identical
+# double in both engines.
+_Q39_SQL = """
+WITH pm AS (
+  SELECT l_partkey % 100 AS pbucket,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey % 100,
+           CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+), stats AS (
+  SELECT pbucket,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(qty) AS BIGINT) AS sum_q,
+         CAST(SUM(qty * qty) AS BIGINT) AS sum_q2
+  FROM pm GROUP BY pbucket
+)
+SELECT CAST(pbucket AS BIGINT) AS pbucket, n_months,
+       CAST(ROUND(CAST(sum_q AS DOUBLE) / n_months, 0) AS BIGINT) AS mean_qty,
+       ROUND(SQRT(CAST(n_months * sum_q2 - sum_q * sum_q AS DOUBLE)
+                  / (CAST(n_months AS DOUBLE) * (n_months - 1)))
+             / (CAST(sum_q AS DOUBLE) / n_months), 4) AS cv
+FROM stats
+WHERE n_months > 1
+  AND SQRT(CAST(n_months * sum_q2 - sum_q * sum_q AS DOUBLE)
+           / (CAST(n_months AS DOUBLE) * (n_months - 1)))
+      / (CAST(sum_q AS DOUBLE) / n_months) > 0.2
+"""
+
+# TPC-DS q95: multi-hop EXISTS with distinct counting — orders that contain
+# a part the SAME customer also bought in a DIFFERENT order (the q95
+# "shipped from another warehouse" hop adapted to the part dimension).
+# Both hops decorrelate to semi joins; the final distinct count runs over
+# order keys only.
+_Q95_SQL = """
+WITH op AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck, l_partkey AS pk,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT CAST(COUNT(DISTINCT a.ok) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT a.ck) AS BIGINT) AS n_customers,
+       round(SUM(a.cents) / 100, 2) AS revenue
+FROM op a
+WHERE EXISTS (SELECT 1 FROM op b
+              WHERE b.ck = a.ck AND b.pk = a.pk AND b.ok <> a.ok)
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
@@ -564,6 +741,30 @@ def q_tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q97_SQL)
 
 
+def q_tpcds_q31_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31 shape: consecutive-quarter cross-channel growth comparison with
+    an exact-integer cross-multiplied predicate."""
+    return _sql(spark, sf_dir, _Q31_SQL)
+
+
+def q_tpcds_q17_sale_return_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17 shape: three fact instances chained on (customer, part) with
+    strictly increasing dates — sale, return, re-purchase."""
+    return _sql(spark, sf_dir, _Q17_SQL)
+
+
+def q_tpcds_q39_quantity_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q39 shape: variance-over-aggregate volatility scan, exact-integer
+    moments."""
+    return _sql(spark, sf_dir, _Q39_SQL)
+
+
+def q_tpcds_q95_multi_hop_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q95 shape: multi-hop EXISTS (same customer, same part, different
+    order) with distinct counting over the surviving keys."""
+    return _sql(spark, sf_dir, _Q95_SQL)
+
+
 QUERIES = {
     "tpcds_q51_cumulative": q_tpcds_q51_cumulative,
     "tpcds_q63_rolling_brand": q_tpcds_q63_rolling_brand,
@@ -582,6 +783,10 @@ QUERIES = {
     "tpcds_q75_yoy_decline": q_tpcds_q75_yoy_decline,
     "tpcds_q78_channel_ratio": q_tpcds_q78_channel_ratio,
     "tpcds_q97_channel_overlap": q_tpcds_q97_channel_overlap,
+    "tpcds_q31_growth_compare": q_tpcds_q31_growth_compare,
+    "tpcds_q17_sale_return_repurchase": q_tpcds_q17_sale_return_repurchase,
+    "tpcds_q39_quantity_variance": q_tpcds_q39_quantity_variance,
+    "tpcds_q95_multi_hop_exists": q_tpcds_q95_multi_hop_exists,
 }
 
 ORACLE = {
@@ -602,4 +807,8 @@ ORACLE = {
     "tpcds_q75_yoy_decline": _Q75_SQL,
     "tpcds_q78_channel_ratio": _Q78_SQL,
     "tpcds_q97_channel_overlap": _Q97_SQL,
+    "tpcds_q31_growth_compare": _Q31_SQL,
+    "tpcds_q17_sale_return_repurchase": _Q17_ORACLE,
+    "tpcds_q39_quantity_variance": _Q39_SQL,
+    "tpcds_q95_multi_hop_exists": _Q95_SQL,
 }
