@@ -23,7 +23,7 @@ under-covered onto the existing tables, one graded query per shape:
 * q78  — cross-channel participation ratio bands with null-patched sides
 * q97  — FULL OUTER JOIN overlap census of channel (customer, part) sets
 * q31  — consecutive-quarter cross-channel growth comparison (exact cross-multiply)
-* q17  — sale → return → re-purchase: three fact instances chained on (cust, part)
+* q17  — three fact instances chained per customer with increasing dates
 * q39  — variance-over-aggregate volatility scan from exact integer moments
 * q95  — multi-hop EXISTS (same customer+part, different order) + distinct count
 

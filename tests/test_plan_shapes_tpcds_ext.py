@@ -53,3 +53,33 @@ def test_q49_rank_over_agg_frame(spark, sf_dir):
     # frame never materializes
     assert plan.count("Window [") == 1
     assert plan.count("WindowGroupLimit") == 2
+
+
+def test_q17_chain_is_co_partitioned_smj(spark, sf_dir):
+    """The three fact instances must meet as equi-keyed joins on the
+    customer key (SMJ/SHJ with the date inequality as the non-equi
+    condition) — never a cartesian or a date-only merge join."""
+    from flink_release_1_14_5_comment_spark.operators.tpcds_shapes import (
+        q_tpcds_q17_sale_return_repurchase,
+    )
+
+    plan = _plan(q_tpcds_q17_sale_return_repurchase(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-keyed join strategies only: hash/broadcast-hash/sort-merge on ck
+    # (small SFs broadcast the order slices; at scale AQE keeps SMJ/SHJ) —
+    # the failure mode this pins out is a date-only merge/nested-loop join
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_q95_multi_hop_is_semi_join(spark, sf_dir):
+    """The EXISTS hop must decorrelate to a semi join, not a full join +
+    distinct."""
+    from flink_release_1_14_5_comment_spark.operators.tpcds_shapes import (
+        q_tpcds_q95_multi_hop_exists,
+    )
+
+    plan = _plan(q_tpcds_q95_multi_hop_exists(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
