@@ -26,6 +26,10 @@ Stages (each is an oracle-gated operator — see pipeline/*.py):
  19. budgeted mixture      — per-language char-budget greedy cut (corpus_mix)
  20. ONE composed job      — gate → exact → near-dup → mix as a single
                              oracle-graded query (pipeline/end_to_end.py)
+ 21. retrieval             — BM25 top-k + hybrid dense/sparse RRF fusion
+ 22. HLL distinct screens  — 64 md5-deterministic registers, exact-checkable
+ 23. cluster reps          — longest-member-wins dedup policy
+ 24. streaming ingest      — incremental near-dup pairs vs the keyed index
 """
 
 from __future__ import annotations
@@ -120,6 +124,23 @@ def main() -> None:
     from flink_release_1_14_5_comment_spark.pipeline import end_to_end
     end_to_end.q_pipeline_end_to_end(spark, SF_DIR) \
         .orderBy("lang", "source").show(8)
+
+    print("== 21. retrieval: BM25 top-k + hybrid dense/sparse RRF fusion ==")
+    from flink_release_1_14_5_comment_spark.pipeline import retrieval
+    retrieval.q_bm25_topk(spark, SF_DIR).orderBy("qid", "rn").show(8)
+    retrieval.q_hybrid_rrf_fusion(spark, SF_DIR).orderBy("qid", "rn").show(8)
+
+    print("== 22. HyperLogLog distinct screens (batch registers) ==")
+    sketches.q_approx_distinct_hll(spark, SF_DIR).orderBy("event_type").show()
+
+    print("== 23. cluster-representative policy (longest member wins) ==")
+    graph.q_dedup_cluster_representatives(spark, SF_DIR) \
+        .orderBy("cluster_id").show(5)
+
+    print("== 24. streaming ingest: incremental near-dup pairs vs the index ==")
+    from flink_release_1_14_5_comment_spark.streaming import stream_queries
+    stream_queries.q_stream_incremental_dedup(spark, SF_DIR) \
+        .orderBy("band", "a_id", "b_id").show(5)
 
     print("== cleaned-corpus summary (quality + exact + near-dup composed) ==")
     dedup.q_corpus_clean(spark, SF_DIR).show()
