@@ -188,21 +188,31 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, emb = t["documents"], t["embeddings"]
     probes_pred = F.col("doc_id").isin(*_PROBES)
 
-    # dense: broadcast the probe vectors, brute-force cosine (exact baseline)
-    pe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")).filter(
-        F.col("qid").isin(*_PROBES)
+    # dense: broadcast the probe vectors, brute-force cosine (exact
+    # baseline). Norms are hoisted OUT of the pair loop (each side's
+    # self-dot computed once per row, not once per pair — the
+    # similarity.py _cosine_pre pattern): sqrt operands are identical, so
+    # the rounded score is bit-identical to the inline form.
+    pe = (
+        emb.filter(F.col("vec_id").isin(*_PROBES))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("qn"),
+        )
+    )
+    corpus = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("en"),
     )
     dense = (
-        emb.crossJoin(F.broadcast(pe))
+        corpus.crossJoin(F.broadcast(pe))
         .select(
             "qid",
             F.col("vec_id").alias("doc_id"),
             F.round(
                 F.expr(_DOT.format(a="embedding", b="qe"))
-                / (
-                    F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-                    * F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-                ),
+                / (F.col("en") * F.col("qn")),
                 4,
             ).alias("dscore"),
         )
