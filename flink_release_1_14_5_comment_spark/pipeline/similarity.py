@@ -100,6 +100,57 @@ WHERE rn <= 5
 """
 
 
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-5 cosine neighbors RESTRICTED to a
+    metadata predicate (neighbor's label must differ from the probe's —
+    the cross-class retrieval a hard-negative miner runs). The filter is
+    applied DURING the search (inside the pair pipeline, before ranking),
+    not post-filtering a fixed top-k — the design point that preserves
+    recall when the predicate is selective. At 100 TB the same predicate
+    pushes into the IVF/PQ candidate scan (partition pruning on a
+    label-partitioned index); here the exact baseline keeps the oracle
+    checkable. The predicate evaluates on scan columns, so Catalyst pushes
+    it below the broadcast pair join — no filtered-out row ever reaches
+    the cosine fold."""
+    t = register_views(spark, sf_dir)
+    e = _spread(t["embeddings"]).withColumn("nrm", _norm("embedding"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("label").alias("qlabel"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("int").alias("neighbor_label"),
+            F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+ORACLE_Q_ANN_FILTERED_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.qid, e.vec_id AS neighbor_id, CAST(e.label AS INT) AS neighbor_label,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 4) AS sim
+  FROM embeddings e, q
+  WHERE e.label <> q.qlabel
+)
+SELECT qid, neighbor_id, neighbor_label, sim, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS rn
+      FROM sims)
+WHERE rn <= 5
+"""
+
+
 # Banded sign-projection LSH: N_BANDS bands × BITS_PER_BAND deterministic
 # component comparisons (1-based in both engines). Two vectors are candidates
 # when they collide in ANY band (OR-amplification) — the same band/row
@@ -902,6 +953,7 @@ ORACLE_Q_EMBEDDING_RANDOM_PROJECTION = _rp_oracle()
 
 QUERIES = {
     "knn_cosine": q_knn_cosine,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "embedding_random_projection": q_embedding_random_projection,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -916,6 +968,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_cosine": ORACLE_Q_KNN_COSINE,
+    "ann_filtered_topk": ORACLE_Q_ANN_FILTERED_TOPK,
     "embedding_random_projection": ORACLE_Q_EMBEDDING_RANDOM_PROJECTION,
     "ann_recall_eval": ORACLE_Q_ANN_RECALL_EVAL,
     "ann_lsh_buckets": ORACLE_Q_ANN_LSH_BUCKETS,
