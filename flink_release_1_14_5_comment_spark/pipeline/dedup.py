@@ -172,6 +172,58 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(shingle_docs(spark, sf_dir).persist())
 
 
+N_ANCHORS = 8  # contrastive anchors: doc_id < 8 (exist at every SF)
+
+
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling with near-dup exclusion: for each
+    anchor document, draw 4 deterministic negatives from the corpus —
+    md5-keyed so the draw is reproducible across engines, runs, and
+    cluster sizes — EXCLUDING every LSH band-collision candidate of the
+    anchor (the conservative 'possibly a positive' set, pre-verification)
+    and the anchor itself. This is the training-pair miner's complement to
+    ann_filtered_topk's hard negatives: easy negatives guaranteed not to
+    be accidental positives. Plan: anchors broadcast against the corpus
+    (pure map), candidate pairs anti-joined (the LSH set is ~linear), one
+    per-anchor window over 4·|corpus| rows max. At 100 TB the md5 rank is
+    replaced by per-partition top-k then global (same two-phase pattern as
+    weighted_sample)."""
+    t = register_views(spark, sf_dir)
+    docs = t["documents"]
+    sig = minhash_signatures(shingle_frame(docs)).persist()
+    a, b = sig.alias("a"), sig.alias("b")
+    excl = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.s0") == F.col("b.s0"))
+            & (F.col("a.s1") == F.col("b.s1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi"))
+        .distinct()
+    )
+    anchors = docs.filter(F.col("doc_id") < N_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"))
+    pairs = (
+        docs.select(F.col("doc_id").alias("neg_id"))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .withColumn("lo", F.least("anchor_id", "neg_id"))
+        .withColumn("hi", F.greatest("anchor_id", "neg_id"))
+        .join(excl, ["lo", "hi"], "left_anti")
+        .withColumn("key", F.md5(F.concat(
+            F.lit("neg:"), F.col("anchor_id").cast("string"),
+            F.lit(":"), F.col("neg_id").cast("string"))))
+    )
+    w = W.partitionBy("anchor_id").orderBy("key", "neg_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 4)
+        .select("anchor_id", "neg_id", "rn")
+    )
+
+
 # Shared oracle fragments — single source of truth for the DuckDB mirror of
 # the shingle-hash → affine-minhash pipeline (kept in lockstep with
 # shingle_frame / minhash_signatures above).
@@ -211,6 +263,29 @@ JOIN sh sb ON sb.doc_id = doc_b
 WHERE len(list_intersect(sa.sh, sb.sh))
       / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4
 """
+
+ORACLE_Q_CONTRASTIVE_NEGATIVES = f"""
+WITH docs AS ({ORACLE_DOCS_CTE}), sh AS ({ORACLE_SH_CTE}),
+sig AS ({ORACLE_SIG_CTE}), excl AS ({ORACLE_CAND_CTE}),
+anchors AS (
+  SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 8
+), pairs AS (
+  SELECT a.anchor_id, d.doc_id AS neg_id,
+         LEAST(a.anchor_id, d.doc_id) AS lo,
+         GREATEST(a.anchor_id, d.doc_id) AS hi,
+         md5('neg:' || a.anchor_id::VARCHAR || ':' || d.doc_id::VARCHAR) AS key
+  FROM documents d CROSS JOIN anchors a
+  WHERE d.doc_id <> a.anchor_id
+), kept AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.doc_a = p.lo AND e.doc_b = p.hi)
+)
+SELECT anchor_id, neg_id, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY key, neg_id) AS rn
+      FROM kept)
+WHERE rn <= 4
+"""
+
 
 
 def q_dedup_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +688,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_recall_eval": q_dedup_recall_eval,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "contrastive_negatives": q_contrastive_negatives,
     "dedup_ngram_overlap": q_dedup_ngram_overlap,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -621,6 +697,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "contrastive_negatives": ORACLE_Q_CONTRASTIVE_NEGATIVES,
     "dedup_exact": ORACLE_Q_DEDUP_EXACT,
     "dedup_recall_eval": ORACLE_Q_DEDUP_RECALL_EVAL,
     "dedup_minhash_lsh": ORACLE_Q_DEDUP_MINHASH_LSH,

@@ -26,7 +26,7 @@ NAMES = [
     "bm25_topk", "hybrid_rrf_fusion", "approx_distinct_hll",
     "tpcds_q97_channel_overlap", "stream_incremental_dedup",
     "dedup_cluster_representatives", "stream_approx_distinct",
-    "scd2_build", "tpcds_q17_sale_return_repurchase", "ann_filtered_topk",
+    "scd2_build", "tpcds_q17_sale_return_repurchase", "ann_filtered_topk", "contrastive_negatives",
 ]
 
 SCRIPT = f"""
