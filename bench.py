@@ -208,6 +208,12 @@ def main() -> None:
     if len(line) > 1900:  # keep inside the caller's 2000-char tail buffer
         out.pop("cold_total", None)
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # last resort (ADVICE r6 #3): a parsed artifact with only the
+        # headline beats an unparseable one with per-query detail — the
+        # full map is already on stderr.
+        out.pop("queries", None)
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 

@@ -71,6 +71,48 @@ def split_distinct_agg(
     return partial.groupBy(*group_cols).agg(F.sum("__pd").alias("n_distinct"))
 
 
+def topk_per_key(
+    df: DataFrame,
+    keys: list[str] | str,
+    order: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Two-phase distributed top-k per key — the local/global sort-limit
+    split (reference: batch ``SortLimitOperator.java`` local/global pair and
+    the same split ``SplitAggregateRule.scala:121`` applies to skewed aggs —
+    SURVEY §2.6).
+
+    A single ``row_number() OVER (PARTITION BY key)`` window funnels the
+    ENTIRE input through one task per key — with a handful of probe keys
+    that is a maximal-skew shuffle at 100 TB. This helper instead:
+
+    1. ranks within ``(key, spark_partition_id())`` — a uniform shuffle with
+       ``keys × n_partitions``-way parallelism — and keeps each task's local
+       top-k (any global top-k row is necessarily in its partition's local
+       top-k, so the prune is exact);
+    2. ranks the ≤ ``k × n_partitions`` survivors per key globally.
+
+    ``order`` must be a deterministic total order (tiebreak to a unique
+    column) — all callers order by (rounded score, unique id). The output is
+    partitioning-invariant: step 1 only changes WHICH non-surviving rows are
+    dropped, never the survivors or their global ranks.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    from pyspark.sql import Window as W
+
+    lw = W.partitionBy(*keys, "__tk_pid").orderBy(*order)
+    gw = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__tk_pid", F.spark_partition_id())
+        .withColumn("__tk_lrn", F.row_number().over(lw))
+        .filter(F.col("__tk_lrn") <= k)
+        .drop("__tk_pid", "__tk_lrn")
+        .withColumn(rank_col, F.row_number().over(gw))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, num_buckets: int = 8
 ) -> None:

@@ -159,12 +159,21 @@ WITH ret AS (
   WHERE l_returnflag = 'R'
   GROUP BY o_custkey, c_nationkey
 )
+, nat AS (
+  SELECT nk, SUM(ret_cents) AS total_cents, COUNT(*) AS cnt
+  FROM ret GROUP BY nk
+)
 SELECT c_custkey, c_mktsegment,
        round(r.ret_cents / 100, 2) AS ret_amt
 FROM ret r
+JOIN nat n ON n.nk = r.nk
 JOIN customer ON c_custkey = r.ck
-WHERE r.ret_cents > (SELECT 1.2 * SUM(r2.ret_cents) / COUNT(*)
-                     FROM ret r2 WHERE r2.nk = r.nk)
+-- ret_cents > 1.2 * AVG(ret_cents) cross-multiplied into exact BIGINT
+-- arithmetic (10·cents·cnt > 12·total): Spark folds the 1.2 literal into
+-- DECIMAL division while DuckDB's `/` yields DOUBLE, so the fractional
+-- threshold could classify a within-1-ulp row differently across engines
+-- (ADVICE r6 #1; same integer-predicate pattern as q31/q63).
+WHERE 10 * r.ret_cents * n.cnt > 12 * n.total_cents
 """
 
 # TPC-DS q34: tickets (orders) whose item count falls in a band, then the

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.operators.scale import topk_per_key
 
 N_BANDS = 4   # LSH bands
 BAND_ROWS = 2  # minhashes per band (b=4, r=2 → P(candidate) = 1-(1-J²)⁴:
@@ -184,10 +185,11 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the anchor itself. This is the training-pair miner's complement to
     ann_filtered_topk's hard negatives: easy negatives guaranteed not to
     be accidental positives. Plan: anchors broadcast against the corpus
-    (pure map), candidate pairs anti-joined (the LSH set is ~linear), one
-    per-anchor window over 4·|corpus| rows max. At 100 TB the md5 rank is
-    replaced by per-partition top-k then global (same two-phase pattern as
-    weighted_sample)."""
+    (pure map), candidate pairs anti-joined (the LSH set is ~linear), and
+    the md5-keyed draw runs through the two-phase ``topk_per_key`` split
+    (per-(anchor, input-partition) row_number prune, then a global rank
+    over ≤ 4·n_partitions survivors per anchor) — no window ever funnels
+    the corpus through a single per-anchor task."""
     t = register_views(spark, sf_dir)
     docs = t["documents"]
     sig = minhash_signatures(shingle_frame(docs)).persist()
@@ -216,10 +218,9 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("neg:"), F.col("anchor_id").cast("string"),
             F.lit(":"), F.col("neg_id").cast("string"))))
     )
-    w = W.partitionBy("anchor_id").orderBy("key", "neg_id")
     return (
-        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 4)
+        topk_per_key(pairs, "anchor_id", ["key", "neg_id"], 4)
+        .withColumn("rn", F.col("rn").cast("long"))
         .select("anchor_id", "neg_id", "rn")
     )
 

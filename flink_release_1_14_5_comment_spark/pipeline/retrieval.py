@@ -23,6 +23,11 @@ Scale design (100 TB):
   similarity.py's LSH/IVF/PQ family — fusion only needs the rank lists.
 - All scores are rounded BEFORE ranking (4 dp) with doc_id tiebreaks, so
   ranking is deterministic across engines and partitionings.
+- Every per-probe ranking stage runs through operators/scale.py's
+  ``topk_per_key`` two-phase split (local row_number over
+  (key, spark_partition_id) prune → global rank over ≤ k·n_partitions
+  survivors) — with a handful of probe keys, a direct single-key window
+  would funnel the whole corpus through 4-8 tasks.
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.operators.scale import topk_per_key
 
 # BM25 constants (Robertson/Sparck-Jones defaults; Lucene's idf variant).
 _K1 = 1.2
@@ -49,6 +55,15 @@ _BM25_QUERIES = [
 _PROBES = (7, 42, 123, 321)
 
 _RRF_K = 60  # Cormack, Clarke & Buettcher 2009 constant
+
+# Each retrieval side contributes its top-_RRF_DEPTH list to the fusion —
+# the standard RRF formulation (fuse *retrieved lists*, not corpus-wide
+# rankings). Besides being the textbook definition, this is what makes the
+# operator scale-sane: ranks beyond the retrieval depth are never
+# materialized. 128 also exceeds the proof bound R > 69 under which the
+# fused top-5 membership equals the corpus-wide-rank variant's (a doc
+# outside both top-128 lists has rrf ≤ 2/189 < 1/65, the worst 5th-best).
+_RRF_DEPTH = 128
 
 
 def _tok_arr() -> F.Column:
@@ -116,10 +131,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(qid, term) for qid, terms in _BM25_QUERIES for term in terms]
     qterms = spark.createDataFrame(rows, "qid int, term string")
     scored = _bm25_scores(spark, t["documents"], qterms)
-    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= _TOP_K)
+        topk_per_key(scored, "qid", [F.col("score").desc(), F.col("doc_id")], _TOP_K)
+        .withColumn("rn", F.col("rn").cast("long"))
         .select(F.col("qid").cast("int").alias("qid"), "doc_id", "score", "rn")
     )
 
@@ -177,13 +191,17 @@ _DOT = (
 
 
 def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-as-query hybrid retrieval: for each probe document, rank the
-    corpus by (a) dense cosine over its embedding and (b) sparse BM25 over
-    its distinct tokens, then fuse with reciprocal rank fusion
-    (1/(60+rank), missing side contributes 0) and keep the top-5. This is
-    the near-dup/contamination triage query: the probe's own row surfaces
-    at dense rank 1 as a built-in sanity column. Both rank lists use
-    rounded scores + doc_id tiebreaks, so fusion is engine-deterministic."""
+    """Document-as-query hybrid retrieval: for each probe document, retrieve
+    the top-128 corpus docs by (a) dense cosine over its embedding and (b)
+    sparse BM25 over its distinct tokens, then fuse the two rank lists with
+    reciprocal rank fusion (1/(60+rank), side absent from a list contributes
+    0 — the standard RRF-over-retrieved-lists definition) and keep the
+    top-5. This is the near-dup/contamination triage query: the probe's own
+    row surfaces at dense rank 1 as a built-in sanity column. Both rank
+    lists use rounded scores + doc_id tiebreaks, so fusion is
+    engine-deterministic; every ranking stage runs through the two-phase
+    ``topk_per_key`` split, so no window ever funnels the corpus through a
+    single per-probe task."""
     t = register_views(spark, sf_dir)
     docs, emb = t["documents"], t["embeddings"]
     probes_pred = F.col("doc_id").isin(*_PROBES)
@@ -205,23 +223,18 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("en"),
     )
-    dense = (
-        corpus.crossJoin(F.broadcast(pe))
-        .select(
-            "qid",
-            F.col("vec_id").alias("doc_id"),
-            F.round(
-                F.expr(_DOT.format(a="embedding", b="qe"))
-                / (F.col("en") * F.col("qn")),
-                4,
-            ).alias("dscore"),
-        )
-        .withColumn(
-            "drank",
-            F.row_number().over(
-                W.partitionBy("qid").orderBy(F.col("dscore").desc(), F.col("doc_id"))
-            ),
-        )
+    dscored = corpus.crossJoin(F.broadcast(pe)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            F.expr(_DOT.format(a="embedding", b="qe"))
+            / (F.col("en") * F.col("qn")),
+            4,
+        ).alias("dscore"),
+    )
+    dense = topk_per_key(
+        dscored, "qid", [F.col("dscore").desc(), F.col("doc_id")],
+        _RRF_DEPTH, rank_col="drank",
     )
 
     # sparse: the probe's DISTINCT tokens are the query-term table
@@ -230,13 +243,13 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("int").alias("qid"), F.explode(_tok_arr()).alias("term"))
         .distinct()
     )
-    sparse = _bm25_scores(spark, docs, qterms).withColumn(
-        "srank",
-        F.row_number().over(
-            W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
-        ),
+    sparse = topk_per_key(
+        _bm25_scores(spark, docs, qterms),
+        "qid", [F.col("score").desc(), F.col("doc_id")],
+        _RRF_DEPTH, rank_col="srank",
     )
 
+    # fused input is ≤ 2·_RRF_DEPTH rows per probe — already bounded
     fused = (
         dense.select("qid", "doc_id", "drank")
         .join(sparse.select("qid", "doc_id", "srank"), ["qid", "doc_id"], "full_outer")
@@ -249,10 +262,9 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return (
-        fused.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= _TOP_K)
+        topk_per_key(fused, "qid", [F.col("rrf").desc(), F.col("doc_id")], _TOP_K)
+        .withColumn("rn", F.col("rn").cast("long"))
         .select(
             F.col("qid").cast("int").alias("qid"),
             "doc_id",
@@ -274,18 +286,22 @@ WITH pe AS (
          ROUND(list_cosine_similarity(e.embedding::DOUBLE[], p.qe::DOUBLE[]), 4) AS dscore
   FROM embeddings e CROSS JOIN pe p
 ), dranked AS (
-  SELECT qid, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dscore DESC, doc_id) AS drank
-  FROM dense
+  SELECT * FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dscore DESC, doc_id) AS drank
+    FROM dense)
+  WHERE drank <= {_RRF_DEPTH}
 ), qterms AS (
   SELECT DISTINCT CAST(doc_id AS INT) AS qid, unnest({_TOKS_DUCK}) AS term
   FROM documents WHERE doc_id IN ({_PROBE_LIST})
 ),
 {_BM25_SCORED_CTES},
 sparse AS (
-  SELECT qid, doc_id, score,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srank
-  FROM scored
+  SELECT * FROM (
+    SELECT qid, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srank
+    FROM scored)
+  WHERE srank <= {_RRF_DEPTH}
 ), fused AS (
   SELECT COALESCE(d.qid, s.qid) AS qid,
          COALESCE(d.doc_id, s.doc_id) AS doc_id,

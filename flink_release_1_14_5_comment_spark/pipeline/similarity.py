@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.operators.scale import topk_per_key
 
 N_QUERIES = 5
 TOP_K = 5
@@ -78,11 +79,9 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"),
         )
     )
-    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOP_K)
-    )
+    return topk_per_key(
+        sims, "qid", [F.col("sim").desc(), F.col("neighbor_id")], TOP_K
+    ).withColumn("rn", F.col("rn").cast("long"))
 
 
 ORACLE_Q_KNN_COSINE = """
@@ -128,11 +127,9 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"),
         )
     )
-    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOP_K)
-    )
+    return topk_per_key(
+        sims, "qid", [F.col("sim").desc(), F.col("neighbor_id")], TOP_K
+    ).withColumn("rn", F.col("rn").cast("long"))
 
 
 ORACLE_Q_ANN_FILTERED_TOPK = """

@@ -2237,16 +2237,23 @@ def q_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("occupied"),
         F.sum(F.expr("power(0.5, rho)")).alias("s"),
     )
+    # raw_est/est use the IDENTICAL SQL expression text as _hll_sql so
+    # literal typing matches the batch/oracle path: `0.709 * 64 * 64` folds
+    # in DECIMAL (exactly 2903.04 as a double) whereas the former
+    # F.lit(0.709) * 64 * 64 accumulated in pure double
+    # (2903.0399999999995) — a ~1e-12 divergence that could flip a
+    # ROUND(est, 4) tie or a linear-counting boundary (ADVICE r6 #2).
     est = merged.withColumn(
         "raw_est",
-        F.lit(_ALPHA) * _HLL_M * _HLL_M
-        / (F.col("s") + (_HLL_M - F.col("occupied"))),
+        F.expr(f"{_ALPHA} * {_HLL_M} * {_HLL_M}"
+               f" / (s + ({_HLL_M} - occupied))"),
     ).withColumn(
         "est",
-        F.when(
-            (F.col("raw_est") <= 2.5 * _HLL_M) & (F.col("occupied") < _HLL_M),
-            _HLL_M * F.log(F.lit(float(_HLL_M)) / (_HLL_M - F.col("occupied"))),
-        ).otherwise(F.col("raw_est")),
+        F.expr(
+            f"CASE WHEN raw_est <= 2.5 * {_HLL_M} AND occupied < {_HLL_M}"
+            f" THEN {_HLL_M} * LN({_HLL_M}.0 / ({_HLL_M} - occupied))"
+            f" ELSE raw_est END"
+        ),
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("item").alias("exact_distinct"))

@@ -1,0 +1,80 @@
+"""Plan-topology locks for the two-phase top-k split (operators/scale.py
+topk_per_key) — VERDICT r6 "What's wrong #1": no per-probe ranking stage may
+funnel the full corpus through a single-key window. Every row_number window
+partitioned solely by the probe key must be PAIRED with a local pruning
+window partitioned by (key, __tk_pid), proving the global rank only ever
+sees ≤ k × n_partitions survivors.
+
+Reference analog: the local/global sort-limit split of the batch
+SortLimitOperator (flink-table/flink-table-runtime/.../sort/
+SortLimitOperator.java) and SplitAggregateRule.scala:121 — SURVEY §2.6.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# Window node: `Window [<exprs>], [<partition spec>], [<order spec>]`
+_WIN_RE = re.compile(r"Window \[.*?\], \[([^\]]*)\], \[")
+
+
+def _rank_partition_specs(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return _WIN_RE.findall(plan)
+
+
+_CASES = {
+    "bm25_topk": 1,
+    "hybrid_rrf_fusion": 3,  # dense list, sparse list, fusion
+    "knn_cosine": 1,
+    "ann_filtered_topk": 1,
+    "contrastive_negatives": 1,
+}
+
+
+@pytest.mark.parametrize("name,n_topk", sorted(_CASES.items()))
+def test_every_probe_rank_window_is_two_phase(spark, sf_dir, name, n_topk):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, sf_dir)
+    specs = _rank_partition_specs(df)
+    local = [s for s in specs if "__tk_pid" in s]
+    glob = [s for s in specs if "__tk_pid" not in s]
+    assert len(local) == n_topk, specs
+    # every single-key rank window is the bounded global phase of a pair
+    assert len(glob) == n_topk, specs
+
+
+def test_topk_per_key_partitioning_invariant(spark):
+    """The two-phase result equals the plain single-window result under
+    adversarial partitionings (the prune is exact: any global top-k row is
+    in its input partition's local top-k)."""
+    from flink_release_1_14_5_comment_spark.operators.scale import topk_per_key
+
+    rows = [(i % 7, F"{(i * 2654435761) % 997:03d}", i) for i in range(2000)]
+    base = spark.createDataFrame(rows, "key int, score string, uid long")
+    expect = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("key").orderBy("score", "uid")),
+        )
+        .filter(F.col("rn") <= 5)
+        .sort("key", "rn")
+        .collect()
+    )
+    for df in (base.repartition(1), base.repartition(37), base.repartition("key"),
+               base.repartitionByRange(8, "uid")):
+        got = (
+            topk_per_key(df, "key", ["score", "uid"], 5)
+            .sort("key", "rn")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in expect]
