@@ -73,41 +73,42 @@ def _modules():
 # the per-commit pytest oracle-parity sweep; family representation inside
 # the window is enforced by tests/test_grading_window.py (anchors updated
 # to the r6 members). Rotation history for r1-r5 windows: git log.
+# Round-7 graded window: rotation window 2 of 3 over the official-evidence
+# backlog (VERDICT r6 #1). Everything below was green in the local sf0.01
+# DuckDB sweep for 1-2 rounds but never officially graded. The r8 residual
+# (18 entries) is committed in ROADMAP.md.
 _PRIORITY = [
-    # SQL front doors — the translation layer under grade
-    "window_tvf_sql", "match_recognize_sql", "legacy_cast_sql",
-    "ddl_filesystem_sql",
-    # correlate / UNNEST (LogicalUnnestRule.scala)
-    "unnest_tokens", "posexplode_tokens", "lateral_topk",
-    # Python UDF Arrow paths (flink-python operators)
-    "python_udf_gauntlet",
-    # changelog trio (SinkUpsertMaterializer / DropUpdateBefore / NotNull)
-    "changelog_drop_update_before", "stream_upsert_materialize",
-    "sink_not_null_enforcer",
-    # streaming over-agg bounded frames
-    "stream_over_rows", "stream_over_range",
-    # set-op ALL variants + grouping sets family
-    "set_except_all", "set_intersect_all",
-    "cube", "rollup", "stream_grouping_sets",
-    # IO round-trips + streaming file sink
-    "io_roundtrip_csv", "io_roundtrip_json", "io_roundtrip_avro",
-    "io_roundtrip_jdbc", "streaming_file_sink",
-    # API facades
-    "table_api_fluent", "table_flat_aggregate",
-    # remaining streaming oracles
-    "stream_interval_join_left", "stream_window_join_left",
-    "stream_regular_join_full", "stream_dedup_keeplast", "stream_co_group",
-    "stream_window_hop", "stream_window_cumulate", "stream_heavy_hitters",
-    "stream_distinct_agg", "stream_upsert_pipeline",
-    # CDC changelog formats (debezium/canal/maxwell)
-    "cdc_debezium_agg", "cdc_canal_agg", "cdc_maxwell_agg",
-    # relational-ext batch shapes (r1-env-failure-only evidence)
-    "left_join_nulls", "having_two_level", "conditional_pivot",
-    "exists_and_not_exists", "window_over_join", "over_frames_ext",
-    "min_subquery_join", "distinct_not_in", "first_last_value",
-    # semantic-dedup family
-    "dedup_semantic", "dedup_semantic_multiprobe",
-    "embedding_random_projection",
+    # adapted TPC-DS shape pack — the reference's flagship gate
+    # (flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java)
+    "tpcds_q51_cumulative", "tpcds_q63_rolling_brand",
+    "tpcds_q14_cross_channel", "tpcds_q1_returns_above_avg",
+    "tpcds_q34_order_size_band", "tpcds_q59_month_over_year",
+    "tpcds_q93_net_after_returns", "tpcds_q11_loyalty_ratio",
+    "tpcds_q67_topk_rollup", "tpcds_q35_grouped_exists",
+    "tpcds_q23_frequent_items", "tpcds_q54_revenue_bands",
+    "tpcds_q88_count_census", "tpcds_q49_return_ratio_rank",
+    "tpcds_q75_yoy_decline", "tpcds_q78_channel_ratio",
+    "tpcds_q97_channel_overlap", "tpcds_q31_growth_compare",
+    "tpcds_q17_sale_return_repurchase", "tpcds_q39_quantity_variance",
+    "tpcds_q95_multi_hop_exists",
+    # round-6 operator families (retrieval / sketches / SCD2 / dedup)
+    "bm25_topk", "hybrid_rrf_fusion",
+    "approx_distinct_hll", "stream_approx_distinct",
+    "scd2_build", "stream_incremental_dedup",
+    "dedup_cluster_representatives", "ann_filtered_topk",
+    "contrastive_negatives", "dedup_incremental",
+    # r5 leftovers: stateful/async/facade operators
+    "keyed_process_state", "async_io_enrich", "datastream_api_fluent",
+    "scalar_collections", "stream_multimodal_pipeline",
+    # r5 sketch & sampling family
+    "cms_heavy_hitters", "histogram_quantile", "bloom_contamination",
+    "quality_percentile_cut", "weighted_sample", "quality_ntile_buckets",
+    "approx_distinct_linear",
+    # composed pipeline + corpus ops
+    "pipeline_end_to_end", "corpus_mix", "fuzzy_entity_match",
+    "zorder_layout",
+    # literal TPC-H stragglers + layout/range shapes
+    "tpch_q1", "tpch_q8", "range_join_tiers",
 ]
 
 

@@ -27,36 +27,44 @@ def test_priority_all_resolvable_with_oracles():
     assert list(qs)[:50] == entry._PRIORITY
 
 
-# r6 window: window 1 of 2 over the 88-entry official-evidence backlog
-# (VERDICT r5 #1). Families graded green in r2-r5 (TPC-H, core streaming,
-# ANN, scalar gauntlets, graph...) keep that multi-round official record
-# plus the per-commit pytest sweep; the anchors below assert the r6
-# window's own family spread so a rotation edit can't silently drop one
-# of the NEW evidence families.
+# r7 window: rotation window 2 of 3 over the official-evidence backlog
+# (VERDICT r6 #1). Families graded green in r2-r6 keep that multi-round
+# official record plus the per-commit pytest sweep; the anchors below
+# assert the r7 window's own family spread so a rotation edit can't
+# silently drop one of the NEW evidence families.
 FAMILY_ANCHORS = {
-    "sql-front-door-tvf": "window_tvf_sql",
-    "sql-front-door-mr": "match_recognize_sql",
-    "sql-front-door-cast": "legacy_cast_sql",
-    "sql-front-door-ddl": "ddl_filesystem_sql",
-    "unnest": "unnest_tokens",
-    "lateral": "lateral_topk",
-    "python-udf": "python_udf_gauntlet",
-    "changelog-dub": "changelog_drop_update_before",
-    "changelog-upsert-mat": "stream_upsert_materialize",
-    "changelog-notnull": "sink_not_null_enforcer",
-    "stream-over-rows": "stream_over_rows",
-    "stream-over-range": "stream_over_range",
-    "setop-all": "set_except_all",
-    "grouping-sets": "cube",
-    "io-roundtrip": "io_roundtrip_avro",
-    "streaming-file-sink": "streaming_file_sink",
-    "api-facade": "table_api_fluent",
-    "table-agg": "table_flat_aggregate",
-    "stream-join-left": "stream_regular_join_full",
-    "stream-dedup": "stream_dedup_keeplast",
-    "cdc": "cdc_debezium_agg",
-    "relational-ext": "exists_and_not_exists",
-    "semantic-dedup": "dedup_semantic",
+    "tpcds-cumulative": "tpcds_q51_cumulative",
+    "tpcds-intersect-rollup": "tpcds_q14_cross_channel",
+    "tpcds-correlated-returns": "tpcds_q1_returns_above_avg",
+    "tpcds-rank-in-rollup": "tpcds_q67_topk_rollup",
+    "tpcds-count-census": "tpcds_q88_count_census",
+    "tpcds-multi-hop-exists": "tpcds_q95_multi_hop_exists",
+    "tpcds-variance": "tpcds_q39_quantity_variance",
+    "retrieval-bm25": "bm25_topk",
+    "retrieval-fusion": "hybrid_rrf_fusion",
+    "hll-batch": "approx_distinct_hll",
+    "hll-streaming": "stream_approx_distinct",
+    "scd2": "scd2_build",
+    "stream-incr-dedup": "stream_incremental_dedup",
+    "dedup-cluster-reps": "dedup_cluster_representatives",
+    "ann-filtered": "ann_filtered_topk",
+    "contrastive": "contrastive_negatives",
+    "dedup-incremental": "dedup_incremental",
+    "keyed-process": "keyed_process_state",
+    "async-io": "async_io_enrich",
+    "datastream-facade": "datastream_api_fluent",
+    "scalar-collections": "scalar_collections",
+    "multimodal-stream": "stream_multimodal_pipeline",
+    "sketch-cms": "cms_heavy_hitters",
+    "sketch-quantile": "histogram_quantile",
+    "sketch-bloom": "bloom_contamination",
+    "sampling-weighted": "weighted_sample",
+    "pipeline-composed": "pipeline_end_to_end",
+    "corpus-mix": "corpus_mix",
+    "fuzzy-er": "fuzzy_entity_match",
+    "zorder": "zorder_layout",
+    "tpch-literal": "tpch_q1",
+    "range-join": "range_join_tiers",
 }
 
 
