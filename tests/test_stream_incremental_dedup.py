@@ -64,3 +64,43 @@ def test_pair_set_invariant_to_chunking(spark, monkeypatch):
         for r in q_stream_incremental_dedup(spark, SF).collect()
     }
     assert got == _batch_pairs(spark)
+
+
+def test_hot_bucket_cap_bounds_state_and_pairs(spark):
+    """VERDICT r6 #6: 120 identical documents all hash into ONE bucket per
+    band. With cap=8 the bucket indexes only the first 8 arrivals — every
+    later doc pairs against those 8 and emits an overflow marker instead of
+    growing state, so pairs stay linear (924/band) instead of quadratic
+    (C(120,2) = 7140/band)."""
+    from flink_release_1_14_5_comment_spark.streaming.stream_queries import (
+        _incremental_dedup_fn,
+        _run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n, cap = 120, 8
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(n)],
+        "doc_id long, text string",
+    )
+    stream, tmp = sources.replay_as_stream(spark, docs, n_chunks=4,
+                                           order_col="doc_id")
+    sig = minhash_signatures(shingle_frame(stream))
+    try:
+        out = sig.groupBy("band", "s0", "s1").applyInPandasWithState(
+            _incremental_dedup_fn(cap),
+            "band int, a_id long, b_id long",
+            "ids array<bigint>, dropped long", "append",
+            GroupStateTimeout.NoTimeout)
+        rows = _run_to_memory(out, mode="append").collect()
+    finally:
+        sources.cleanup(tmp)
+    n_bands = len({r.band for r in rows})
+    assert n_bands == 4
+    markers = [r for r in rows if r.b_id == -1]
+    pairs = [r for r in rows if r.b_id != -1]
+    per_band_pairs = cap * (cap - 1) // 2 + (n - cap) * cap
+    assert len(pairs) == n_bands * per_band_pairs, len(pairs)
+    assert len(markers) == n_bands * (n - cap), len(markers)
+    # no pair's earlier member lies outside the retained (first-cap) index
+    assert all(r.a_id < cap or r.b_id == -1 for r in rows)
