@@ -329,6 +329,73 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCD2_SQL)
 
 
+_SCD2_HISTORY_DDL = (
+    "user_id bigint, version bigint, value double, "
+    "valid_from timestamp, valid_to timestamp, is_current boolean"
+)
+
+
+def scd2_merge(history: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance — the MERGE q_scd2_build's docstring
+    promises: fold a change batch (raw rows: user_id, ts, value, event_id)
+    into an existing history table, rewriting ONLY the affected keys'
+    version chains. Keys untouched by the batch pass through verbatim
+    (at 100 TB this is a key-partition-pruned MERGE on a Delta/Iceberg
+    table; expressed here as anti-join + union of the affected slice).
+
+    Equivalence contract (tests/test_scd2_consistency.py): folding batches
+    in event_id order reproduces q_scd2_build's full rebuild exactly. A
+    (key, ts) collision between an existing version and a batch change is
+    won by the batch (the later write), matching the rebuild's
+    max_by(value, event_id) when batches arrive in write order."""
+    chg_new = batch.groupBy("user_id", "ts").agg(
+        F.expr("max_by(value, event_id)").alias("value"))
+    affected = chg_new.select("user_id").distinct()
+    untouched = history.join(affected, "user_id", "left_anti")
+    old_chg = (
+        history.join(affected, "user_id", "left_semi")
+        .select("user_id", F.col("valid_from").alias("ts"), "value")
+    )
+    merged_chg = (
+        old_chg.join(chg_new, ["user_id", "ts"], "left_anti")
+        .unionByName(chg_new)
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    rebuilt = (
+        merged_chg.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.round("value", 2).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    return untouched.unionByName(rebuilt.select(*history.columns))
+
+
+def scd2_maintain_stream(change_stream: DataFrame, target_path: str):
+    """Streaming SCD2 maintenance: a foreachBatch sink that merges each
+    micro-batch of raw changes into the history parquet at `target_path`
+    via scd2_merge — the same read-merge-rewrite topology as
+    streaming/changelog.py's upsert_sink (SinkUpsertMaterializer
+    semantics), specialized to versioned-interval output."""
+    spark = change_stream.sparkSession
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        try:
+            current = spark.read.parquet(target_path)
+        except Exception:  # first batch: no history yet
+            current = spark.createDataFrame([], _SCD2_HISTORY_DDL)
+        merged = scd2_merge(current, batch)
+        merged.write.mode("overwrite").parquet(target_path + "_tmp")
+        (spark.read.parquet(target_path + "_tmp")
+         .write.mode("overwrite").parquet(target_path))
+
+    return (change_stream.writeStream.outputMode("append").foreachBatch(merge)
+            .option("checkpointLocation", target_path + "_ckpt").start())
+
+
 QUERIES = {
     "interval_join": q_interval_join,
     "asof_join": q_asof_join,

@@ -66,3 +66,57 @@ def test_history_invariants(spark):
             # successor's start
             assert prev.valid_to == nxt.valid_from
             assert prev.valid_from < prev.valid_to
+
+
+def test_incremental_merge_equals_rebuild(spark):
+    """VERDICT r6 #5: folding change batches (in write order) through
+    scd2_merge must reproduce q_scd2_build's full rebuild exactly — the
+    docstring's promised MERGE maintenance, as code."""
+    from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+        _SCD2_HISTORY_DDL,
+        scd2_merge,
+    )
+
+    ev = register_views(spark, SF)["events"].select(
+        "user_id", "ts", "value", "event_id")
+    ids = sorted(r[0] for r in ev.select("event_id").distinct().collect())
+    c1, c2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    batches = [
+        ev.filter(F.col("event_id") <= c1),
+        ev.filter((F.col("event_id") > c1) & (F.col("event_id") <= c2)),
+        ev.filter(F.col("event_id") > c2),
+    ]
+    hist = spark.createDataFrame([], _SCD2_HISTORY_DDL)
+    for b in batches:
+        # materialize each step: the fold must not lazily see later batches
+        hist = spark.createDataFrame(
+            scd2_merge(hist, b).collect(), _SCD2_HISTORY_DDL)
+    full = q_scd2_build(spark, SF)
+    key = lambda r: (r.user_id, r.version)
+    assert sorted(map(tuple, hist.collect()), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[1]))
+
+
+def test_streaming_scd2_maintenance(spark, tmp_path):
+    """The foreachBatch maintenance sink converges to the batch rebuild
+    after replaying the change stream in 3 event_id-ordered chunks."""
+    from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+        scd2_maintain_stream,
+    )
+    from flink_release_1_14_5_comment_spark.streaming import sources
+
+    ev = register_views(spark, SF)["events"].select(
+        "user_id", "ts", "value", "event_id")
+    stream, tmp = sources.replay_as_stream(spark, ev, n_chunks=3,
+                                           order_col="event_id")
+    target = str(tmp_path / "scd2_history")
+    q = scd2_maintain_stream(stream, target)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        sources.cleanup(tmp)
+    got = spark.read.parquet(target)
+    full = q_scd2_build(spark, SF)
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[1]))
