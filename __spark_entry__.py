@@ -29,6 +29,7 @@ def _modules():
         scale,
         temporal_joins,
         time_windows,
+        tpcds_literal,
         tpcds_shapes,
         tpch,
     )
@@ -51,7 +52,7 @@ def _modules():
 
     return [dedup, graph, clustering, similarity, retrieval, text_analysis, quality, packing, multimodal, sketches, end_to_end,
             time_windows, temporal_joins, patterns, analytic_shapes, tpch,
-            tpcds_shapes, scale,
+            tpcds_shapes, tpcds_literal, scale,
             relational_ext, relational, io_queries, udf_queries, api_queries, stream_queries]
 
 

@@ -1,0 +1,391 @@
+"""LITERAL TPC-DS queries over a deterministic synthetic star schema.
+
+The reference's flagship end-to-end gate runs 103 literal TPC-DS queries
+(flink-end-to-end-tests/flink-tpcds-test/src/main/java/org/apache/flink/
+table/tpcds/TpcdsTestProgram.java:76-87, query texts under
+flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/). The adapted
+shape pack (operators/tpcds_shapes.py) covers the distinctive plan shapes
+on the TPC-H schema; THIS module goes the rest of the way for a subset:
+the reference's own query texts run end-to-end against tables with the
+real TPC-DS schemas (store_sales, date_dim, item, store, customer,
+customer_address, customer_demographics, promotion).
+
+The star tables are DERIVED DETERMINISTICALLY from the driver's testdata
+(orders/lineitem/part/customer) by pure per-row expressions — no files are
+written, both engines build the identical tables from the identical
+parquet, and the result scales with sf_dir automatically:
+
+* store_sales  = lineitem ⋈ orders (the fact; surrogate keys are modular
+  maps of the TPC-H keys, money columns rounded per-row)
+* date_dim     = DISTINCT o_orderdate (d_date_sk = days since epoch,
+  d_month_seq = months since 1995-01)
+* item         = part (brand/class/category/manufact/manager ids are
+  modular maps of p_partkey)
+* store(12) / promotion(50) / customer_demographics(70) = DISTINCT modular
+  maps of c_custkey — engine-portable series generation
+* customer / customer_address = customer (1:1 address)
+
+Query texts are the reference's verbatim, with these documented
+adaptations (the same standard the literal TPC-H suite uses):
+1. money columns are INTEGER CENTS (BIGINT) in the derived fact — the
+   repo-wide oracle-determinism recipe: SUMs are exact integers in any
+   partition order, converted to dollars only at the aggregate boundary
+   (`round(sum(x) / 100, 2)`); aggregate outputs get explicit aliases
+   (the driver's hash compare is name-keyed). The first cut kept
+   2-dp-double money and ROUND(SUM(double), 2) — the sf0.1 sweep caught
+   1-cent boundary flips on q3/q42/q52/q89 exactly as the round-5
+   precision suite predicts;
+2. q7's DECIMAL(7,2) casts → DOUBLE + ROUND (Spark and DuckDB disagree on
+   decimal average scale/typing, not on the value);
+3. selectivity constants retargeted into the synthetic key ranges
+   (q3 i_manufact_id 128→12; q89 category/class IN-lists; q65 d_month_seq
+   window 1176..1187→61..72); d_year/d_moy constants are UNCHANGED — the
+   testdata's order dates span 1995-2001;
+4. q65/q89 ORDER BY extended with key tiebreaks so LIMIT 100 cuts at a
+   deterministic boundary.
+
+100 TB: every dimension here is tiny (date_dim ≤ a few thousand rows,
+store/promotion/cd fixed-size, item = |part|) → Catalyst broadcasts them
+against the store_sales fact scan; the only shuffles are the GROUP BYs on
+the (pruned) fact output, exactly the star-join profile TPC-DS is designed
+to exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+
+def _star_ctes(s: str, ddiff_orderdate: str) -> str:
+    """Shared star-schema derivation CTEs. `s` = the engine's string type
+    name; `ddiff_orderdate` = engine expression for days-since-epoch of
+    o_orderdate."""
+    return f"""
+-- Customer keys come from orders, NOT the customer view: the derived
+-- `customer` CTE below shadows the base view of the same name in BOTH
+-- engines' CTE scopes (DuckDB resolves the name CTE-first even in earlier
+-- CTEs — referencing it would be circular). Every store_sales customer key
+-- is an o_custkey, so the derived dimension is complete by construction.
+tpcds_customer_base AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+),
+date_dim AS (
+  SELECT DISTINCT
+         CAST({ddiff_orderdate} AS BIGINT) AS d_date_sk,
+         CAST(o_orderdate AS DATE) AS d_date,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS d_year,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS d_moy,
+         CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d_dom,
+         CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+              + EXTRACT(MONTH FROM o_orderdate) AS INT) AS d_month_seq
+  FROM orders
+),
+store_sales AS (
+  SELECT CAST({ddiff_orderdate} AS BIGINT) AS ss_sold_date_sk,
+         l_partkey AS ss_item_sk,
+         o_custkey AS ss_customer_sk,
+         1 + (o_custkey % 70) AS ss_cdemo_sk,
+         1 + ((l_orderkey + l_linenumber) % 50) AS ss_promo_sk,
+         1 + (l_suppkey % 12) AS ss_store_sk,
+         l_orderkey AS ss_ticket_number,
+         CAST(l_quantity AS INT) AS ss_quantity,
+         CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS ss_list_price,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ss_sales_price,
+         CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS ss_coupon_amt,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ss_ext_sales_price,
+         CAST(ROUND(l_extendedprice * 80 / l_quantity, 0) AS BIGINT) AS ss_wholesale_cost,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ss_net_profit
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+item AS (
+  SELECT p_partkey AS i_item_sk,
+         CONCAT('ITEM_', lpad(CAST(p_partkey AS {s}), 8, '0')) AS i_item_id,
+         p_name AS i_item_desc,
+         CAST(1 + (p_partkey % 40) AS INT) AS i_brand_id,
+         CONCAT('Brand#', CAST(1 + (p_partkey % 40) AS {s})) AS i_brand,
+         CAST(1 + (p_partkey % 10) AS INT) AS i_category_id,
+         CONCAT('CAT_', CAST(1 + (p_partkey % 10) AS {s})) AS i_category,
+         CAST(1 + (p_partkey % 5) AS INT) AS i_class_id,
+         CONCAT('class_', CAST(1 + (p_partkey % 5) AS {s})) AS i_class,
+         CAST(1 + (p_partkey % 25) AS INT) AS i_manufact_id,
+         CONCAT('Mfg#', CAST(1 + (p_partkey % 25) AS {s})) AS i_manufact,
+         CAST(1 + (p_partkey % 37) AS INT) AS i_manager_id,
+         p_retailprice AS i_current_price,
+         ROUND(p_retailprice * 0.8, 2) AS i_wholesale_cost
+  FROM part
+),
+store AS (
+  SELECT s_store_sk,
+         CONCAT('Store_', CAST(s_store_sk AS {s})) AS s_store_name,
+         CONCAT('Company_', CAST(1 + (s_store_sk % 3) AS {s})) AS s_company_name,
+         CASE WHEN s_store_sk % 4 = 0 THEN 'TN'
+              WHEN s_store_sk % 4 = 1 THEN 'CA'
+              WHEN s_store_sk % 4 = 2 THEN 'NY' ELSE 'WA' END AS s_state,
+         lpad(CAST((s_store_sk * 131) % 100000 AS {s}), 5, '0') AS s_zip
+  FROM (SELECT DISTINCT 1 + (c_custkey % 12) AS s_store_sk FROM tpcds_customer_base) t
+),
+promotion AS (
+  SELECT p_promo_sk,
+         CASE WHEN p_promo_sk % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+         CASE WHEN p_promo_sk % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+  FROM (SELECT DISTINCT 1 + (c_custkey % 50) AS p_promo_sk FROM tpcds_customer_base) t
+),
+customer_demographics AS (
+  SELECT cd_demo_sk,
+         CASE WHEN cd_demo_sk % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+         CASE WHEN cd_demo_sk % 5 = 0 THEN 'S'
+              WHEN cd_demo_sk % 5 = 1 THEN 'M'
+              WHEN cd_demo_sk % 5 = 2 THEN 'D'
+              WHEN cd_demo_sk % 5 = 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+         CASE WHEN cd_demo_sk % 7 = 0 THEN 'Primary'
+              WHEN cd_demo_sk % 7 = 1 THEN 'Secondary'
+              WHEN cd_demo_sk % 7 = 2 THEN 'College'
+              WHEN cd_demo_sk % 7 = 3 THEN '2 yr Degree'
+              WHEN cd_demo_sk % 7 = 4 THEN '4 yr Degree'
+              WHEN cd_demo_sk % 7 = 5 THEN 'Advanced Degree'
+              ELSE 'Unknown' END AS cd_education_status
+  FROM (SELECT DISTINCT 1 + (c_custkey % 70) AS cd_demo_sk FROM tpcds_customer_base) t
+),
+customer AS (
+  SELECT c_custkey AS c_customer_sk,
+         CONCAT('CUST_', CAST(c_custkey AS {s})) AS c_customer_id,
+         c_custkey AS c_current_addr_sk
+  FROM tpcds_customer_base
+),
+customer_address AS (
+  SELECT c_custkey AS ca_address_sk,
+         lpad(CAST((c_custkey * 7919) % 100000 AS {s}), 5, '0') AS ca_zip
+  FROM tpcds_customer_base
+)"""
+
+
+_SPARK_CTES = _star_ctes(
+    "STRING", "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+)
+_DUCK_CTES = _star_ctes(
+    "VARCHAR", "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+)
+
+
+# --- literal query texts (tpcds-tool/query/queryN.sql), adaptations noted --
+
+# query3.sql — i_manufact_id 128→12 (synthetic range 1..25); SUM rounded.
+_Q3 = """
+select  dt.d_year
+       ,item.i_brand_id brand_id
+       ,item.i_brand brand
+       ,round(sum(ss_ext_sales_price) / 100, 2) sum_agg
+ from  date_dim dt
+      ,store_sales
+      ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+   and store_sales.ss_item_sk = item.i_item_sk
+   and item.i_manufact_id = 12
+   and dt.d_moy=11
+ group by dt.d_year
+      ,item.i_brand
+      ,item.i_brand_id
+ order by dt.d_year
+         ,sum_agg desc
+         ,brand_id
+ limit 100
+"""
+
+# query7.sql — decimal(7,2) → double, avgs rounded (engine decimal typing).
+_Q7 = """
+select  i_item_id,
+        round(avg(cast(ss_quantity as double)), 4) agg1,
+        round(avg(ss_list_price) / 100, 4) agg2,
+        round(avg(ss_coupon_amt) / 100, 4) agg3,
+        round(avg(ss_sales_price) / 100, 4) agg4
+ from store_sales, customer_demographics, date_dim, item, promotion
+ where ss_sold_date_sk = d_date_sk and
+       ss_item_sk = i_item_sk and
+       ss_cdemo_sk = cd_demo_sk and
+       ss_promo_sk = p_promo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       (p_channel_email = 'N' or p_channel_event = 'N') and
+       d_year = 2000
+ group by i_item_id
+ order by i_item_id
+ limit 100
+"""
+
+# query19.sql — SUM rounded; constants unchanged (ranges all valid).
+_Q19 = """
+select  i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+        round(sum(ss_ext_sales_price) / 100, 2) ext_price
+ from date_dim, store_sales, item,customer,customer_address,store
+ where d_date_sk = ss_sold_date_sk
+   and ss_item_sk = i_item_sk
+   and i_manager_id=8
+   and d_moy=11
+   and d_year=1998
+   and ss_customer_sk = c_customer_sk
+   and c_current_addr_sk = ca_address_sk
+   and substr(ca_zip,1,5) <> substr(s_zip,1,5)
+   and ss_store_sk = s_store_sk
+ group by i_brand
+      ,i_brand_id
+      ,i_manufact_id
+      ,i_manufact
+ order by ext_price desc
+         ,i_brand
+         ,i_brand_id
+         ,i_manufact_id
+         ,i_manufact
+limit 100
+"""
+
+# query42.sql — SUM aliased+rounded (the driver compare is name-keyed).
+_Q42 = """
+select  dt.d_year
+        ,item.i_category_id
+        ,item.i_category
+        ,round(sum(ss_ext_sales_price) / 100, 2) sum_sales
+ from   date_dim dt
+        ,store_sales
+        ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+        and store_sales.ss_item_sk = item.i_item_sk
+        and item.i_manager_id = 1
+        and dt.d_moy=11
+        and dt.d_year=2000
+ group by       dt.d_year
+                ,item.i_category_id
+                ,item.i_category
+ order by       sum_sales desc,dt.d_year
+                ,item.i_category_id
+                ,item.i_category
+limit 100
+"""
+
+# query52.sql — SUM rounded; constants unchanged.
+_Q52 = """
+select  dt.d_year
+        ,item.i_brand_id brand_id
+        ,item.i_brand brand
+        ,round(sum(ss_ext_sales_price) / 100, 2) ext_price
+ from date_dim dt
+     ,store_sales
+     ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+    and store_sales.ss_item_sk = item.i_item_sk
+    and item.i_manager_id = 1
+    and dt.d_moy=11
+    and dt.d_year=2000
+ group by dt.d_year
+        ,item.i_brand
+        ,item.i_brand_id
+ order by dt.d_year
+        ,ext_price desc
+        ,brand_id
+limit 100
+"""
+
+# query55.sql — SUM rounded; constants unchanged.
+_Q55 = """
+select  i_brand_id brand_id, i_brand brand,
+        round(sum(ss_ext_sales_price) / 100, 2) ext_price
+ from date_dim, store_sales, item
+ where d_date_sk = ss_sold_date_sk
+        and ss_item_sk = i_item_sk
+        and i_manager_id=28
+        and d_moy=11
+        and d_year=1999
+ group by i_brand, i_brand_id
+ order by ext_price desc, i_brand_id
+limit 100
+"""
+
+# query65.sql — d_month_seq window 1176..1187 → 61..72 (year 2000 in the
+# synthetic month sequence); per-(store,item) revenue rounded so the
+# 10%-of-average predicate compares identical doubles; ORDER BY extended
+# with (ss_store_sk, ss_item_sk) so LIMIT cuts deterministically.
+_Q65 = """
+select
+        s_store_name,
+        i_item_desc,
+        round(sc.revenue / 100, 2) as revenue,
+        i_current_price,
+        i_wholesale_cost,
+        i_brand
+ from store, item,
+     (select ss_store_sk, round(avg(revenue), 4) as ave
+        from
+            (select  ss_store_sk, ss_item_sk,
+                     sum(ss_sales_price) as revenue
+                from store_sales, date_dim
+                where ss_sold_date_sk = d_date_sk and d_month_seq between 61 and 61+11
+                group by ss_store_sk, ss_item_sk) sa
+        group by ss_store_sk) sb,
+     (select  ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+        from store_sales, date_dim
+        where ss_sold_date_sk = d_date_sk and d_month_seq between 61 and 61+11
+        group by ss_store_sk, ss_item_sk) sc
+ where sb.ss_store_sk = sc.ss_store_sk and
+       sc.revenue <= 0.1 * sb.ave and
+       s_store_sk = sc.ss_store_sk and
+       i_item_sk = sc.ss_item_sk
+ order by s_store_name, i_item_desc, sc.ss_store_sk, sc.ss_item_sk
+limit 100
+"""
+
+# query89.sql — category/class IN-lists retargeted to the synthetic
+# values (two-arm OR structure preserved); SUM/window-AVG rounded; ORDER
+# BY extended with the group key so LIMIT cuts deterministically.
+_Q89 = """
+select  *
+from(
+select i_category, i_class, i_brand,
+       s_store_name, s_company_name,
+       d_moy,
+       round(sum(ss_sales_price) / 100, 2) sum_sales,
+       round(avg(sum(ss_sales_price)) over
+         (partition by i_category, i_brand, s_store_name, s_company_name) / 100, 4)
+         avg_monthly_sales
+from item, store_sales, date_dim, store
+where ss_item_sk = i_item_sk and
+      ss_sold_date_sk = d_date_sk and
+      ss_store_sk = s_store_sk and
+      d_year in (1999) and
+        ((i_category in ('CAT_2','CAT_4','CAT_6') and
+          i_class in ('class_1','class_2','class_3')
+         )
+      or (i_category in ('CAT_1','CAT_3','CAT_5') and
+          i_class in ('class_4','class_5')
+        ))
+group by i_category, i_class, i_brand,
+         s_store_name, s_company_name, d_moy) tmp1
+where case when (avg_monthly_sales <> 0) then (abs(sum_sales - avg_monthly_sales) / avg_monthly_sales) else null end > 0.1
+order by sum_sales - avg_monthly_sales, s_store_name, i_category, i_class, i_brand, d_moy
+limit 100
+"""
+
+_LITERAL = {
+    "tpcds_lit_q3": _Q3,
+    "tpcds_lit_q7": _Q7,
+    "tpcds_lit_q19": _Q19,
+    "tpcds_lit_q42": _Q42,
+    "tpcds_lit_q52": _Q52,
+    "tpcds_lit_q55": _Q55,
+    "tpcds_lit_q65": _Q65,
+    "tpcds_lit_q89": _Q89,
+}
+
+
+def _runner(qtext: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(f"WITH {_SPARK_CTES} {qtext}")
+
+    return run
+
+
+QUERIES = {name: _runner(text) for name, text in _LITERAL.items()}
+
+ORACLE = {name: f"WITH {_DUCK_CTES} {text}" for name, text in _LITERAL.items()}

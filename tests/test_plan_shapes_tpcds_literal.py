@@ -1,0 +1,31 @@
+"""Plan-topology locks for the literal TPC-DS star queries: the derived
+dimensions (date_dim, item, store, promotion, customer_demographics) are
+small → every dim-to-fact join must be a broadcast join, and nothing in the
+star derivation may introduce a cartesian product. This is the plan profile
+the reference's TPC-DS gate exercises (TpcdsTestProgram.java), re-expressed
+for Catalyst."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", [
+    "tpcds_lit_q3", "tpcds_lit_q7", "tpcds_lit_q19", "tpcds_lit_q42",
+    "tpcds_lit_q52", "tpcds_lit_q55", "tpcds_lit_q65", "tpcds_lit_q89",
+])
+def test_star_joins_broadcast_no_cartesian(spark, sf_dir, name):
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # at least one dimension reaches the fact via a broadcast hash join
+    assert "BroadcastHashJoin" in plan, plan[:2000]

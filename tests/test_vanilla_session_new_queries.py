@@ -27,6 +27,9 @@ NAMES = [
     "tpcds_q97_channel_overlap", "stream_incremental_dedup",
     "dedup_cluster_representatives", "stream_approx_distinct",
     "scd2_build", "tpcds_q17_sale_return_repurchase", "ann_filtered_topk", "contrastive_negatives",
+    # round-7 additions: literal TPC-DS texts over the derived star schema
+    # (one pure star-join, the 5-dim demographic join, the window-census)
+    "tpcds_lit_q3", "tpcds_lit_q7", "tpcds_lit_q89",
 ]
 
 SCRIPT = f"""
