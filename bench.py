@@ -112,6 +112,12 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_rrf_fusion",
     "approx_distinct_hll",
+    # r7 (VERDICT r6 #7): r6-wave reps + a literal TPC-DS star query
+    "dedup_incremental",
+    "ann_filtered_topk",
+    "contrastive_negatives",
+    "tpcds_q95_multi_hop_exists",
+    "tpcds_lit_q89",
 ]
 
 

@@ -5,10 +5,12 @@ The reference's flagship end-to-end gate runs 103 literal TPC-DS queries
 table/tpcds/TpcdsTestProgram.java:76-87, query texts under
 flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/). The adapted
 shape pack (operators/tpcds_shapes.py) covers the distinctive plan shapes
-on the TPC-H schema; THIS module goes the rest of the way for a subset:
+on the TPC-H schema; THIS module goes the rest of the way for a 16-query
+subset (q3 q7 q12 q19 q20 q26 q33 q42 q43 q45 q52 q55 q65 q79 q89 q98):
 the reference's own query texts run end-to-end against tables with the
-real TPC-DS schemas (store_sales, date_dim, item, store, customer,
-customer_address, customer_demographics, promotion).
+real TPC-DS schemas (store_sales, catalog_sales, web_sales, date_dim,
+item, store, customer, customer_address, customer_demographics,
+household_demographics, promotion).
 
 The star tables are DERIVED DETERMINISTICALLY from the driver's testdata
 (orders/lineitem/part/customer) by pure per-row expressions — no files are
@@ -16,7 +18,9 @@ written, both engines build the identical tables from the identical
 parquet, and the result scales with sf_dir automatically:
 
 * store_sales  = lineitem ⋈ orders (the fact; surrogate keys are modular
-  maps of the TPC-H keys, money columns rounded per-row)
+  maps of the TPC-H keys, money columns exact integer cents);
+  catalog_sales / web_sales = the even/odd l_linenumber slices — three
+  overlapping-but-distinct channels for the cross-channel queries
 * date_dim     = DISTINCT o_orderdate (d_date_sk = days since epoch,
   d_month_seq = months since 1995-01)
 * item         = part (brand/class/category/manufact/manager ids are
@@ -58,10 +62,12 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_release_1_14_5_comment_spark.catalog import register_views
 
 
-def _star_ctes(s: str, ddiff_orderdate: str) -> str:
+def _star_ctes(s: str, ddiff_orderdate: str, dow: str) -> str:
     """Shared star-schema derivation CTEs. `s` = the engine's string type
     name; `ddiff_orderdate` = engine expression for days-since-epoch of
-    o_orderdate."""
+    o_orderdate; `dow` = engine expression for day-of-week of o_orderdate
+    with 0 = Sunday (Spark dayofweek() is 1-based, DuckDB EXTRACT(dow) is
+    0-based Postgres-style)."""
     return f"""
 -- Customer keys come from orders, NOT the customer view: the derived
 -- `customer` CTE below shadows the base view of the same name in BOTH
@@ -79,7 +85,13 @@ date_dim AS (
          CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS d_moy,
          CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d_dom,
          CAST((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
-              + EXTRACT(MONTH FROM o_orderdate) AS INT) AS d_month_seq
+              + EXTRACT(MONTH FROM o_orderdate) AS INT) AS d_month_seq,
+         CAST({dow} AS INT) AS d_dow,
+         CASE CAST({dow} AS INT)
+              WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+              WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+              WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
+         CAST(FLOOR((EXTRACT(MONTH FROM o_orderdate) + 2) / 3) AS INT) AS d_qoy
   FROM orders
 ),
 store_sales AS (
@@ -89,6 +101,8 @@ store_sales AS (
          1 + (o_custkey % 70) AS ss_cdemo_sk,
          1 + ((l_orderkey + l_linenumber) % 50) AS ss_promo_sk,
          1 + (l_suppkey % 12) AS ss_store_sk,
+         1 + ((o_custkey + l_orderkey) % 20) AS ss_hdemo_sk,
+         o_custkey AS ss_addr_sk,
          l_orderkey AS ss_ticket_number,
          CAST(l_quantity AS INT) AS ss_quantity,
          CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS ss_list_price,
@@ -98,6 +112,39 @@ store_sales AS (
          CAST(ROUND(l_extendedprice * 80 / l_quantity, 0) AS BIGINT) AS ss_wholesale_cost,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ss_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+-- catalog / web channels: disjoint lineitem slices (even/odd line number)
+-- so cross-channel queries see overlapping-but-distinct item/customer sets
+catalog_sales AS (
+  SELECT CAST({ddiff_orderdate} AS BIGINT) AS cs_sold_date_sk,
+         l_partkey AS cs_item_sk,
+         o_custkey AS cs_bill_customer_sk,
+         o_custkey AS cs_bill_addr_sk,
+         1 + (o_custkey % 70) AS cs_bill_cdemo_sk,
+         1 + ((l_orderkey + l_linenumber) % 50) AS cs_promo_sk,
+         CAST(l_quantity AS INT) AS cs_quantity,
+         CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS cs_list_price,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS cs_sales_price,
+         CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS cs_coupon_amt,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cs_ext_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linenumber % 2 = 0
+),
+web_sales AS (
+  SELECT CAST({ddiff_orderdate} AS BIGINT) AS ws_sold_date_sk,
+         l_partkey AS ws_item_sk,
+         o_custkey AS ws_bill_customer_sk,
+         o_custkey AS ws_bill_addr_sk,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ws_sales_price,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linenumber % 2 = 1
+),
+household_demographics AS (
+  SELECT hd_demo_sk,
+         CAST(hd_demo_sk % 8 AS INT) AS hd_dep_count,
+         CAST(hd_demo_sk % 5 AS INT) AS hd_vehicle_count
+  FROM (SELECT DISTINCT 1 + (c_custkey % 20) AS hd_demo_sk FROM tpcds_customer_base) t
 ),
 item AS (
   SELECT p_partkey AS i_item_sk,
@@ -123,7 +170,11 @@ store AS (
          CASE WHEN s_store_sk % 4 = 0 THEN 'TN'
               WHEN s_store_sk % 4 = 1 THEN 'CA'
               WHEN s_store_sk % 4 = 2 THEN 'NY' ELSE 'WA' END AS s_state,
-         lpad(CAST((s_store_sk * 131) % 100000 AS {s}), 5, '0') AS s_zip
+         lpad(CAST((s_store_sk * 131) % 100000 AS {s}), 5, '0') AS s_zip,
+         CONCAT('S_', lpad(CAST(s_store_sk AS {s}), 4, '0')) AS s_store_id,
+         CONCAT('City_', CAST(1 + (s_store_sk % 5) AS {s})) AS s_city,
+         CAST(190 + s_store_sk * 8 AS INT) AS s_number_employees,
+         CAST(CASE WHEN s_store_sk % 2 = 0 THEN -5 ELSE -6 END AS INT) AS s_gmt_offset
   FROM (SELECT DISTINCT 1 + (c_custkey % 12) AS s_store_sk FROM tpcds_customer_base) t
 ),
 promotion AS (
@@ -151,21 +202,27 @@ customer_demographics AS (
 customer AS (
   SELECT c_custkey AS c_customer_sk,
          CONCAT('CUST_', CAST(c_custkey AS {s})) AS c_customer_id,
+         CONCAT('F', CAST(c_custkey % 97 AS {s})) AS c_first_name,
+         CONCAT('L', CAST(c_custkey % 89 AS {s})) AS c_last_name,
          c_custkey AS c_current_addr_sk
   FROM tpcds_customer_base
 ),
 customer_address AS (
   SELECT c_custkey AS ca_address_sk,
-         lpad(CAST((c_custkey * 7919) % 100000 AS {s}), 5, '0') AS ca_zip
+         lpad(CAST((c_custkey * 7919) % 100000 AS {s}), 5, '0') AS ca_zip,
+         CONCAT('City_', CAST(1 + (c_custkey % 37) AS {s})) AS ca_city,
+         CAST(CASE WHEN c_custkey % 3 = 0 THEN -5 ELSE -6 END AS INT) AS ca_gmt_offset
   FROM tpcds_customer_base
 )"""
 
 
 _SPARK_CTES = _star_ctes(
-    "STRING", "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+    "STRING", "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')",
+    "dayofweek(CAST(o_orderdate AS DATE)) - 1",
 )
 _DUCK_CTES = _star_ctes(
-    "VARCHAR", "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    "VARCHAR", "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+    "EXTRACT(dow FROM CAST(o_orderdate AS DATE))",
 )
 
 
@@ -366,6 +423,281 @@ order by sum_sales - avg_monthly_sales, s_store_name, i_category, i_class, i_bra
 limit 100
 """
 
+
+# query98.sql / query12.sql / query20.sql — the same item-revenue-ratio
+# template over the three channel facts (store/web/catalog). Category
+# IN-list retargeted; itemrevenue cents→dollars; the ratio keeps raw cents
+# (scale cancels, and products/quotients of exact integer sums are the
+# same double in both engines). q98 is the only one of the three the
+# reference ships without LIMIT.
+_Q98 = """
+select i_item_id
+      ,i_item_desc
+      ,i_category
+      ,i_class
+      ,i_current_price
+      ,round(sum(ss_ext_sales_price) / 100, 2) as itemrevenue
+      ,sum(ss_ext_sales_price)*100/sum(sum(ss_ext_sales_price)) over
+          (partition by i_class) as revenueratio
+from
+        store_sales
+        ,item
+        ,date_dim
+where
+        ss_item_sk = i_item_sk
+        and i_category in ('CAT_1', 'CAT_4', 'CAT_7')
+        and ss_sold_date_sk = d_date_sk
+        and d_date between cast('1999-02-22' as date)
+                                and (cast('1999-02-22' as date) + INTERVAL '30' day)
+group by
+        i_item_id
+        ,i_item_desc
+        ,i_category
+        ,i_class
+        ,i_current_price
+order by
+        i_category
+        ,i_class
+        ,i_item_id
+        ,i_item_desc
+        ,revenueratio
+"""
+
+_Q12 = """
+select  i_item_id
+      ,i_item_desc
+      ,i_category
+      ,i_class
+      ,i_current_price
+      ,round(sum(ws_ext_sales_price) / 100, 2) as itemrevenue
+      ,sum(ws_ext_sales_price)*100/sum(sum(ws_ext_sales_price)) over
+          (partition by i_class) as revenueratio
+from
+        web_sales
+        ,item
+        ,date_dim
+where
+        ws_item_sk = i_item_sk
+        and i_category in ('CAT_1', 'CAT_4', 'CAT_7')
+        and ws_sold_date_sk = d_date_sk
+        and d_date between cast('1999-02-22' as date)
+                                and (cast('1999-02-22' as date) + INTERVAL '30' day)
+group by
+        i_item_id
+        ,i_item_desc
+        ,i_category
+        ,i_class
+        ,i_current_price
+order by
+        i_category
+        ,i_class
+        ,i_item_id
+        ,i_item_desc
+        ,revenueratio
+limit 100
+"""
+
+_Q20 = """
+select  i_item_id
+       ,i_item_desc
+       ,i_category
+       ,i_class
+       ,i_current_price
+       ,round(sum(cs_ext_sales_price) / 100, 2) as itemrevenue
+       ,sum(cs_ext_sales_price)*100/sum(sum(cs_ext_sales_price)) over
+           (partition by i_class) as revenueratio
+ from   catalog_sales
+     ,item
+     ,date_dim
+ where cs_item_sk = i_item_sk
+   and i_category in ('CAT_1', 'CAT_4', 'CAT_7')
+   and cs_sold_date_sk = d_date_sk
+ and d_date between cast('1999-02-22' as date)
+                                and (cast('1999-02-22' as date) + INTERVAL '30' day)
+ group by i_item_id
+         ,i_item_desc
+         ,i_category
+         ,i_class
+         ,i_current_price
+ order by i_category
+         ,i_class
+         ,i_item_id
+         ,i_item_desc
+         ,revenueratio
+limit 100
+"""
+
+# query26.sql — q7's template on the catalog channel; same adaptations.
+_Q26 = """
+select  i_item_id,
+        round(avg(cast(cs_quantity as double)), 4) agg1,
+        round(avg(cs_list_price) / 100, 4) agg2,
+        round(avg(cs_coupon_amt) / 100, 4) agg3,
+        round(avg(cs_sales_price) / 100, 4) agg4
+ from catalog_sales, customer_demographics, date_dim, item, promotion
+ where cs_sold_date_sk = d_date_sk and
+       cs_item_sk = i_item_sk and
+       cs_bill_cdemo_sk = cd_demo_sk and
+       cs_promo_sk = p_promo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       (p_channel_email = 'N' or p_channel_event = 'N') and
+       d_year = 2000
+ group by i_item_id
+ order by i_item_id
+ limit 100
+"""
+
+# query33.sql — three-channel UNION ALL of per-manufacturer revenue under
+# a gmt-offset address filter. i_category 'Electronics' → 'CAT_3'; channel
+# CTEs keep cents, converted at the final aggregate; ORDER BY gains the
+# manufact id tiebreak.
+_Q33 = """
+with ss as (
+ select
+          i_manufact_id,sum(ss_ext_sales_price) total_sales
+ from
+        store_sales,
+        date_dim,
+         customer_address,
+         item
+ where
+         i_manufact_id in (select
+  i_manufact_id
+from
+ item
+where i_category in ('CAT_3'))
+ and     ss_item_sk              = i_item_sk
+ and     ss_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 5
+ and     ss_addr_sk              = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_manufact_id),
+ cs as (
+ select
+          i_manufact_id,sum(cs_ext_sales_price) total_sales
+ from
+        catalog_sales,
+        date_dim,
+         customer_address,
+         item
+ where
+         i_manufact_id               in (select
+  i_manufact_id
+from
+ item
+where i_category in ('CAT_3'))
+ and     cs_item_sk              = i_item_sk
+ and     cs_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 5
+ and     cs_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_manufact_id),
+ ws as (
+ select
+          i_manufact_id,sum(ws_ext_sales_price) total_sales
+ from
+        web_sales,
+        date_dim,
+         customer_address,
+         item
+ where
+         i_manufact_id               in (select
+  i_manufact_id
+from
+ item
+where i_category in ('CAT_3'))
+ and     ws_item_sk              = i_item_sk
+ and     ws_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 5
+ and     ws_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_manufact_id)
+  select  i_manufact_id ,round(sum(total_sales) / 100, 2) total_sales
+ from  (select * from ss
+        union all
+        select * from cs
+        union all
+        select * from ws) tmp1
+ group by i_manufact_id
+ order by total_sales, i_manufact_id
+limit 100
+"""
+
+# query43.sql — day-of-week pivot per store; sums cents→dollars.
+_Q43 = """
+select  s_store_name, s_store_id,
+        round(sum(case when (d_day_name='Sunday') then ss_sales_price else null end) / 100, 2) sun_sales,
+        round(sum(case when (d_day_name='Monday') then ss_sales_price else null end) / 100, 2) mon_sales,
+        round(sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) / 100, 2) tue_sales,
+        round(sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) / 100, 2) wed_sales,
+        round(sum(case when (d_day_name='Thursday') then ss_sales_price else null end) / 100, 2) thu_sales,
+        round(sum(case when (d_day_name='Friday') then ss_sales_price else null end) / 100, 2) fri_sales,
+        round(sum(case when (d_day_name='Saturday') then ss_sales_price else null end) / 100, 2) sat_sales
+ from date_dim, store_sales, store
+ where d_date_sk = ss_sold_date_sk and
+       s_store_sk = ss_store_sk and
+       s_gmt_offset = -5 and
+       d_year = 2000
+ group by s_store_name, s_store_id
+ order by s_store_name, s_store_id,sun_sales,mon_sales,tue_sales,wed_sales,thu_sales,fri_sales,sat_sales
+ limit 100
+"""
+
+# query45.sql — zip-list OR item-list disjunction over the web channel.
+# Zip constants retargeted to the synthetic ca_zip codomain; the unaliased
+# SUM gets a name + cents→dollars.
+_Q45 = """
+select  ca_zip, ca_city, round(sum(ws_sales_price) / 100, 2) sales
+ from web_sales, customer, customer_address, date_dim, item
+ where ws_bill_customer_sk = c_customer_sk
+        and c_current_addr_sk = ca_address_sk
+        and ws_item_sk = i_item_sk
+        and ( substr(ca_zip,1,5) in ('07919', '15838','23757','31676','39595', '47514', '55433', '63352', '71271')
+              or
+              i_item_id in (select i_item_id
+                             from item
+                             where i_item_sk in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+                             )
+            )
+        and ws_sold_date_sk = d_date_sk
+        and d_qoy = 2 and d_year = 2001
+ group by ca_zip, ca_city
+ order by ca_zip, ca_city
+ limit 100
+"""
+
+# query79.sql — per-ticket coupon/profit under household-demographic and
+# store-size filters. substr output aliased (engine-dependent default
+# name); amounts cents→dollars; ORDER BY gains the ticket number so the
+# LIMIT cut is total.
+_Q79 = """
+select
+  c_last_name,c_first_name,substr(s_city,1,30) s_city_30,ss_ticket_number,amt,profit
+  from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,store.s_city
+          ,round(sum(ss_coupon_amt) / 100, 2) amt
+          ,round(sum(ss_net_profit) / 100, 2) profit
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and (household_demographics.hd_dep_count = 6 or household_demographics.hd_vehicle_count > 2)
+    and date_dim.d_dow = 1
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_number_employees between 200 and 295
+    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,store.s_city) ms,customer
+    where ss_customer_sk = c_customer_sk
+ order by c_last_name,c_first_name,substr(s_city,1,30), profit, ss_ticket_number
+limit 100
+"""
+
 _LITERAL = {
     "tpcds_lit_q3": _Q3,
     "tpcds_lit_q7": _Q7,
@@ -375,17 +707,34 @@ _LITERAL = {
     "tpcds_lit_q55": _Q55,
     "tpcds_lit_q65": _Q65,
     "tpcds_lit_q89": _Q89,
+    "tpcds_lit_q12": _Q12,
+    "tpcds_lit_q20": _Q20,
+    "tpcds_lit_q26": _Q26,
+    "tpcds_lit_q33": _Q33,
+    "tpcds_lit_q43": _Q43,
+    "tpcds_lit_q45": _Q45,
+    "tpcds_lit_q79": _Q79,
+    "tpcds_lit_q98": _Q98,
 }
+
+
+def _compose(ctes: str, qtext: str) -> str:
+    """Prefix the star-derivation CTEs; a query that opens with its own
+    WITH clause (q33) has it merged into the same CTE list."""
+    stripped = qtext.lstrip()
+    if stripped.lower().startswith("with "):
+        return f"WITH {ctes},\n{stripped[5:]}"
+    return f"WITH {ctes} {qtext}"
 
 
 def _runner(qtext: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
-        return spark.sql(f"WITH {_SPARK_CTES} {qtext}")
+        return spark.sql(_compose(_SPARK_CTES, qtext))
 
     return run
 
 
 QUERIES = {name: _runner(text) for name, text in _LITERAL.items()}
 
-ORACLE = {name: f"WITH {_DUCK_CTES} {text}" for name, text in _LITERAL.items()}
+ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _LITERAL.items()}

@@ -21,6 +21,8 @@ def _plan(df) -> str:
 @pytest.mark.parametrize("name", [
     "tpcds_lit_q3", "tpcds_lit_q7", "tpcds_lit_q19", "tpcds_lit_q42",
     "tpcds_lit_q52", "tpcds_lit_q55", "tpcds_lit_q65", "tpcds_lit_q89",
+    "tpcds_lit_q12", "tpcds_lit_q20", "tpcds_lit_q26", "tpcds_lit_q33",
+    "tpcds_lit_q43", "tpcds_lit_q45", "tpcds_lit_q79", "tpcds_lit_q98",
 ])
 def test_star_joins_broadcast_no_cartesian(spark, sf_dir, name):
     import __spark_entry__ as entrymod
