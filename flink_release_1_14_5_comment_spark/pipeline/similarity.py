@@ -257,11 +257,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neighbor_id",
                 F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"))
     )
-    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-    )
+    return topk_per_key(
+        sims, "qid", [F.col("sim").desc(), F.col("neighbor_id")], 3
+    ).withColumn("rn", F.col("rn").cast("long"))
 
 
 ORACLE_Q_ANN_LSH_TOPK = f"""
@@ -352,11 +350,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neighbor_id",
                 F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"))
     )
-    wk = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rn") <= 3)
-    )
+    return topk_per_key(
+        sims, "qid", [F.col("sim").desc(), F.col("neighbor_id")], 3
+    ).withColumn("rn", F.col("rn").cast("long"))
 
 
 ORACLE_Q_ANN_IVF_TOPK = f"""
@@ -597,11 +593,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("approx_ip"))
         .select("qid", F.col("vec_id").alias("neighbor_id"), "approx_ip")
     )
-    wk = W.partitionBy("qid").orderBy(F.col("approx_ip").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rn") <= 3)
-    )
+    return topk_per_key(
+        scored, "qid", [F.col("approx_ip").desc(), F.col("neighbor_id")], 3
+    ).withColumn("rn", F.col("rn").cast("long"))
 
 
 ORACLE_Q_ANN_PQ_TOPK = f"""
@@ -716,11 +710,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("ip").cast("decimal(12,6)")).cast("double")
              .alias("approx_ip"))
     )
-    wk = W.partitionBy("qid").orderBy(F.col("approx_ip").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rn") <= 3)
-    )
+    return topk_per_key(
+        scored, "qid", [F.col("approx_ip").desc(), F.col("neighbor_id")], 3
+    ).withColumn("rn", F.col("rn").cast("long"))
 
 
 ORACLE_Q_ANN_IVFPQ_TOPK = f"""
@@ -818,12 +810,9 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "neighbor_id",
                 F.round(_cosine_pre("qe", "embedding", "qn", "nrm"), 4).alias("sim"))
     )
-    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    approx = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "neighbor_id")
-    )
+    approx = topk_per_key(
+        sims, "qid", [F.col("sim").desc(), F.col("neighbor_id")], TOP_K
+    ).select("qid", "neighbor_id")
     hit = approx.withColumn("__hit", F.lit(1))
     return (
         exact.join(hit, ["qid", "neighbor_id"], "left")

