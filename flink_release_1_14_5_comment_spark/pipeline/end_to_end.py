@@ -46,6 +46,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
+from flink_release_1_14_5_comment_spark.pipeline.text_analysis import (
+    budget_cut_rows,
+)
 from flink_release_1_14_5_comment_spark.pipeline.dedup import (
     ORACLE_CAND_CTE,
     ORACLE_SH_CTE,
@@ -80,14 +83,11 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = exact.join(drops, "doc_id", "left_anti")
     targets = near.groupBy("lang").agg(
         F.floor(F.sum("n_chars") * _MIX_SHARE).cast("long").alias("__target"))
-    cum_w = (W.partitionBy("lang")
-             .orderBy(F.md5(F.concat(F.lit("mix:"),
-                                     F.col("doc_id").cast("string"))),
-                      "doc_id")
-             .rowsBetween(W.unboundedPreceding, 0))
-    kept = (near.withColumn("__cum", F.sum("n_chars").over(cum_w))
-            .join(targets, "lang")
-            .filter(F.col("__cum") - F.col("n_chars") < F.col("__target")))
+    # two-phase budget cut (text_analysis.budget_cut_rows): no window ever
+    # partitions a whole language — the r6 corpus_mix rewrite, applied to
+    # the composed pipeline's mixing stage too (membership bit-identical
+    # to the exact per-language cumulative window the oracle runs).
+    kept = budget_cut_rows(near, targets)
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"))

@@ -731,6 +731,45 @@ def corpus_mix_two_phase(docs: DataFrame, weights: list[tuple[str, float]],
                     .alias("fill_ratio")))
 
 
+def budget_cut_rows(docs: DataFrame, targets: DataFrame,
+                    key_prefix: str = "mix:") -> DataFrame:
+    """ROW-LEVEL two-phase budgeted cut — same 3-phase bucket split as
+    ``corpus_mix_two_phase`` but returning the kept ROWS instead of the
+    per-language summary (the shape pipeline_end_to_end needs). `docs`
+    must carry (lang, doc_id, n_chars, ...); `targets` is the broadcastable
+    (lang, __target) frame. Membership is bit-identical to the exact
+    single-window cumulative cut: md5-prefix buckets are equi-depth range
+    partitions of each language's sort order, fully-kept buckets pass via
+    a broadcast semi join (no window touches their rows), and the exact
+    greedy window runs only inside the one straddling bucket per
+    language."""
+    key = F.md5(F.concat(F.lit(key_prefix), F.col("doc_id").cast("string")))
+    d = (docs.withColumn("__mix_key", key)
+         .withColumn("__mix_bkt", F.substring(F.col("__mix_key"), 1, 2)))
+    bkt = d.groupBy("lang", "__mix_bkt").agg(F.sum("n_chars").alias("__bkt_chars"))
+    wc = (W.partitionBy("lang").orderBy("__mix_bkt")
+          .rowsBetween(W.unboundedPreceding, 0))
+    cum = (bkt.withColumn("__cum_through", F.sum("__bkt_chars").over(wc))
+           .withColumn("__cum_before",
+                       F.col("__cum_through") - F.col("__bkt_chars"))
+           .join(F.broadcast(targets), "lang"))
+    full = (cum.filter(F.col("__cum_through") < F.col("__target"))
+            .select("lang", "__mix_bkt"))
+    boundary = cum.filter(
+        (F.col("__cum_before") < F.col("__target"))
+        & (F.col("__cum_through") >= F.col("__target"))
+    ).select("lang", "__mix_bkt", "__cum_before", "__target")
+    kept_full = d.join(F.broadcast(full), ["lang", "__mix_bkt"], "left_semi")
+    wb = (W.partitionBy("lang").orderBy("__mix_key", "doc_id")
+          .rowsBetween(W.unboundedPreceding, 0))
+    kept_bnd = (d.join(F.broadcast(boundary), ["lang", "__mix_bkt"])
+                .withColumn("__cum_in", F.sum("n_chars").over(wb))
+                .filter(F.col("__cum_before") + F.col("__cum_in")
+                        - F.col("n_chars") < F.col("__target"))
+                .drop("__cum_before", "__target", "__cum_in"))
+    return kept_full.unionByName(kept_bnd).drop("__mix_key", "__mix_bkt")
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted training-mix assembly (DoReMi/LLaMA-style static mixture
     weights): give each language a target share of a global character budget

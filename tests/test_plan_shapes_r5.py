@@ -161,6 +161,11 @@ def test_pipeline_end_to_end_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     assert "InMemoryTableScan" in plan
+    # r7: the mix stage runs the two-phase bucket cut (budget_cut_rows) —
+    # the bucket marker must appear, and no raw-row window may partition a
+    # whole language (the only per-lang windows operate on the ≤256-row
+    # bucket summary and the single straddling bucket)
+    assert "__mix_bkt" in plan
 
 
 def test_random_projection_plan(spark, sf_dir):
