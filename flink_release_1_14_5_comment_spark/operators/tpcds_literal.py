@@ -5,8 +5,9 @@ The reference's flagship end-to-end gate runs 103 literal TPC-DS queries
 table/tpcds/TpcdsTestProgram.java:76-87, query texts under
 flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/). The adapted
 shape pack (operators/tpcds_shapes.py) covers the distinctive plan shapes
-on the TPC-H schema; THIS module goes the rest of the way for a 16-query
-subset (q3 q7 q12 q19 q20 q26 q33 q42 q43 q45 q52 q55 q65 q79 q89 q98):
+on the TPC-H schema; THIS module goes the rest of the way for a 23-query
+subset (q3 q6 q7 q12 q13 q15 q19 q20 q26 q33 q42 q43 q45 q48 q52 q55 q61
+q65 q68 q73 q79 q89 q98):
 the reference's own query texts run end-to-end against tables with the
 real TPC-DS schemas (store_sales, catalog_sales, web_sales, date_dim,
 item, store, customer, customer_address, customer_demographics,
@@ -102,7 +103,8 @@ store_sales AS (
          1 + ((l_orderkey + l_linenumber) % 50) AS ss_promo_sk,
          1 + (l_suppkey % 12) AS ss_store_sk,
          1 + ((o_custkey + l_orderkey) % 20) AS ss_hdemo_sk,
-         o_custkey AS ss_addr_sk,
+         CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
+              ELSE o_custkey END AS ss_addr_sk,
          l_orderkey AS ss_ticket_number,
          CAST(l_quantity AS INT) AS ss_quantity,
          CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS ss_list_price,
@@ -110,7 +112,10 @@ store_sales AS (
          CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS ss_coupon_amt,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ss_ext_sales_price,
          CAST(ROUND(l_extendedprice * 80 / l_quantity, 0) AS BIGINT) AS ss_wholesale_cost,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ss_net_profit
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ss_net_profit,
+         CAST(ROUND(l_extendedprice * 110, 0) AS BIGINT) AS ss_ext_list_price,
+         CAST(ROUND(l_extendedprice * l_tax * 100, 0) AS BIGINT) AS ss_ext_tax,
+         CAST(ROUND(l_extendedprice * 80, 0) AS BIGINT) AS ss_ext_wholesale_cost
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 -- catalog / web channels: disjoint lineitem slices (even/odd line number)
@@ -119,7 +124,8 @@ catalog_sales AS (
   SELECT CAST({ddiff_orderdate} AS BIGINT) AS cs_sold_date_sk,
          l_partkey AS cs_item_sk,
          o_custkey AS cs_bill_customer_sk,
-         o_custkey AS cs_bill_addr_sk,
+         CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
+              ELSE o_custkey END AS cs_bill_addr_sk,
          1 + (o_custkey % 70) AS cs_bill_cdemo_sk,
          1 + ((l_orderkey + l_linenumber) % 50) AS cs_promo_sk,
          CAST(l_quantity AS INT) AS cs_quantity,
@@ -134,7 +140,8 @@ web_sales AS (
   SELECT CAST({ddiff_orderdate} AS BIGINT) AS ws_sold_date_sk,
          l_partkey AS ws_item_sk,
          o_custkey AS ws_bill_customer_sk,
-         o_custkey AS ws_bill_addr_sk,
+         CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
+              ELSE o_custkey END AS ws_bill_addr_sk,
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ws_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -143,7 +150,11 @@ web_sales AS (
 household_demographics AS (
   SELECT hd_demo_sk,
          CAST(hd_demo_sk % 8 AS INT) AS hd_dep_count,
-         CAST(hd_demo_sk % 5 AS INT) AS hd_vehicle_count
+         CAST(hd_demo_sk % 5 AS INT) AS hd_vehicle_count,
+         CASE WHEN hd_demo_sk % 4 = 0 THEN '>10000'
+              WHEN hd_demo_sk % 4 = 1 THEN 'Unknown'
+              WHEN hd_demo_sk % 4 = 2 THEN '1001-5000'
+              ELSE '0-500' END AS hd_buy_potential
   FROM (SELECT DISTINCT 1 + (c_custkey % 20) AS hd_demo_sk FROM tpcds_customer_base) t
 ),
 item AS (
@@ -160,6 +171,7 @@ item AS (
          CONCAT('Mfg#', CAST(1 + (p_partkey % 25) AS {s})) AS i_manufact,
          CAST(1 + (p_partkey % 37) AS INT) AS i_manager_id,
          p_retailprice AS i_current_price,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS i_current_price_cents,
          ROUND(p_retailprice * 0.8, 2) AS i_wholesale_cost
   FROM part
 ),
@@ -173,6 +185,10 @@ store AS (
          lpad(CAST((s_store_sk * 131) % 100000 AS {s}), 5, '0') AS s_zip,
          CONCAT('S_', lpad(CAST(s_store_sk AS {s}), 4, '0')) AS s_store_id,
          CONCAT('City_', CAST(1 + (s_store_sk % 5) AS {s})) AS s_city,
+         CASE WHEN s_store_sk % 4 = 0 THEN 'Williamson County'
+              WHEN s_store_sk % 4 = 1 THEN 'Franklin Parish'
+              WHEN s_store_sk % 4 = 2 THEN 'Bronx County'
+              ELSE 'Orange County' END AS s_county,
          CAST(190 + s_store_sk * 8 AS INT) AS s_number_employees,
          CAST(CASE WHEN s_store_sk % 2 = 0 THEN -5 ELSE -6 END AS INT) AS s_gmt_offset
   FROM (SELECT DISTINCT 1 + (c_custkey % 12) AS s_store_sk FROM tpcds_customer_base) t
@@ -180,7 +196,9 @@ store AS (
 promotion AS (
   SELECT p_promo_sk,
          CASE WHEN p_promo_sk % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
-         CASE WHEN p_promo_sk % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+         CASE WHEN p_promo_sk % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
+         CASE WHEN p_promo_sk % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+         CASE WHEN p_promo_sk % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
   FROM (SELECT DISTINCT 1 + (c_custkey % 50) AS p_promo_sk FROM tpcds_customer_base) t
 ),
 customer_demographics AS (
@@ -204,14 +222,37 @@ customer AS (
          CONCAT('CUST_', CAST(c_custkey AS {s})) AS c_customer_id,
          CONCAT('F', CAST(c_custkey % 97 AS {s})) AS c_first_name,
          CONCAT('L', CAST(c_custkey % 89 AS {s})) AS c_last_name,
+         CASE WHEN c_custkey % 4 = 0 THEN 'Mr.' WHEN c_custkey % 4 = 1 THEN 'Mrs.'
+              WHEN c_custkey % 4 = 2 THEN 'Ms.' ELSE 'Dr.' END AS c_salutation,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
          c_custkey AS c_current_addr_sk
   FROM tpcds_customer_base
 ),
 customer_address AS (
+  -- two addresses per customer: the home address (sk = custkey, what
+  -- c_current_addr_sk points to) and a secondary address (sk = custkey +
+  -- 1e9) that ~1/3 of sales are billed/shipped to — gives the
+  -- bought-city <> home-city queries (q68) a non-degenerate answer
   SELECT c_custkey AS ca_address_sk,
          lpad(CAST((c_custkey * 7919) % 100000 AS {s}), 5, '0') AS ca_zip,
          CONCAT('City_', CAST(1 + (c_custkey % 37) AS {s})) AS ca_city,
+         CASE WHEN c_custkey % 8 = 0 THEN 'CA' WHEN c_custkey % 8 = 1 THEN 'WA'
+              WHEN c_custkey % 8 = 2 THEN 'GA' WHEN c_custkey % 8 = 3 THEN 'TX'
+              WHEN c_custkey % 8 = 4 THEN 'OH' WHEN c_custkey % 8 = 5 THEN 'NY'
+              WHEN c_custkey % 8 = 6 THEN 'TN' ELSE 'OR' END AS ca_state,
+         'United States' AS ca_country,
          CAST(CASE WHEN c_custkey % 3 = 0 THEN -5 ELSE -6 END AS INT) AS ca_gmt_offset
+  FROM tpcds_customer_base
+  UNION ALL
+  SELECT c_custkey + 1000000000 AS ca_address_sk,
+         lpad(CAST((c_custkey * 7919 + 13) % 100000 AS {s}), 5, '0') AS ca_zip,
+         CONCAT('City_', CAST(1 + ((c_custkey * 5 + 3) % 37) AS {s})) AS ca_city,
+         CASE WHEN c_custkey % 8 = 0 THEN 'WA' WHEN c_custkey % 8 = 1 THEN 'GA'
+              WHEN c_custkey % 8 = 2 THEN 'TX' WHEN c_custkey % 8 = 3 THEN 'OH'
+              WHEN c_custkey % 8 = 4 THEN 'NY' WHEN c_custkey % 8 = 5 THEN 'TN'
+              WHEN c_custkey % 8 = 6 THEN 'OR' ELSE 'CA' END AS ca_state,
+         'United States' AS ca_country,
+         CAST(CASE WHEN c_custkey % 3 = 1 THEN -5 ELSE -6 END AS INT) AS ca_gmt_offset
   FROM tpcds_customer_base
 )"""
 
@@ -698,6 +739,310 @@ select
 limit 100
 """
 
+
+# query6.sql — state census of customers buying above-average-priced items.
+# The correlated `i_current_price > 1.2 * AVG(price per category)` is
+# cross-multiplied into exact integer cents via a per-category (SUM, COUNT)
+# join (the q31/tpcds_q1 pattern; the double AVG's summation order is
+# partition-dependent). Multiplier retargeted 1.2 → 1.04 (26/25): the
+# synthetic prices are uniform in [900, 1000), so nothing sits 20% above
+# its category average. The month subquery keeps its literal correlated
+# form.
+_Q6 = """
+select  a.ca_state state, cast(count(*) as bigint) cnt
+ from customer_address a
+     ,customer c
+     ,store_sales s
+     ,date_dim d
+     ,item i
+     ,(select i_category cat, sum(i_current_price_cents) cat_cents,
+              count(*) cat_cnt
+       from item group by i_category) catavg
+ where       a.ca_address_sk = c.c_current_addr_sk
+        and c.c_customer_sk = s.ss_customer_sk
+        and s.ss_sold_date_sk = d.d_date_sk
+        and s.ss_item_sk = i.i_item_sk
+        and d.d_month_seq =
+             (select distinct (d_month_seq)
+              from date_dim
+               where d_year = 2001
+                and d_moy = 1 )
+        and i.i_category = catavg.cat
+        and 25 * i.i_current_price_cents * catavg.cat_cnt > 26 * catavg.cat_cents
+ group by a.ca_state
+ having count(*) >= 2
+ order by cnt, a.ca_state
+ limit 100
+"""
+
+# query13.sql — the triple-OR demographic/address band scan. Sales-price
+# and net-profit bands converted to cents; the four unaliased averages get
+# names + cents→dollars.
+_Q13 = """
+select round(avg(ss_quantity), 4) avg_qty
+       ,round(avg(ss_ext_sales_price) / 100, 4) avg_sales
+       ,round(avg(ss_ext_wholesale_cost) / 100, 4) avg_wholesale
+       ,round(sum(ss_ext_wholesale_cost) / 100, 2) sum_wholesale
+ from store_sales
+     ,store
+     ,customer_demographics
+     ,household_demographics
+     ,customer_address
+     ,date_dim
+ where s_store_sk = ss_store_sk
+ and  ss_sold_date_sk = d_date_sk and d_year = 2001
+ and((ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'M'
+  and cd_education_status = 'Advanced Degree'
+  and ss_sales_price between 85000 and 92000
+  and hd_dep_count = 3
+     )or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and ss_sales_price between 80000 and 95000
+  and hd_dep_count = 1
+     ) or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'W'
+  and cd_education_status = '2 yr Degree'
+  and ss_sales_price between 90000 and 100000
+  and hd_dep_count = 1
+     ))
+ and((ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('TX', 'OH', 'TX')
+  and ss_net_profit between 0 and 2000000
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('OR', 'NY', 'GA')
+  and ss_net_profit between 150000 and 3000000
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('CA', 'TX', 'WA')
+  and ss_net_profit between 50000 and 2500000
+     ))
+"""
+
+# query15.sql — zip/state/price disjunction over the catalog channel;
+# price threshold in cents; SUM aliased + cents→dollars.
+_Q15 = """
+select  ca_zip
+       ,round(sum(cs_sales_price) / 100, 2) sales
+ from catalog_sales
+     ,customer
+     ,customer_address
+     ,date_dim
+ where cs_bill_customer_sk = c_customer_sk
+        and c_current_addr_sk = ca_address_sk
+        and ( substr(ca_zip,1,5) in ('07919', '15838','23757','31676','39595',
+                                   '47514', '55433', '63352', '71271')
+              or ca_state in ('CA','WA','GA')
+              or cs_sales_price > 50000)
+        and cs_sold_date_sk = d_date_sk
+        and d_qoy = 2 and d_year = 2001
+ group by ca_zip
+ order by ca_zip
+ limit 100
+"""
+
+# query48.sql — q13's band-OR template, single quantity sum.
+_Q48 = """
+select cast(sum (ss_quantity) as bigint) sum_qty
+ from store_sales, store, customer_demographics, customer_address, date_dim
+ where s_store_sk = ss_store_sk
+ and  ss_sold_date_sk = d_date_sk and d_year = 2000
+ and
+ (
+  (
+   cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'M'
+   and
+   cd_education_status = '4 yr Degree'
+   and
+   ss_sales_price between 85000 and 92000
+   )
+ or
+  (
+  cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'D'
+   and
+   cd_education_status = '2 yr Degree'
+   and
+   ss_sales_price between 80000 and 95000
+  )
+ or
+ (
+  cd_demo_sk = ss_cdemo_sk
+   and
+   cd_marital_status = 'S'
+   and
+   cd_education_status = 'College'
+   and
+   ss_sales_price between 90000 and 100000
+ )
+ )
+ and
+ (
+  (
+  ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('TX', 'OH', 'NY')
+  and ss_net_profit between 0 and 200000
+  )
+ or
+  (ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('OR', 'GA', 'TN')
+  and ss_net_profit between 15000 and 300000
+  )
+ or
+  (ss_addr_sk = ca_address_sk
+  and
+  ca_country = 'United States'
+  and
+  ca_state in ('CA', 'WA', 'TX')
+  and ss_net_profit between 5000 and 250000
+  )
+ )
+"""
+
+# query61.sql — promotional vs total revenue ratio (two scalar-aggregate
+# subqueries cross-joined). i_category 'Jewelry'→'CAT_5'; DECIMAL ratio
+# cast → double on exact cents sums; cents→dollars on output.
+_Q61 = """
+select  round(promotions / 100, 2) promotions, round(total / 100, 2) total,
+        round(cast(promotions as double)/cast(total as double)*100, 4) promo_pct
+from
+  (select sum(ss_ext_sales_price) promotions
+   from  store_sales
+        ,store
+        ,promotion
+        ,date_dim
+        ,customer
+        ,customer_address
+        ,item
+   where ss_sold_date_sk = d_date_sk
+   and   ss_store_sk = s_store_sk
+   and   ss_promo_sk = p_promo_sk
+   and   ss_customer_sk= c_customer_sk
+   and   ca_address_sk = c_current_addr_sk
+   and   ss_item_sk = i_item_sk
+   and   ca_gmt_offset = -5
+   and   i_category = 'CAT_5'
+   and   (p_channel_dmail = 'Y' or p_channel_email = 'Y' or p_channel_tv = 'Y')
+   and   s_gmt_offset = -5
+   and   d_year = 1998
+   and   d_moy  = 11) promotional_sales,
+  (select sum(ss_ext_sales_price) total
+   from  store_sales
+        ,store
+        ,date_dim
+        ,customer
+        ,customer_address
+        ,item
+   where ss_sold_date_sk = d_date_sk
+   and   ss_store_sk = s_store_sk
+   and   ss_customer_sk= c_customer_sk
+   and   ca_address_sk = c_current_addr_sk
+   and   ss_item_sk = i_item_sk
+   and   ca_gmt_offset = -5
+   and   i_category = 'CAT_5'
+   and   s_gmt_offset = -5
+   and   d_year = 1998
+   and   d_moy  = 11) all_sales
+order by promotions, total
+limit 100
+"""
+
+# query68.sql — bought-city vs home-city tickets. Non-degenerate because
+# ~1/3 of sales bill to the customer's secondary address; store cities
+# retargeted; money cents→dollars.
+_Q68 = """
+select  c_last_name
+       ,c_first_name
+       ,ca_city
+       ,bought_city
+       ,ss_ticket_number
+       ,round(extended_price / 100, 2) extended_price
+       ,round(extended_tax / 100, 2) extended_tax
+       ,round(list_price / 100, 2) list_price
+ from (select ss_ticket_number
+             ,ss_customer_sk
+             ,ca_city bought_city
+             ,sum(ss_ext_sales_price) extended_price
+             ,sum(ss_ext_list_price) list_price
+             ,sum(ss_ext_tax) extended_tax
+       from store_sales
+           ,date_dim
+           ,store
+           ,household_demographics
+           ,customer_address
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and store_sales.ss_addr_sk = customer_address.ca_address_sk
+        and date_dim.d_dom between 1 and 2
+        and (household_demographics.hd_dep_count = 4 or
+             household_demographics.hd_vehicle_count= 3)
+        and date_dim.d_year in (1999,1999+1,1999+2)
+        and store.s_city in ('City_1','City_2')
+       group by ss_ticket_number
+               ,ss_customer_sk
+               ,ss_addr_sk,ca_city) dn
+      ,customer
+      ,customer_address current_addr
+ where ss_customer_sk = c_customer_sk
+   and customer.c_current_addr_sk = current_addr.ca_address_sk
+   and current_addr.ca_city <> bought_city
+   and bought_city is not null
+ order by c_last_name
+         ,ss_ticket_number
+ limit 100
+"""
+
+# query73.sql — frequent-ticket households. DECIMAL dep/vehicle ratio →
+# double (identical small-int operands); county values unchanged (the
+# synthetic store carries the literal county names).
+_Q73 = """
+select c_last_name
+       ,c_first_name
+       ,c_salutation
+       ,c_preferred_cust_flag
+       ,ss_ticket_number
+       ,cnt from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,cast(count(*) as bigint) cnt
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and date_dim.d_dom between 1 and 2
+    and (household_demographics.hd_buy_potential = '>10000' or
+         household_demographics.hd_buy_potential = 'Unknown')
+    and household_demographics.hd_vehicle_count > 0
+    and case when household_demographics.hd_vehicle_count > 0 then
+             cast(household_demographics.hd_dep_count as double)/ cast(household_demographics.hd_vehicle_count as double) else null end > 1
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_county in ('Williamson County','Franklin Parish','Bronx County','Orange County')
+    group by ss_ticket_number,ss_customer_sk) dj,customer
+    where ss_customer_sk = c_customer_sk
+      and cnt between 1 and 5
+    order by cnt desc, c_last_name asc
+"""
+
 _LITERAL = {
     "tpcds_lit_q3": _Q3,
     "tpcds_lit_q7": _Q7,
@@ -715,6 +1060,13 @@ _LITERAL = {
     "tpcds_lit_q45": _Q45,
     "tpcds_lit_q79": _Q79,
     "tpcds_lit_q98": _Q98,
+    "tpcds_lit_q6": _Q6,
+    "tpcds_lit_q13": _Q13,
+    "tpcds_lit_q15": _Q15,
+    "tpcds_lit_q48": _Q48,
+    "tpcds_lit_q61": _Q61,
+    "tpcds_lit_q68": _Q68,
+    "tpcds_lit_q73": _Q73,
 }
 
 

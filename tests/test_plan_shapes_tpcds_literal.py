@@ -23,6 +23,8 @@ def _plan(df) -> str:
     "tpcds_lit_q52", "tpcds_lit_q55", "tpcds_lit_q65", "tpcds_lit_q89",
     "tpcds_lit_q12", "tpcds_lit_q20", "tpcds_lit_q26", "tpcds_lit_q33",
     "tpcds_lit_q43", "tpcds_lit_q45", "tpcds_lit_q79", "tpcds_lit_q98",
+    "tpcds_lit_q6", "tpcds_lit_q13", "tpcds_lit_q15", "tpcds_lit_q48",
+    "tpcds_lit_q61", "tpcds_lit_q68", "tpcds_lit_q73",
 ])
 def test_star_joins_broadcast_no_cartesian(spark, sf_dir, name):
     import __spark_entry__ as entrymod
