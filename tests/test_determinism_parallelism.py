@@ -31,6 +31,14 @@ QUERIES = [
     "hybrid_rrf_fusion",
     "approx_distinct_hll",
     "scd2_build",
+    # round-7 mechanisms: the two-phase topk_per_key split (prune set
+    # depends on the partitioning, survivors must not), the literal
+    # TPC-DS star derivation (integer-cents star sums + LIMIT tiebreaks),
+    # and the row-level bucketed budget cut inside the composed pipeline
+    # (already listed via pipeline_end_to_end)
+    "ann_filtered_topk",
+    "tpcds_lit_q89",
+    "tpcds_lit_q65",
 ]
 
 SCRIPT = f"""
