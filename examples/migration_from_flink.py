@@ -500,8 +500,8 @@ def clustering_migration(spark):
 
 def savepoint_migration(spark):
     """Flink:
-        bin/flink stop --savepointPath s3://sp/ <jobId>          // stop-with-savepoint
-        bin/flink run -s s3://sp/savepoint-xxxx app.jar          // SavepointRestoreSettings.forPath
+        bin/flink stop --savepointPath s3://my-bucket/savepoints/ <jobId>          // stop-with-savepoint
+        bin/flink run -s s3://my-bucket/savepoints/savepoint-xxxx app.jar          // SavepointRestoreSettings.forPath
     Here: a committed checkpoint directory is the snapshot; trigger_savepoint
     copies it, and any query started with the copy as checkpointLocation
     resumes from the snapshot's state + source offsets (rewind semantics).
