@@ -80,7 +80,11 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drops = (near_dup_pairs(shingle_frame(exact).persist())
              .select(F.col("doc_b").alias("doc_id")).distinct())
-    near = exact.join(drops, "doc_id", "left_anti")
+    # budget_cut_rows consumes `near` three times (bucket summary, the
+    # fully-kept semi join, the straddling-bucket window) and targets makes
+    # a fourth — persist so the LSH anti join runs once, not four times
+    # (without this the composed query regressed 2.0 → 6.6 s at sf0.1).
+    near = exact.join(drops, "doc_id", "left_anti").persist()
     targets = near.groupBy("lang").agg(
         F.floor(F.sum("n_chars") * _MIX_SHARE).cast("long").alias("__target"))
     # two-phase budget cut (text_analysis.budget_cut_rows): no window ever
