@@ -5,9 +5,9 @@ The reference's flagship end-to-end gate runs 103 literal TPC-DS queries
 table/tpcds/TpcdsTestProgram.java:76-87, query texts under
 flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/). The adapted
 shape pack (operators/tpcds_shapes.py) covers the distinctive plan shapes
-on the TPC-H schema; THIS module goes the rest of the way for a 23-query
-subset (q3 q6 q7 q12 q13 q15 q19 q20 q26 q33 q42 q43 q45 q48 q52 q55 q61
-q65 q68 q73 q79 q89 q98):
+on the TPC-H schema; THIS module goes the rest of the way for a 28-query
+subset (q3 q6 q7 q12 q13 q15 q19 q20 q26 q33 q36 q42 q43 q45 q47 q48 q52
+q55 q61 q62 q65 q68 q69 q73 q79 q86 q89 q98):
 the reference's own query texts run end-to-end against tables with the
 real TPC-DS schemas (store_sales, catalog_sales, web_sales, date_dim,
 item, store, customer, customer_address, customer_demographics,
@@ -63,12 +63,13 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_release_1_14_5_comment_spark.catalog import register_views
 
 
-def _star_ctes(s: str, ddiff_orderdate: str, dow: str) -> str:
+def _star_ctes(s: str, ddiff_orderdate: str, dow: str,
+               ddiff_shipdate: str) -> str:
     """Shared star-schema derivation CTEs. `s` = the engine's string type
-    name; `ddiff_orderdate` = engine expression for days-since-epoch of
-    o_orderdate; `dow` = engine expression for day-of-week of o_orderdate
-    with 0 = Sunday (Spark dayofweek() is 1-based, DuckDB EXTRACT(dow) is
-    0-based Postgres-style)."""
+    name; `ddiff_orderdate` / `ddiff_shipdate` = engine expressions for
+    days-since-epoch of o_orderdate / l_shipdate; `dow` = engine expression
+    for day-of-week of o_orderdate with 0 = Sunday (Spark dayofweek() is
+    1-based, DuckDB EXTRACT(dow) is 0-based Postgres-style)."""
     return f"""
 -- Customer keys come from orders, NOT the customer view: the derived
 -- `customer` CTE below shadows the base view of the same name in BOTH
@@ -77,6 +78,13 @@ def _star_ctes(s: str, ddiff_orderdate: str, dow: str) -> str:
 -- is an o_custkey, so the derived dimension is complete by construction.
 tpcds_customer_base AS (
   SELECT DISTINCT o_custkey AS c_custkey FROM orders
+),
+all_dates AS (
+  -- order dates plus ship dates: q62-style queries join date_dim on the
+  -- SHIP date, which can fall after the last order date. UNION dedups.
+  SELECT o_orderdate FROM orders
+  UNION
+  SELECT l_shipdate AS o_orderdate FROM lineitem
 ),
 date_dim AS (
   SELECT DISTINCT
@@ -93,7 +101,7 @@ date_dim AS (
               WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
               WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
          CAST(FLOOR((EXTRACT(MONTH FROM o_orderdate) + 2) / 3) AS INT) AS d_qoy
-  FROM orders
+  FROM all_dates
 ),
 store_sales AS (
   SELECT CAST({ddiff_orderdate} AS BIGINT) AS ss_sold_date_sk,
@@ -118,12 +126,16 @@ store_sales AS (
          CAST(ROUND(l_extendedprice * 80, 0) AS BIGINT) AS ss_ext_wholesale_cost
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
--- catalog / web channels: disjoint lineitem slices (even/odd line number)
--- so cross-channel queries see overlapping-but-distinct item/customer sets
+-- catalog / web channels: disjoint ORDER slices (orderkey mod 3 = 2 / 1;
+-- the store channel keeps every order) so cross-channel queries see
+-- overlapping-but-distinct item sets AND store-only customers exist —
+-- a line-parity slice made web∪catalog cover every ordering customer,
+-- which left q69's store-only census vacuously empty
 catalog_sales AS (
   SELECT CAST({ddiff_orderdate} AS BIGINT) AS cs_sold_date_sk,
          l_partkey AS cs_item_sk,
          o_custkey AS cs_bill_customer_sk,
+         o_custkey AS cs_ship_customer_sk,
          CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
               ELSE o_custkey END AS cs_bill_addr_sk,
          1 + (o_custkey % 70) AS cs_bill_cdemo_sk,
@@ -134,18 +146,41 @@ catalog_sales AS (
          CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS cs_coupon_amt,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cs_ext_sales_price
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE l_linenumber % 2 = 0
+  WHERE l_orderkey % 3 = 2
 ),
 web_sales AS (
   SELECT CAST({ddiff_orderdate} AS BIGINT) AS ws_sold_date_sk,
+         CAST({ddiff_shipdate} AS BIGINT) AS ws_ship_date_sk,
+         1 + (l_suppkey % 5) AS ws_warehouse_sk,
+         1 + ((l_orderkey + l_linenumber) % 4) AS ws_ship_mode_sk,
+         1 + (l_orderkey % 3) AS ws_web_site_sk,
          l_partkey AS ws_item_sk,
          o_custkey AS ws_bill_customer_sk,
          CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
               ELSE o_custkey END AS ws_bill_addr_sk,
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ws_sales_price,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_net_paid
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE l_linenumber % 2 = 1
+  WHERE l_orderkey % 3 = 1
+),
+warehouse AS (
+  SELECT w_warehouse_sk,
+         CONCAT('Warehouse number ', CAST(w_warehouse_sk AS {s})) AS w_warehouse_name
+  FROM (SELECT DISTINCT 1 + (c_custkey % 5) AS w_warehouse_sk FROM tpcds_customer_base) t
+),
+ship_mode AS (
+  SELECT sm_ship_mode_sk,
+         CASE WHEN sm_ship_mode_sk % 4 = 0 THEN 'EXPRESS'
+              WHEN sm_ship_mode_sk % 4 = 1 THEN 'NEXT DAY'
+              WHEN sm_ship_mode_sk % 4 = 2 THEN 'REGULAR'
+              ELSE 'OVERNIGHT' END AS sm_type
+  FROM (SELECT DISTINCT 1 + (c_custkey % 4) AS sm_ship_mode_sk FROM tpcds_customer_base) t
+),
+web_site AS (
+  SELECT web_site_sk,
+         CONCAT('site_', CAST(web_site_sk AS {s})) AS web_name
+  FROM (SELECT DISTINCT 1 + (c_custkey % 3) AS web_site_sk FROM tpcds_customer_base) t
 ),
 household_demographics AS (
   SELECT hd_demo_sk,
@@ -214,7 +249,12 @@ customer_demographics AS (
               WHEN cd_demo_sk % 7 = 3 THEN '2 yr Degree'
               WHEN cd_demo_sk % 7 = 4 THEN '4 yr Degree'
               WHEN cd_demo_sk % 7 = 5 THEN 'Advanced Degree'
-              ELSE 'Unknown' END AS cd_education_status
+              ELSE 'Unknown' END AS cd_education_status,
+         CAST(500 * (1 + (cd_demo_sk % 10)) AS INT) AS cd_purchase_estimate,
+         CASE WHEN cd_demo_sk % 4 = 0 THEN 'Low Risk'
+              WHEN cd_demo_sk % 4 = 1 THEN 'Good'
+              WHEN cd_demo_sk % 4 = 2 THEN 'High Risk'
+              ELSE 'Unknown' END AS cd_credit_rating
   FROM (SELECT DISTINCT 1 + (c_custkey % 70) AS cd_demo_sk FROM tpcds_customer_base) t
 ),
 customer AS (
@@ -225,7 +265,8 @@ customer AS (
          CASE WHEN c_custkey % 4 = 0 THEN 'Mr.' WHEN c_custkey % 4 = 1 THEN 'Mrs.'
               WHEN c_custkey % 4 = 2 THEN 'Ms.' ELSE 'Dr.' END AS c_salutation,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
-         c_custkey AS c_current_addr_sk
+         c_custkey AS c_current_addr_sk,
+         1 + (c_custkey % 70) AS c_current_cdemo_sk
   FROM tpcds_customer_base
 ),
 customer_address AS (
@@ -260,10 +301,12 @@ customer_address AS (
 _SPARK_CTES = _star_ctes(
     "STRING", "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')",
     "dayofweek(CAST(o_orderdate AS DATE)) - 1",
+    "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')",
 )
 _DUCK_CTES = _star_ctes(
     "VARCHAR", "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
     "EXTRACT(dow FROM CAST(o_orderdate AS DATE))",
+    "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))",
 )
 
 
@@ -1043,6 +1086,211 @@ select c_last_name
     order by cnt desc, c_last_name asc
 """
 
+
+# query36.sql — gross-margin ROLLUP with rank-within-hierarchy. The
+# margin is a ratio of two exact integer-cents sums (identical double in
+# both engines), so the literal unrounded form survives; groups ≤ 61 so
+# LIMIT never truncates.
+_Q36 = """
+select
+    sum(ss_net_profit)/sum(ss_ext_sales_price) as gross_margin
+   ,i_category
+   ,i_class
+   ,grouping(i_category)+grouping(i_class) as lochierarchy
+   ,rank() over (
+        partition by grouping(i_category)+grouping(i_class),
+        case when grouping(i_class) = 0 then i_category end
+        order by sum(ss_net_profit)/sum(ss_ext_sales_price) asc) as rank_within_parent
+ from
+    store_sales
+   ,date_dim       d1
+   ,item
+   ,store
+ where
+    d1.d_year = 2001
+ and d1.d_date_sk = ss_sold_date_sk
+ and i_item_sk  = ss_item_sk
+ and s_store_sk  = ss_store_sk
+ and s_state in ('TN','TN','TN','TN','TN','TN','TN','TN')
+ group by rollup(i_category,i_class)
+ order by
+   lochierarchy desc
+  ,case when lochierarchy = 0 then i_category end
+  ,rank_within_parent
+  limit 100
+"""
+
+# query86.sql — q36's template on the web channel (ws_net_paid), month
+# window retargeted to the synthetic sequence; total_sum cents→dollars.
+_Q86 = """
+select
+    round(sum(ws_net_paid) / 100, 2) as total_sum
+   ,i_category
+   ,i_class
+   ,grouping(i_category)+grouping(i_class) as lochierarchy
+   ,rank() over (
+        partition by grouping(i_category)+grouping(i_class),
+        case when grouping(i_class) = 0 then i_category end
+        order by sum(ws_net_paid) desc) as rank_within_parent
+ from
+    web_sales
+   ,date_dim       d1
+   ,item
+ where
+    d1.d_month_seq between 61 and 61+11
+ and d1.d_date_sk = ws_sold_date_sk
+ and i_item_sk  = ws_item_sk
+ group by rollup(i_category,i_class)
+ order by
+   lochierarchy desc,
+   case when lochierarchy = 0 then i_category end,
+   rank_within_parent
+ limit 100
+"""
+
+# query47.sql — monthly deviation from the yearly average with lag/lead
+# neighbors via the literal rank self-join. All sums exact cents (window
+# AVG over exact integer sums is the same double everywhere); ORDER BY
+# extended with the group key so LIMIT cuts deterministically.
+_Q47 = """
+with v1 as(
+ select i_category, i_brand,
+        s_store_name, s_company_name,
+        d_year, d_moy,
+        sum(ss_sales_price) sum_sales,
+        avg(sum(ss_sales_price)) over
+          (partition by i_category, i_brand,
+                     s_store_name, s_company_name, d_year)
+          avg_monthly_sales,
+        rank() over
+          (partition by i_category, i_brand,
+                     s_store_name, s_company_name
+           order by d_year, d_moy) rn
+ from item, store_sales, date_dim, store
+ where ss_item_sk = i_item_sk and
+       ss_sold_date_sk = d_date_sk and
+       ss_store_sk = s_store_sk and
+       (
+         d_year = 1999 or
+         ( d_year = 1999-1 and d_moy =12) or
+         ( d_year = 1999+1 and d_moy =1)
+       )
+ group by i_category, i_brand,
+          s_store_name, s_company_name,
+          d_year, d_moy),
+ v2 as(
+ select v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name
+        ,v1.d_year, v1.d_moy
+        ,v1.avg_monthly_sales
+        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+ from v1, v1 v1_lag, v1 v1_lead
+ where v1.i_category = v1_lag.i_category and
+       v1.i_category = v1_lead.i_category and
+       v1.i_brand = v1_lag.i_brand and
+       v1.i_brand = v1_lead.i_brand and
+       v1.s_store_name = v1_lag.s_store_name and
+       v1.s_store_name = v1_lead.s_store_name and
+       v1.s_company_name = v1_lag.s_company_name and
+       v1.s_company_name = v1_lead.s_company_name and
+       v1.rn = v1_lag.rn + 1 and
+       v1.rn = v1_lead.rn - 1)
+  select  *
+ from v2
+ where  d_year = 1999 and
+        avg_monthly_sales > 0 and
+        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+ order by sum_sales - avg_monthly_sales, s_store_name, i_category, i_brand, d_moy
+ limit 100
+"""
+
+# query69.sql — demographic census of store-only customers (EXISTS in the
+# store channel, NOT EXISTS in web/catalog). States retargeted.
+_Q69 = """
+select
+  cd_gender,
+  cd_marital_status,
+  cd_education_status,
+  cast(count(*) as bigint) cnt1,
+  cd_purchase_estimate,
+  cast(count(*) as bigint) cnt2,
+  cd_credit_rating,
+  cast(count(*) as bigint) cnt3
+ from
+  customer c,customer_address ca,customer_demographics
+ where
+  c.c_current_addr_sk = ca.ca_address_sk and
+  ca_state in ('GA','TN','OR') and
+  cd_demo_sk = c.c_current_cdemo_sk and
+  exists (select *
+          from store_sales,date_dim
+          where c.c_customer_sk = ss_customer_sk and
+                ss_sold_date_sk = d_date_sk and
+                d_year = 2001 and
+                d_moy between 4 and 4+2) and
+   (not exists (select *
+            from web_sales,date_dim
+            where c.c_customer_sk = ws_bill_customer_sk and
+                  ws_sold_date_sk = d_date_sk and
+                  d_year = 2001 and
+                  d_moy between 4 and 4+2) and
+    not exists (select *
+            from catalog_sales,date_dim
+            where c.c_customer_sk = cs_ship_customer_sk and
+                  cs_sold_date_sk = d_date_sk and
+                  d_year = 2001 and
+                  d_moy between 4 and 4+2))
+ group by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating
+ order by cd_gender,
+          cd_marital_status,
+          cd_education_status,
+          cd_purchase_estimate,
+          cd_credit_rating
+ limit 100
+"""
+
+# query62.sql — shipping-lag band census per warehouse/mode/site. The web
+# fact carries the REAL shipping lag (l_shipdate − o_orderdate). Backtick
+# band aliases → plain identifiers (DuckDB has no backtick quoting); the
+# substr output aliased; month window retargeted.
+_Q62 = """
+select
+   substr(w_warehouse_name,1,20) wh_name
+  ,sm_type
+  ,web_name
+  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30 ) then 1 else 0 end) as bigint)  as d30
+  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30) and
+                 (ws_ship_date_sk - ws_sold_date_sk <= 60) then 1 else 0 end ) as bigint)  as d31_60
+  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60) and
+                 (ws_ship_date_sk - ws_sold_date_sk <= 90) then 1 else 0 end) as bigint)  as d61_90
+  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90) and
+                 (ws_ship_date_sk - ws_sold_date_sk <= 120) then 1 else 0 end) as bigint)  as d91_120
+  ,cast(sum(case when (ws_ship_date_sk - ws_sold_date_sk  > 120) then 1 else 0 end) as bigint)  as d_over_120
+from
+   web_sales
+  ,warehouse
+  ,ship_mode
+  ,web_site
+  ,date_dim
+where
+    d_month_seq between 61 and 61 + 11
+and ws_ship_date_sk   = d_date_sk
+and ws_warehouse_sk   = w_warehouse_sk
+and ws_ship_mode_sk   = sm_ship_mode_sk
+and ws_web_site_sk    = web_site_sk
+group by
+   substr(w_warehouse_name,1,20)
+  ,sm_type
+  ,web_name
+order by substr(w_warehouse_name,1,20)
+        ,sm_type
+       ,web_name
+limit 100
+"""
+
 _LITERAL = {
     "tpcds_lit_q3": _Q3,
     "tpcds_lit_q7": _Q7,
@@ -1067,6 +1315,11 @@ _LITERAL = {
     "tpcds_lit_q61": _Q61,
     "tpcds_lit_q68": _Q68,
     "tpcds_lit_q73": _Q73,
+    "tpcds_lit_q36": _Q36,
+    "tpcds_lit_q47": _Q47,
+    "tpcds_lit_q62": _Q62,
+    "tpcds_lit_q69": _Q69,
+    "tpcds_lit_q86": _Q86,
 }
 
 

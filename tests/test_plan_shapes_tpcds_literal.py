@@ -25,6 +25,8 @@ def _plan(df) -> str:
     "tpcds_lit_q43", "tpcds_lit_q45", "tpcds_lit_q79", "tpcds_lit_q98",
     "tpcds_lit_q6", "tpcds_lit_q13", "tpcds_lit_q15", "tpcds_lit_q48",
     "tpcds_lit_q61", "tpcds_lit_q68", "tpcds_lit_q73",
+    "tpcds_lit_q36", "tpcds_lit_q47", "tpcds_lit_q62", "tpcds_lit_q69",
+    "tpcds_lit_q86",
 ])
 def test_star_joins_broadcast_no_cartesian(spark, sf_dir, name):
     import __spark_entry__ as entrymod
