@@ -34,6 +34,7 @@ tests — run the stream to completion, compare against batch SQL.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -2134,7 +2135,7 @@ LIMIT 10
 # grow state AND emitted pairs quadratically. Docs arriving at a full
 # bucket emit an overflow marker (b_id = -1) instead of being indexed —
 # the signal that exact-dedup upstream should have swallowed the pile.
-DEDUP_BUCKET_CAP = 256
+DEDUP_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_DEDUP_BUCKET_CAP", "256"))
 
 
 def _incremental_dedup_fn(cap: int | None):
