@@ -213,3 +213,43 @@ def test_stream_join_wrappers_reject_nothing_silently(spark, sf_dir):
         interval_join_stream(left, right, F.col("lu") == F.col("ru"),
                              "lts", "rts", "1 hour", "0 seconds",
                              how="sideways").count()
+
+
+def test_budget_cut_rows_equals_exact_window_under_skew(spark):
+    """Row-level variant (r7, feeds pipeline_end_to_end): the kept-row SET
+    must equal the exact single-window cumulative cut's on the same
+    adversarially skewed corpus — not just the per-language summary."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_14_5_comment_spark.pipeline.text_analysis import (
+        budget_cut_rows,
+    )
+
+    docs = (spark.range(0, 4000)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 10 < 9, "en")
+                    .when(F.col("id") % 10 == 9, "de").alias("lang"),
+                    ((F.col("id") * 37) % 400 + 1).cast("long").alias("n_chars")))
+    targets = docs.groupBy("lang").agg(
+        F.floor(F.sum("n_chars") * 0.5).cast("long").alias("__target"))
+    got = {r.doc_id for r in
+           budget_cut_rows(docs, targets).select("doc_id").collect()}
+
+    docs.createOrReplaceTempView("__skew_rows_docs")
+    exact = spark.sql("""
+      WITH targets AS (
+        SELECT lang, CAST(FLOOR(SUM(n_chars) * 0.5) AS BIGINT) AS target
+        FROM __skew_rows_docs GROUP BY lang
+      ), ordered AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(concat('mix:', cast(doc_id AS string))), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM __skew_rows_docs
+      )
+      SELECT o.doc_id FROM ordered o JOIN targets t ON t.lang = o.lang
+      WHERE o.cum - o.n_chars < t.target
+    """)
+    want = {r.doc_id for r in exact.collect()}
+    assert got == want, (len(got), len(want))
