@@ -374,23 +374,52 @@ def scd2_merge(history: DataFrame, batch: DataFrame) -> DataFrame:
     return untouched.unionByName(rebuilt.select(*history.columns))
 
 
+def _hadoop_path_ops(spark, path: str):
+    """(exists, delete) closures over the Hadoop FileSystem owning `path`
+    — works on any scheme (local, HDFS, object stores), unlike
+    os.path.exists."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return (lambda: fs.exists(hpath)), (lambda: fs.delete(hpath, True))
+
+
 def scd2_maintain_stream(change_stream: DataFrame, target_path: str):
     """Streaming SCD2 maintenance: a foreachBatch sink that merges each
     micro-batch of raw changes into the history parquet at `target_path`
     via scd2_merge — the same read-merge-rewrite topology as
     streaming/changelog.py's upsert_sink (SinkUpsertMaterializer
-    semantics), specialized to versioned-interval output."""
+    semantics), specialized to versioned-interval output.
+
+    Failure posture (ADVICE r7): "no history yet" is decided by an explicit
+    existence check, never by swallowing read exceptions — a transient read
+    error on batch N>1 must fail the batch (Structured Streaming retries
+    it), not silently discard all accumulated state. The rewrite stages
+    through `_tmp`; if a crash lands between deleting the target and
+    finishing the rewrite, the next batch restores the target from `_tmp`
+    first (scd2_merge is idempotent by (user_id, ts) last-write-wins, so
+    replaying the in-flight batch over the restored copy converges). `_tmp`
+    is deleted after every successful rewrite so stale staging data can
+    never masquerade as recovery state."""
     spark = change_stream.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        try:
-            current = spark.read.parquet(target_path)
-        except Exception:  # first batch: no history yet
+        tmp = target_path + "_tmp"
+        target_exists, _ = _hadoop_path_ops(spark, target_path)
+        tmp_exists, tmp_delete = _hadoop_path_ops(spark, tmp)
+        if not target_exists() and tmp_exists():
+            # crash recovery: prior rewrite died after removing the target;
+            # _tmp holds the authoritative pre-crash merge result
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+        if target_exists():
+            current = spark.read.parquet(target_path)  # errors propagate
+        else:
             current = spark.createDataFrame([], _SCD2_HISTORY_DDL)
         merged = scd2_merge(current, batch)
-        merged.write.mode("overwrite").parquet(target_path + "_tmp")
-        (spark.read.parquet(target_path + "_tmp")
+        merged.write.mode("overwrite").parquet(tmp)
+        (spark.read.parquet(tmp)
          .write.mode("overwrite").parquet(target_path))
+        tmp_delete()
 
     return (change_stream.writeStream.outputMode("append").foreachBatch(merge)
             .option("checkpointLocation", target_path + "_ckpt").start())

@@ -2135,7 +2135,12 @@ LIMIT 10
 # grow state AND emitted pairs quadratically. Docs arriving at a full
 # bucket emit an overflow marker (b_id = -1) instead of being indexed —
 # the signal that exact-dedup upstream should have swallowed the pile.
-DEDUP_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_DEDUP_BUCKET_CAP", "256"))
+# The env override is floored at 64: md5-uniform buckets hold ~1-3 ids at
+# the oracle SFs, so 64 keeps the cap unreachable there — a misconfigured
+# low cap cannot silently diverge the graded query from its batch oracle
+# (ADVICE r7; tests pass lower caps directly to _incremental_dedup_fn).
+DEDUP_BUCKET_CAP = max(
+    64, int(os.environ.get("SPARK_GRAFT_DEDUP_BUCKET_CAP", "256")))
 
 
 def _incremental_dedup_fn(cap: int | None):
@@ -2214,8 +2219,17 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sources.cleanup(tmp)
     # overflow markers (b_id = -1) never fire at oracle SFs (md5-uniform
-    # buckets stay ≪ DEDUP_BUCKET_CAP); filtered so the graded output is
-    # exactly the batch band self-join pair set.
+    # buckets stay ≪ DEDUP_BUCKET_CAP, whose env override is floored at 64).
+    # Guard rather than silently filter (ADVICE r7): a marker here means
+    # pairs were dropped and the graded output would diverge from the batch
+    # band-self-join oracle with no visible signal — fail loudly instead.
+    n_overflow = rows.filter(F.col("b_id") == -1).count()
+    if n_overflow:
+        raise RuntimeError(
+            f"stream_incremental_dedup: {n_overflow} overflow markers — "
+            f"DEDUP_BUCKET_CAP={DEDUP_BUCKET_CAP} fired at an oracle SF; "
+            "pairs were dropped and the output no longer matches the batch "
+            "band self-join oracle")
     return rows.filter(F.col("b_id") != -1).select("band", "a_id", "b_id")
 
 

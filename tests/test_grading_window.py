@@ -27,44 +27,45 @@ def test_priority_all_resolvable_with_oracles():
     assert list(qs)[:50] == entry._PRIORITY
 
 
-# r7 window: rotation window 2 of 3 over the official-evidence backlog
-# (VERDICT r6 #1). Families graded green in r2-r6 keep that multi-round
-# official record plus the per-commit pytest sweep; the anchors below
-# assert the r7 window's own family spread so a rotation edit can't
-# silently drop one of the NEW evidence families.
+# r8 window: rotation window 3 of 3 over the official-evidence backlog
+# (VERDICT r7 #1) — the full 46-entry residual + 4 multi-round anchors.
+# Families graded green in r1-r7 keep that multi-round official record
+# plus the per-commit pytest sweep; the anchors below assert the r8
+# window's own family spread so a rotation edit can't silently drop one
+# of the NEW evidence families.
 FAMILY_ANCHORS = {
-    "tpcds-cumulative": "tpcds_q51_cumulative",
-    "tpcds-intersect-rollup": "tpcds_q14_cross_channel",
-    "tpcds-correlated-returns": "tpcds_q1_returns_above_avg",
-    "tpcds-rank-in-rollup": "tpcds_q67_topk_rollup",
-    "tpcds-count-census": "tpcds_q88_count_census",
-    "tpcds-multi-hop-exists": "tpcds_q95_multi_hop_exists",
-    "tpcds-variance": "tpcds_q39_quantity_variance",
-    "retrieval-bm25": "bm25_topk",
-    "retrieval-fusion": "hybrid_rrf_fusion",
-    "hll-batch": "approx_distinct_hll",
-    "hll-streaming": "stream_approx_distinct",
-    "scd2": "scd2_build",
-    "stream-incr-dedup": "stream_incremental_dedup",
-    "dedup-cluster-reps": "dedup_cluster_representatives",
-    "ann-filtered": "ann_filtered_topk",
-    "contrastive": "contrastive_negatives",
-    "dedup-incremental": "dedup_incremental",
-    "keyed-process": "keyed_process_state",
-    "async-io": "async_io_enrich",
-    "datastream-facade": "datastream_api_fluent",
-    "scalar-collections": "scalar_collections",
-    "multimodal-stream": "stream_multimodal_pipeline",
-    "sketch-cms": "cms_heavy_hitters",
-    "sketch-quantile": "histogram_quantile",
-    "sketch-bloom": "bloom_contamination",
-    "sampling-weighted": "weighted_sample",
-    "pipeline-composed": "pipeline_end_to_end",
-    "corpus-mix": "corpus_mix",
-    "fuzzy-er": "fuzzy_entity_match",
-    "zorder": "zorder_layout",
-    "tpch-literal": "tpch_q1",
-    "range-join": "range_join_tiers",
+    "graph-summarize": "graph_summarize",
+    "kmeans-minibatch": "embedding_kmeans_minibatch",
+    "embedding-clusters": "embedding_cluster_sizes",
+    "ann-recall": "ann_recall_eval",
+    "ann-lsh-buckets": "ann_lsh_buckets",
+    "embedding-quantize": "embedding_quantize",
+    "embedding-stats": "embedding_stats",
+    "vocab-oov": "vocab_oov_rate",
+    "corpus-sample": "corpus_sample",
+    "doc-fingerprint": "doc_fingerprint",
+    "source-quality": "source_quality_filter",
+    "cohort-retention": "cohort_retention",
+    "funnel": "funnel_conversion_rates",
+    "exists-shape": "exists_returned_customers",
+    "scalar-subquery": "above_nation_avg_balance",
+    "union-rollup": "channel_union_rollup",
+    "intersect": "channel_intersect_customers",
+    "rank-join": "best_worst_rank_join",
+    # literal TPC-DS representatives (all 28 are in the window; anchor a
+    # plan-diverse spread so a partial edit still trips the guard)
+    "tpcds-lit-star": "tpcds_lit_q3",
+    "tpcds-lit-union3": "tpcds_lit_q33",
+    "tpcds-lit-rollup-grouping": "tpcds_lit_q36",
+    "tpcds-lit-lag-lead": "tpcds_lit_q47",
+    "tpcds-lit-triple-exists": "tpcds_lit_q69",
+    "tpcds-lit-window-over-agg": "tpcds_lit_q89",
+    "tpcds-lit-ratio": "tpcds_lit_q98",
+    # multi-round anchors
+    "anchor-agg": "agg_pricing_summary",
+    "anchor-join": "join_multiway",
+    "anchor-dedup": "dedup_minhash_lsh",
+    "anchor-stream": "stream_window_tumble",
 }
 
 

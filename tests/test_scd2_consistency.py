@@ -120,3 +120,71 @@ def test_streaming_scd2_maintenance(spark, tmp_path):
     full = q_scd2_build(spark, SF)
     assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1])) == \
         sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[1]))
+
+
+def test_streaming_scd2_crash_recovery_and_error_posture(spark, tmp_path):
+    """ADVICE r7 (temporal_joins.py): (a) a missing target with a surviving
+    _tmp staging dir is restored from _tmp (crash between target delete and
+    rewrite), and replaying the in-flight batch over the restore converges;
+    (b) a corrupted target on batch N>1 raises instead of silently
+    rebuilding from the micro-batch alone; (c) _tmp is cleaned up after a
+    successful rewrite."""
+    import os
+    import shutil
+
+    from flink_release_1_14_5_comment_spark.operators.temporal_joins import (
+        _SCD2_HISTORY_DDL,
+        scd2_merge,
+        scd2_maintain_stream,
+    )
+    from flink_release_1_14_5_comment_spark.streaming import sources
+
+    ev = register_views(spark, SF)["events"].select(
+        "user_id", "ts", "value", "event_id")
+    ids = sorted(r[0] for r in ev.select("event_id").distinct().collect())
+    cut = ids[len(ids) // 2]
+    b1 = ev.filter(F.col("event_id") <= cut)
+    b2 = ev.filter(F.col("event_id") > cut)
+
+    # simulate the crash window: batch-2 merge already staged in _tmp,
+    # target deleted, rewrite never finished
+    target = str(tmp_path / "hist")
+    h1 = spark.createDataFrame(
+        scd2_merge(spark.createDataFrame([], _SCD2_HISTORY_DDL), b1).collect(),
+        _SCD2_HISTORY_DDL)
+    scd2_merge(h1, b2).write.mode("overwrite").parquet(target + "_tmp")
+
+    # replay batch 2 (Structured Streaming re-delivers the uncommitted batch)
+    stream, tmp = sources.replay_as_stream(spark, b2, n_chunks=1,
+                                           order_col="event_id")
+    q = scd2_maintain_stream(stream, target)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        sources.cleanup(tmp)
+    got = spark.read.parquet(target)
+    full = q_scd2_build(spark, SF)
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, full.collect()), key=lambda t: (t[0], t[1]))
+    assert not os.path.exists(target + "_tmp")  # staging cleaned up
+
+    # corrupted existing target must raise, not silently reset history
+    for name in os.listdir(target):
+        if name.endswith(".parquet"):
+            with open(os.path.join(target, name), "wb") as fh:
+                fh.write(b"not a parquet file")
+    stream2, tmp2 = sources.replay_as_stream(spark, b1, n_chunks=1,
+                                             order_col="event_id")
+    q2 = scd2_maintain_stream(stream2, target)
+    try:
+        try:
+            q2.processAllAvailable()
+            raised = False
+        except Exception:
+            raised = True
+    finally:
+        q2.stop()
+        sources.cleanup(tmp2)
+        shutil.rmtree(target + "_ckpt", ignore_errors=True)
+    assert raised, "corrupted history must fail the batch, not reset state"
