@@ -58,7 +58,10 @@ to exercise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
 
@@ -1332,10 +1335,53 @@ def _compose(ctes: str, qtext: str) -> str:
     return f"WITH {ctes} {qtext}"
 
 
+# Star tables the query texts reference (everything in _star_ctes except
+# the two derivation-only intermediates tpcds_customer_base / all_dates).
+_STAR_TABLES = (
+    "date_dim", "store_sales", "catalog_sales", "web_sales", "warehouse",
+    "ship_mode", "web_site", "household_demographics", "item", "store",
+    "promotion", "customer_demographics", "customer", "customer_address",
+)
+
+
+def _ensure_star(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the derived star ONCE per (session, sf_dir): each table
+    becomes a persisted DataFrame behind a prefixed temp view
+    (``tpcds_star_<name>`` — prefixed so the derived ``customer`` never
+    shadows the base TPC-H view other query families use). Before this,
+    every one of the 28 literal queries re-ran the lineitem⋈orders fact
+    derivation inside its own CTE list (VERDICT r7 #4); now the derivation
+    joins run once and the suite reads the cached frames. Switching sf_dir
+    unpersists and rebuilds. The DuckDB oracle keeps its per-query CTEs —
+    values are identical by construction, so hashes are unaffected."""
+    key = os.path.abspath(sf_dir)
+    if getattr(spark, "_graft_tpcds_star_for", None) == key:
+        return
+    register_views(spark, sf_dir)
+    for df in getattr(spark, "_graft_tpcds_star_frames", []):
+        df.unpersist()
+    frames = []
+    for name in _STAR_TABLES:
+        df = spark.sql(
+            f"WITH {_SPARK_CTES} SELECT * FROM {name}"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        df.createOrReplaceTempView(f"tpcds_star_{name}")
+        frames.append(df)
+    spark._graft_tpcds_star_frames = frames
+    spark._graft_tpcds_star_for = key
+
+
+# Alias CTE list mapping each literal query's unqualified star names onto
+# the cached views; _compose merges a query's own WITH clause after it.
+_ALIAS_CTES = ",\n".join(
+    f"{name} AS (SELECT * FROM tpcds_star_{name})" for name in _STAR_TABLES
+)
+
+
 def _runner(qtext: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
-        return spark.sql(_compose(_SPARK_CTES, qtext))
+        _ensure_star(spark, sf_dir)
+        return spark.sql(_compose(_ALIAS_CTES, qtext))
 
     return run
 
