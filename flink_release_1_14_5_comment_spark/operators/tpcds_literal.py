@@ -61,7 +61,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.storagelevel import StorageLevel
 
 from flink_release_1_14_5_comment_spark.catalog import register_views
 
@@ -1351,23 +1350,26 @@ def _ensure_star(spark: SparkSession, sf_dir: str) -> None:
     shadows the base TPC-H view other query families use). Before this,
     every one of the 28 literal queries re-ran the lineitem⋈orders fact
     derivation inside its own CTE list (VERDICT r7 #4); now the derivation
-    joins run once and the suite reads the cached frames. Switching sf_dir
-    unpersists and rebuilds. The DuckDB oracle keeps its per-query CTEs —
-    values are identical by construction, so hashes are unaffected."""
+    joins run once and the suite reads the materialized frames. Switching
+    sf_dir rebuilds. The DuckDB oracle keeps its per-query CTEs — values
+    are identical by construction, so hashes are unaffected.
+
+    Materialization is ``localCheckpoint(eager=True)`` rather than
+    ``persist()``: a temp view over a persisted CTE plan re-analyzes with
+    fresh CTE ids on every reference, so the cache-manager's sameResult
+    lookup misses and each query would silently re-derive from parquet.
+    The checkpoint severs lineage — the view's plan IS the materialized
+    RDD scan. (On a real cluster you'd write the star to a table once —
+    localCheckpoint blocks don't survive executor loss; see SCALE.md.)"""
     key = os.path.abspath(sf_dir)
     if getattr(spark, "_graft_tpcds_star_for", None) == key:
         return
     register_views(spark, sf_dir)
-    for df in getattr(spark, "_graft_tpcds_star_frames", []):
-        df.unpersist()
-    frames = []
     for name in _STAR_TABLES:
         df = spark.sql(
             f"WITH {_SPARK_CTES} SELECT * FROM {name}"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
         df.createOrReplaceTempView(f"tpcds_star_{name}")
-        frames.append(df)
-    spark._graft_tpcds_star_frames = frames
     spark._graft_tpcds_star_for = key
 
 

@@ -357,10 +357,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in bit_exprs[1:]:
         fp = fp + e
     sim = docs.select("doc_id", fp.cast("long").alias("simhash"))
+    # group size via groupBy+join, not count() OVER (PARTITION BY simhash):
+    # a window puts a mass-duplicate fingerprint pile in ONE task's buffer,
+    # while groupBy reduces it map-side and AQE can split the skewed join
+    # partition (VERDICT r7 residual (c)).
+    sizes = sim.groupBy("simhash").agg(F.count(F.lit(1)).alias("group_n"))
     return (
-        sim.withColumn("half_hi", F.expr("simhash div 256"))
+        sim.join(sizes, "simhash")
+        .withColumn("half_hi", F.expr("simhash div 256"))
         .withColumn("half_lo", F.expr("simhash % 256"))
-        .withColumn("group_n", F.count(F.lit(1)).over(W.partitionBy("simhash")))
         .select("doc_id", "simhash", "half_hi", "half_lo", "group_n")
     )
 

@@ -126,15 +126,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     size of each fingerprint's duplicate group (window count)."""
     t = register_views(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return (
-        t["documents"]
-        .select(
-            "doc_id",
-            F.size(_toks()).cast("long").alias("n_tokens"),
-            F.md5(norm).alias("fp"),
-        )
-        .withColumn("group_n", F.count(F.lit(1)).over(W.partitionBy("fp")))
+    d = t["documents"].select(
+        "doc_id",
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        F.md5(norm).alias("fp"),
     )
+    # groupBy+join, not count() OVER (PARTITION BY fp): a mass-duplicate
+    # corpus piles one fp into a single window task; the agg reduces it
+    # map-side and AQE can split the skewed join partition.
+    sizes = d.groupBy("fp").agg(F.count(F.lit(1)).alias("group_n"))
+    return d.join(sizes, "fp").select("doc_id", "n_tokens", "fp", "group_n")
 
 
 ORACLE_Q_DOC_FINGERPRINT = r"""
@@ -321,9 +322,11 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("th").cast("long").alias("n_tokens"),
         full.alias("roll_fp"), winnow.alias("winnow_fp"),
     )
-    return out.withColumn(
-        "group_n", F.count(F.lit(1)).over(W.partitionBy("winnow_fp"))
-    )
+    # groupBy+join instead of a full-partition count window (skew posture —
+    # see q_doc_fingerprint).
+    sizes = out.groupBy("winnow_fp").agg(F.count(F.lit(1)).alias("group_n"))
+    return out.join(sizes, "winnow_fp").select(
+        "doc_id", "n_tokens", "roll_fp", "winnow_fp", "group_n")
 
 
 ORACLE_Q_DOC_WINNOW = rf"""
