@@ -5,13 +5,14 @@ The reference's flagship end-to-end gate runs 103 literal TPC-DS queries
 table/tpcds/TpcdsTestProgram.java:76-87, query texts under
 flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/). The adapted
 shape pack (operators/tpcds_shapes.py) covers the distinctive plan shapes
-on the TPC-H schema; THIS module goes the rest of the way for a 28-query
-subset (q3 q6 q7 q12 q13 q15 q19 q20 q26 q33 q36 q42 q43 q45 q47 q48 q52
-q55 q61 q62 q65 q68 q69 q73 q79 q86 q89 q98):
+on the TPC-H schema; THIS module goes the rest of the way for a 33-query
+subset (q3 q6 q7 q8 q12 q13 q15 q19 q20 q26 q33 q36 q41 q42 q43 q45 q46
+q47 q48 q52 q53 q55 q61 q62 q65 q68 q69 q73 q79 q85 q86 q89 q98):
 the reference's own query texts run end-to-end against tables with the
-real TPC-DS schemas (store_sales, catalog_sales, web_sales, date_dim,
-item, store, customer, customer_address, customer_demographics,
-household_demographics, promotion).
+real TPC-DS schemas (store_sales, catalog_sales, web_sales, web_returns,
+date_dim, item, store, customer, customer_address, customer_demographics,
+household_demographics, promotion, web_page, reason, warehouse,
+ship_mode, web_site).
 
 The star tables are DERIVED DETERMINISTICALLY from the driver's testdata
 (orders/lineitem/part/customer) by pure per-row expressions — no files are
@@ -156,15 +157,49 @@ web_sales AS (
          1 + (l_suppkey % 5) AS ws_warehouse_sk,
          1 + ((l_orderkey + l_linenumber) % 4) AS ws_ship_mode_sk,
          1 + (l_orderkey % 3) AS ws_web_site_sk,
+         1 + ((l_orderkey + l_linenumber) % 10) AS ws_web_page_sk,
          l_partkey AS ws_item_sk,
+         l_orderkey AS ws_order_number,
          o_custkey AS ws_bill_customer_sk,
          CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
               ELSE o_custkey END AS ws_bill_addr_sk,
+         CAST(l_quantity AS INT) AS ws_quantity,
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ws_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_net_paid
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_net_paid,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ws_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 1
+),
+web_returns AS (
+  -- returned web lines (the web slice ∩ l_returnflag = 'R'): the same
+  -- grain as TPC-DS web_returns — one return row per returned sale line,
+  -- joinable back to web_sales on (item_sk, order_number). The returning
+  -- cdemo equals the refunded cdemo on even line numbers and is shifted
+  -- by 7 otherwise (70 % 7 = 0, so education always matches while marital
+  -- matches only at shift 0 — gives q85's cd1=cd2 equality arms a
+  -- non-degenerate split).
+  SELECT l_partkey AS wr_item_sk,
+         l_orderkey AS wr_order_number,
+         1 + (o_custkey % 70) AS wr_refunded_cdemo_sk,
+         1 + ((o_custkey + 7 * (l_linenumber % 2)) % 70) AS wr_returning_cdemo_sk,
+         o_custkey AS wr_refunded_addr_sk,
+         1 + ((l_orderkey + l_suppkey) % 35) AS wr_reason_sk,
+         CAST(l_quantity AS INT) AS wr_return_quantity,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 90, 0) AS BIGINT) AS wr_refunded_cash,
+         CAST(ROUND(l_extendedprice * 2, 0) AS BIGINT) AS wr_fee
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 3 = 1 AND l_returnflag = 'R'
+),
+web_page AS (
+  SELECT wp_web_page_sk,
+         CONCAT('page_', CAST(wp_web_page_sk AS {s})) AS wp_url
+  FROM (SELECT DISTINCT 1 + (c_custkey % 10) AS wp_web_page_sk FROM tpcds_customer_base) t
+),
+reason AS (
+  SELECT r_reason_sk,
+         CONCAT('reason desc number ', lpad(CAST(r_reason_sk AS {s}), 3, '0')) AS r_reason_desc
+  FROM (SELECT DISTINCT 1 + (c_custkey % 35) AS r_reason_sk FROM tpcds_customer_base) t
 ),
 warehouse AS (
   SELECT w_warehouse_sk,
@@ -207,6 +242,18 @@ item AS (
          CAST(1 + (p_partkey % 25) AS INT) AS i_manufact_id,
          CONCAT('Mfg#', CAST(1 + (p_partkey % 25) AS {s})) AS i_manufact,
          CAST(1 + (p_partkey % 37) AS INT) AS i_manager_id,
+         CONCAT('prod_', lpad(CAST(p_partkey % 997 AS {s}), 4, '0')) AS i_product_name,
+         CONCAT('col_', CAST(p_partkey % 13 AS {s})) AS i_color,
+         CONCAT('unit_', CAST(p_partkey % 7 AS {s})) AS i_units,
+         CASE WHEN p_partkey % 9 = 0 THEN 'petite'
+              WHEN p_partkey % 9 = 1 THEN 'small'
+              WHEN p_partkey % 9 = 2 THEN 'medium'
+              WHEN p_partkey % 9 = 3 THEN 'large'
+              WHEN p_partkey % 9 = 4 THEN 'extra large'
+              WHEN p_partkey % 9 = 5 THEN 'N/A'
+              WHEN p_partkey % 9 = 6 THEN 'medium'
+              WHEN p_partkey % 9 = 7 THEN 'small'
+              ELSE 'large' END AS i_size,
          p_retailprice AS i_current_price,
          CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS i_current_price_cents,
          ROUND(p_retailprice * 0.8, 2) AS i_wholesale_cost
@@ -1293,6 +1340,273 @@ order by substr(w_warehouse_name,1,20)
 limit 100
 """
 
+# query53.sql — quarterly manufacturer sales vs their quarterly average
+# (q89's sibling: same avg-over-sum window, quarter grain). Adaptations:
+# d_month_seq 1200..1211 → 61..72 (synthetic seq range, year 2000);
+# brand/class/category IN-lists retargeted to co-occurring synthetic
+# values (category fixes p%10, which fixes class p%5 and constrains brand
+# p%40 — the lists below are chosen mutually consistent); money rounded at
+# the aggregate boundary exactly like q89.
+_Q53 = """
+select  * from
+(select i_manufact_id,
+round(sum(ss_sales_price) / 100, 2) sum_sales,
+round(avg(sum(ss_sales_price)) over (partition by i_manufact_id) / 100, 4) avg_quarterly_sales
+from item, store_sales, date_dim, store
+where ss_item_sk = i_item_sk and
+ss_sold_date_sk = d_date_sk and
+ss_store_sk = s_store_sk and
+d_month_seq in (61,61+1,61+2,61+3,61+4,61+5,61+6,61+7,61+8,61+9,61+10,61+11) and
+((i_category in ('CAT_1','CAT_3','CAT_5') and
+i_class in ('class_1','class_3','class_5') and
+i_brand in ('Brand#1','Brand#13','Brand#25','Brand#33'))
+or(i_category in ('CAT_2','CAT_6','CAT_10') and
+i_class in ('class_1','class_2','class_5') and
+i_brand in ('Brand#2','Brand#16','Brand#30','Brand#40')))
+group by i_manufact_id, d_qoy ) tmp1
+where case when avg_quarterly_sales > 0
+	then abs (sum_sales - avg_quarterly_sales)/ avg_quarterly_sales
+	else null end > 0.1
+order by avg_quarterly_sales,
+	 sum_sales,
+	 i_manufact_id
+limit 100
+"""
+
+# query46.sql — weekend bought-city vs home-city trips (q68's sibling).
+# Adaptations: s_city list → synthetic City_n (duplicates kept verbatim);
+# money sums cents→dollars at the aggregate boundary; d_year/d_dow/hd
+# constants UNCHANGED (synthetic ranges cover them).
+_Q46 = """
+select  c_last_name
+       ,c_first_name
+       ,ca_city
+       ,bought_city
+       ,ss_ticket_number
+       ,amt,profit
+ from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,ca_city bought_city
+          ,round(sum(ss_coupon_amt) / 100, 2) amt
+          ,round(sum(ss_net_profit) / 100, 2) profit
+    from store_sales,date_dim,store,household_demographics,customer_address
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and store_sales.ss_addr_sk = customer_address.ca_address_sk
+    and (household_demographics.hd_dep_count = 4 or
+         household_demographics.hd_vehicle_count= 3)
+    and date_dim.d_dow in (6,0)
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_city in ('City_1','City_3','City_1','City_1','City_1')
+    group by ss_ticket_number,ss_customer_sk,ss_addr_sk,ca_city) dn,customer,customer_address current_addr
+    where ss_customer_sk = c_customer_sk
+      and customer.c_current_addr_sk = current_addr.ca_address_sk
+      and current_addr.ca_city <> bought_city
+  order by c_last_name
+          ,c_first_name
+          ,ca_city
+          ,bought_city
+          ,ss_ticket_number
+  limit 100
+"""
+
+# query8.sql — store net profit in zip prefixes shared with concentrated
+# preferred-customer zips. Adaptations: the synthetic ca_zip map
+# ((custkey*7919) % 100000) is collision-free, so the reference's 5-digit
+# zip census (HAVING count(*) > 10) is vacuously empty at every SF — the
+# census grain is coarsened to the 2-digit prefix (the grain the final
+# store join uses anyway) with threshold > 2, and the 400-entry zip
+# IN-list becomes a 2-digit prefix list that includes the store prefixes
+# ('00'/'01': s_zip = (s_store_sk*131) % 100000 keeps all stores below
+# 02000). GROUP BY spelled substr(...) explicitly (the reference's
+# `group by ca_zip` resolves to the BASE column under ANSI rules, which
+# both engines honor but which reads as the alias). Money at the
+# aggregate boundary; empty at sf0.001 (75 preferred customers spread
+# over ~100 prefixes can't exceed the threshold), populated from sf0.01.
+_Q8 = """
+select  s_store_name
+      ,round(sum(ss_net_profit) / 100, 2) net_profit
+ from store_sales
+     ,date_dim
+     ,store,
+     (select ca_zip
+     from (
+      SELECT substr(ca_zip,1,2) ca_zip
+      FROM customer_address
+      WHERE substr(ca_zip,1,2) IN (
+                          '00','01','02','03','05','08',
+                          '13','17','21','24','28','32',
+                          '35','39','42','46','51','55',
+                          '58','62','66','71','75','79',
+                          '83','87','91','95','98','99')
+     intersect
+      select ca_zip
+      from (SELECT substr(ca_zip,1,2) ca_zip,count(*) cnt
+            FROM customer_address, customer
+            WHERE ca_address_sk = c_current_addr_sk and
+                  c_preferred_cust_flag='Y'
+            group by substr(ca_zip,1,2)
+            having count(*) > 2)A1)A2) V1
+ where ss_store_sk = s_store_sk
+  and ss_sold_date_sk = d_date_sk
+  and d_qoy = 2 and d_year = 1998
+  and (substr(s_zip,1,2) = substr(V1.ca_zip,1,2))
+ group by s_store_name
+ order by s_store_name
+ limit 100
+"""
+
+# query41.sql — manufacturers with any item matching attribute bundles
+# (correlated scalar COUNT subquery — the decorrelation shape).
+# Adaptations: i_manufact_id 738..778 → 5..15 (synthetic 1..25);
+# Women/Men → CAT_1/CAT_6; color/units/size constants → the synthetic
+# attribute maps (i_color p%13, i_units p%7, i_size p%9 — all coprime to
+# the category's p%10, so every bundle is CRT-satisfiable).
+_Q41 = """
+select  distinct(i_product_name)
+ from item i1
+ where i_manufact_id between 5 and 5+10
+   and (select count(*) as item_cnt
+        from item
+        where (i_manufact = i1.i_manufact and
+        ((i_category = 'CAT_1' and
+        (i_color = 'col_1' or i_color = 'col_4') and
+        (i_units = 'unit_1' or i_units = 'unit_4') and
+        (i_size = 'medium' or i_size = 'extra large')
+        ) or
+        (i_category = 'CAT_1' and
+        (i_color = 'col_7' or i_color = 'col_10') and
+        (i_units = 'unit_2' or i_units = 'unit_5') and
+        (i_size = 'N/A' or i_size = 'small')
+        ) or
+        (i_category = 'CAT_6' and
+        (i_color = 'col_2' or i_color = 'col_5') and
+        (i_units = 'unit_3' or i_units = 'unit_6') and
+        (i_size = 'petite' or i_size = 'large')
+        ) or
+        (i_category = 'CAT_6' and
+        (i_color = 'col_8' or i_color = 'col_11') and
+        (i_units = 'unit_0' or i_units = 'unit_1') and
+        (i_size = 'medium' or i_size = 'extra large')
+        ))) or
+       (i_manufact = i1.i_manufact and
+        ((i_category = 'CAT_1' and
+        (i_color = 'col_0' or i_color = 'col_3') and
+        (i_units = 'unit_2' or i_units = 'unit_6') and
+        (i_size = 'medium' or i_size = 'extra large')
+        ) or
+        (i_category = 'CAT_1' and
+        (i_color = 'col_6' or i_color = 'col_9') and
+        (i_units = 'unit_0' or i_units = 'unit_3') and
+        (i_size = 'N/A' or i_size = 'small')
+        ) or
+        (i_category = 'CAT_6' and
+        (i_color = 'col_12' or i_color = 'col_1') and
+        (i_units = 'unit_4' or i_units = 'unit_5') and
+        (i_size = 'petite' or i_size = 'large')
+        ) or
+        (i_category = 'CAT_6' and
+        (i_color = 'col_5' or i_color = 'col_9') and
+        (i_units = 'unit_6' or i_units = 'unit_2') and
+        (i_size = 'medium' or i_size = 'extra large')
+        )))) > 0
+ order by i_product_name
+ limit 100
+"""
+
+# query85.sql — web return reasons by demographic/address/price bands
+# (the returns-side star: web_returns ⋈ web_sales ⋈ cd1/cd2 ⋈ reason).
+# Adaptations: sales-price/net-profit dollar bands → the synthetic price
+# range ×10 (per-unit prices are $765-2100, the reference's $50-200 bands
+# would be vacuous), expressed in integer cents; ca_state lists → the
+# synthetic 8-state map; averages of exact integers rounded and aliased
+# at the output boundary; ORDER BY mirrors the aliased expressions.
+_Q85 = """
+select  substr(r_reason_desc,1,20) reason_desc
+       ,round(avg(ws_quantity), 4) avg_quantity
+       ,round(avg(wr_refunded_cash) / 100, 4) avg_refunded_cash
+       ,round(avg(wr_fee) / 100, 4) avg_fee
+ from web_sales, web_returns, web_page, customer_demographics cd1,
+      customer_demographics cd2, customer_address, date_dim, reason
+ where ws_web_page_sk = wp_web_page_sk
+   and ws_item_sk = wr_item_sk
+   and ws_order_number = wr_order_number
+   and ws_sold_date_sk = d_date_sk and d_year = 2000
+   and cd1.cd_demo_sk = wr_refunded_cdemo_sk
+   and cd2.cd_demo_sk = wr_returning_cdemo_sk
+   and ca_address_sk = wr_refunded_addr_sk
+   and r_reason_sk = wr_reason_sk
+   and
+   (
+    (
+     cd1.cd_marital_status = 'M'
+     and
+     cd1.cd_marital_status = cd2.cd_marital_status
+     and
+     cd1.cd_education_status = 'Advanced Degree'
+     and
+     cd1.cd_education_status = cd2.cd_education_status
+     and
+     ws_sales_price between 100000 and 200000
+    )
+   or
+    (
+     cd1.cd_marital_status = 'S'
+     and
+     cd1.cd_marital_status = cd2.cd_marital_status
+     and
+     cd1.cd_education_status = 'College'
+     and
+     cd1.cd_education_status = cd2.cd_education_status
+     and
+     ws_sales_price between 20000 and 100000
+    )
+   or
+    (
+     cd1.cd_marital_status = 'W'
+     and
+     cd1.cd_marital_status = cd2.cd_marital_status
+     and
+     cd1.cd_education_status = '2 yr Degree'
+     and
+     cd1.cd_education_status = cd2.cd_education_status
+     and
+     ws_sales_price between 200000 and 400000
+    )
+   )
+   and
+   (
+    (
+     ca_country = 'United States'
+     and
+     ca_state in ('OH', 'NY', 'TN')
+     and ws_net_profit between 1000000 and 2000000
+    )
+    or
+    (
+     ca_country = 'United States'
+     and
+     ca_state in ('CA', 'WA', 'GA')
+     and ws_net_profit between 1500000 and 3000000
+    )
+    or
+    (
+     ca_country = 'United States'
+     and
+     ca_state in ('TX', 'OR', 'CA')
+     and ws_net_profit between 500000 and 2500000
+    )
+   )
+group by r_reason_desc
+order by substr(r_reason_desc,1,20)
+        ,round(avg(ws_quantity), 4)
+        ,round(avg(wr_refunded_cash) / 100, 4)
+        ,round(avg(wr_fee) / 100, 4)
+limit 100
+"""
+
 _LITERAL = {
     "tpcds_lit_q3": _Q3,
     "tpcds_lit_q7": _Q7,
@@ -1322,6 +1636,12 @@ _LITERAL = {
     "tpcds_lit_q62": _Q62,
     "tpcds_lit_q69": _Q69,
     "tpcds_lit_q86": _Q86,
+    # batch 4 (r8 additions, graded r9): multi-sibling + returns-side pack
+    "tpcds_lit_q8": _Q8,
+    "tpcds_lit_q41": _Q41,
+    "tpcds_lit_q46": _Q46,
+    "tpcds_lit_q53": _Q53,
+    "tpcds_lit_q85": _Q85,
 }
 
 
@@ -1337,7 +1657,8 @@ def _compose(ctes: str, qtext: str) -> str:
 # Star tables the query texts reference (everything in _star_ctes except
 # the two derivation-only intermediates tpcds_customer_base / all_dates).
 _STAR_TABLES = (
-    "date_dim", "store_sales", "catalog_sales", "web_sales", "warehouse",
+    "date_dim", "store_sales", "catalog_sales", "web_sales", "web_returns",
+    "web_page", "reason", "warehouse",
     "ship_mode", "web_site", "household_demographics", "item", "store",
     "promotion", "customer_demographics", "customer", "customer_address",
 )

@@ -27,6 +27,8 @@ def _plan(df) -> str:
     "tpcds_lit_q61", "tpcds_lit_q68", "tpcds_lit_q73",
     "tpcds_lit_q36", "tpcds_lit_q47", "tpcds_lit_q62", "tpcds_lit_q69",
     "tpcds_lit_q86",
+    "tpcds_lit_q8", "tpcds_lit_q41", "tpcds_lit_q46", "tpcds_lit_q53",
+    "tpcds_lit_q85",
 ])
 def test_star_joins_broadcast_no_cartesian(spark, sf_dir, name):
     import __spark_entry__ as entrymod

@@ -30,6 +30,8 @@ NAMES = [
     # round-7 additions: literal TPC-DS texts over the derived star schema
     # (one pure star-join, the 5-dim demographic join, the window-census)
     "tpcds_lit_q3", "tpcds_lit_q7", "tpcds_lit_q89",
+    # round-8 batch 4: returns-side star (q85) + correlated-count (q41)
+    "tpcds_lit_q85", "tpcds_lit_q41",
 ]
 
 SCRIPT = f"""
