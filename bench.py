@@ -118,6 +118,12 @@ HEADLINE = [
     "contrastive_negatives",
     "tpcds_q95_multi_hop_exists",
     "tpcds_lit_q89",
+    # r8 (VERDICT r7 #7): plan-diverse literal TPC-DS reps — three-channel
+    # UNION ALL and triple-EXISTS census (q47's lag/lead self-join was the
+    # third candidate but pushes the machine line past the 1900-char
+    # budget; its plan family is perf-tracked via tpcds_q59/q31 already)
+    "tpcds_lit_q33",
+    "tpcds_lit_q69",
 ]
 
 

@@ -39,6 +39,12 @@ QUERIES = [
     "ann_filtered_topk",
     "tpcds_lit_q89",
     "tpcds_lit_q65",
+    # round-8 mechanisms: group sizes via groupBy+join (doc_fingerprint),
+    # the q53 avg-over-sum window on the localCheckpoint-cached star, and
+    # the returns-side star derivation (q85 exact-integer averages)
+    "doc_fingerprint",
+    "tpcds_lit_q53",
+    "tpcds_lit_q85",
 ]
 
 SCRIPT = f"""
