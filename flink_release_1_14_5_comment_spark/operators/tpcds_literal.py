@@ -103,7 +103,11 @@ date_dim AS (
               WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
               WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
               WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
-         CAST(FLOOR((EXTRACT(MONTH FROM o_orderdate) + 2) / 3) AS INT) AS d_qoy
+         CAST(FLOOR((EXTRACT(MONTH FROM o_orderdate) + 2) / 3) AS INT) AS d_qoy,
+         -- Sunday-aligned week sequence: d_date_sk is days since 1970-01-01
+         -- (a Thursday), so +4 puts week boundaries on Sundays. Any
+         -- consistent numbering works — both engines share this text.
+         CAST(FLOOR(({ddiff_orderdate} + 4) / 7) AS INT) AS d_week_seq
   FROM all_dates
 ),
 store_sales AS (
@@ -122,6 +126,7 @@ store_sales AS (
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ss_sales_price,
          CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS ss_coupon_amt,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ss_ext_sales_price,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ss_net_paid,
          CAST(ROUND(l_extendedprice * 80 / l_quantity, 0) AS BIGINT) AS ss_wholesale_cost,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ss_net_profit,
          CAST(ROUND(l_extendedprice * 110, 0) AS BIGINT) AS ss_ext_list_price,
@@ -164,6 +169,7 @@ web_sales AS (
          CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
               ELSE o_custkey END AS ws_bill_addr_sk,
          CAST(l_quantity AS INT) AS ws_quantity,
+         CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS ws_list_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ws_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_net_paid,
@@ -266,7 +272,8 @@ store AS (
          CASE WHEN s_store_sk % 4 = 0 THEN 'TN'
               WHEN s_store_sk % 4 = 1 THEN 'CA'
               WHEN s_store_sk % 4 = 2 THEN 'NY' ELSE 'WA' END AS s_state,
-         lpad(CAST((s_store_sk * 131) % 100000 AS {s}), 5, '0') AS s_zip,
+         lpad(CAST(((s_store_sk % 100) * 7919) % 100000 AS {s}), 5, '0') AS s_zip,
+         CAST(CASE WHEN s_store_sk % 2 = 0 THEN 8 ELSE 5 END AS INT) AS s_market_id,
          CONCAT('S_', lpad(CAST(s_store_sk AS {s}), 4, '0')) AS s_store_id,
          CONCAT('City_', CAST(1 + (s_store_sk % 5) AS {s})) AS s_city,
          CASE WHEN s_store_sk % 4 = 0 THEN 'Williamson County'
@@ -315,7 +322,12 @@ customer AS (
               WHEN c_custkey % 4 = 2 THEN 'Ms.' ELSE 'Dr.' END AS c_salutation,
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
          c_custkey AS c_current_addr_sk,
-         1 + (c_custkey % 70) AS c_current_cdemo_sk
+         1 + (c_custkey % 70) AS c_current_cdemo_sk,
+         -- q24's c_birth_country <> upper(ca_country) arm: ca_country is
+         -- always 'United States', so 1/3 of customers are excluded.
+         CASE WHEN c_custkey % 3 = 0 THEN 'UNITED STATES'
+              WHEN c_custkey % 3 = 1 THEN 'CANADA'
+              ELSE 'GERMANY' END AS c_birth_country
   FROM tpcds_customer_base
 ),
 customer_address AS (
@@ -323,8 +335,15 @@ customer_address AS (
   -- c_current_addr_sk points to) and a secondary address (sk = custkey +
   -- 1e9) that ~1/3 of sales are billed/shipped to — gives the
   -- bought-city <> home-city queries (q68) a non-degenerate answer
+  -- ca_zip lives in a 100-class space ((custkey % 100) * 7919 % 100000):
+  -- collision-free maps made every zip ~1e-5-dense, so q24's exact
+  -- s_zip = ca_zip join (and q8's 5-digit census) were vacuous at every
+  -- SF. The class map keeps q15/q45's IN-list constants (7919 * k) valid
+  -- while giving each zip ~|customer|/100 residents; s_zip draws from the
+  -- same space, so store sk's zip is shared by customers with
+  -- custkey ≡ sk (mod 100).
   SELECT c_custkey AS ca_address_sk,
-         lpad(CAST((c_custkey * 7919) % 100000 AS {s}), 5, '0') AS ca_zip,
+         lpad(CAST(((c_custkey % 100) * 7919) % 100000 AS {s}), 5, '0') AS ca_zip,
          CONCAT('City_', CAST(1 + (c_custkey % 37) AS {s})) AS ca_city,
          CASE WHEN c_custkey % 8 = 0 THEN 'CA' WHEN c_custkey % 8 = 1 THEN 'WA'
               WHEN c_custkey % 8 = 2 THEN 'GA' WHEN c_custkey % 8 = 3 THEN 'TX'
@@ -335,7 +354,7 @@ customer_address AS (
   FROM tpcds_customer_base
   UNION ALL
   SELECT c_custkey + 1000000000 AS ca_address_sk,
-         lpad(CAST((c_custkey * 7919 + 13) % 100000 AS {s}), 5, '0') AS ca_zip,
+         lpad(CAST(((c_custkey % 100) * 7919 + 13) % 100000 AS {s}), 5, '0') AS ca_zip,
          CONCAT('City_', CAST(1 + ((c_custkey * 5 + 3) % 37) AS {s})) AS ca_city,
          CASE WHEN c_custkey % 8 = 0 THEN 'WA' WHEN c_custkey % 8 = 1 THEN 'GA'
               WHEN c_custkey % 8 = 2 THEN 'TX' WHEN c_custkey % 8 = 3 THEN 'OH'
@@ -344,6 +363,47 @@ customer_address AS (
          'United States' AS ca_country,
          CAST(CASE WHEN c_custkey % 3 = 1 THEN -5 ELSE -6 END AS INT) AS ca_gmt_offset
   FROM tpcds_customer_base
+),
+store_returns AS (
+  -- store-channel returns (the store channel keeps every order): one
+  -- return row per l_returnflag = 'R' sale line, joinable back to
+  -- store_sales on (sr_ticket_number, sr_item_sk) — q24's join grain.
+  SELECT CAST({ddiff_shipdate} AS BIGINT) AS sr_returned_date_sk,
+         l_partkey AS sr_item_sk,
+         o_custkey AS sr_customer_sk,
+         l_orderkey AS sr_ticket_number,
+         1 + (l_suppkey % 12) AS sr_store_sk,
+         1 + ((l_orderkey + l_suppkey) % 35) AS sr_reason_sk,
+         1 + (o_custkey % 70) AS sr_cdemo_sk,
+         CAST(l_quantity AS INT) AS sr_return_quantity,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 90, 0) AS BIGINT) AS sr_return_amt,
+         CAST(ROUND(l_extendedprice * 2, 0) AS BIGINT) AS sr_fee,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 30, 0) AS BIGINT) AS sr_net_loss
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+),
+inventory AS (
+  -- dense weekly snapshot, the real TPC-DS inventory profile: one row per
+  -- (Sunday, item, warehouse 1..2). Quantity is a deterministic skewed
+  -- map — ~1/9 of snapshots hold a large lot (up to 4000), the rest
+  -- near-zero stock — so q39's stddev/mean > 1 filter splits
+  -- non-degenerately. The lot indicator hashes with a 97-modulus (NOT a
+  -- small linear mod: a mod-9 of p+d+w collapses items into 9 classes
+  -- whose passing sets never overlap across months, leaving q39's
+  -- Jan⋈Feb self-join empty). |inventory| = |part| × ~350 Sundays × 2,
+  -- derivation-only cross joins of tiny sides; materialized lazily (only
+  -- q39 pays for it).
+  SELECT d.d_date_sk AS inv_date_sk,
+         p.p_partkey AS inv_item_sk,
+         w.inv_w AS inv_warehouse_sk,
+         CAST(CASE WHEN (p.p_partkey * 7919 + d.d_date_sk * 104729
+                         + w.inv_w * 131) % 97 < 11
+                   THEN (p.p_partkey * 131 + d.d_date_sk * 31 + w.inv_w) % 4000
+                   ELSE (p.p_partkey + d.d_date_sk + w.inv_w) % 12
+              END AS INT) AS inv_quantity_on_hand
+  FROM part p,
+       (SELECT DISTINCT d_date_sk FROM date_dim WHERE d_dow = 0) d,
+       (SELECT DISTINCT 1 + (c_custkey % 2) AS inv_w FROM tpcds_customer_base) w
 )"""
 
 
@@ -1413,18 +1473,19 @@ select  c_last_name
 """
 
 # query8.sql — store net profit in zip prefixes shared with concentrated
-# preferred-customer zips. Adaptations: the synthetic ca_zip map
-# ((custkey*7919) % 100000) is collision-free, so the reference's 5-digit
-# zip census (HAVING count(*) > 10) is vacuously empty at every SF — the
-# census grain is coarsened to the 2-digit prefix (the grain the final
-# store join uses anyway) with threshold > 2, and the 400-entry zip
-# IN-list becomes a 2-digit prefix list that includes the store prefixes
-# ('00'/'01': s_zip = (s_store_sk*131) % 100000 keeps all stores below
-# 02000). GROUP BY spelled substr(...) explicitly (the reference's
+# preferred-customer zips. Adaptations: the census grain is coarsened to
+# the 2-digit prefix (the grain the final store join uses anyway) with
+# threshold > 2 (the synthetic corpus can't reach the reference's > 10 at
+# the oracle SFs), and the 400-entry zip IN-list becomes a 2-digit prefix
+# list that includes the 12 store prefixes (s_zip = (sk % 100) * 7919
+# % 100000 → '07' '15' '23' '31' '39' '47' '55' '63' '71' '79' '87' '95').
+# GROUP BY spelled substr(...) explicitly (the reference's
 # `group by ca_zip` resolves to the BASE column under ANSI rules, which
 # both engines honor but which reads as the alias). Money at the
 # aggregate boundary; empty at sf0.001 (75 preferred customers spread
-# over ~100 prefixes can't exceed the threshold), populated from sf0.01.
+# over ~100 zip classes can't exceed the threshold), populated from
+# sf0.01 (each even zip class is wholly preferred customers — the flag is
+# custkey parity and a class holds one residue mod 100).
 _Q8 = """
 select  s_store_name
       ,round(sum(ss_net_profit) / 100, 2) net_profit
@@ -1436,11 +1497,11 @@ select  s_store_name
       SELECT substr(ca_zip,1,2) ca_zip
       FROM customer_address
       WHERE substr(ca_zip,1,2) IN (
-                          '00','01','02','03','05','08',
-                          '13','17','21','24','28','32',
-                          '35','39','42','46','51','55',
-                          '58','62','66','71','75','79',
-                          '83','87','91','95','98','99')
+                          '00','02','05','07','11','15',
+                          '19','23','27','31','36','39',
+                          '44','47','52','55','60','63',
+                          '68','71','76','79','84','87',
+                          '92','95','99','03','48','81')
      intersect
       select ca_zip
       from (SELECT substr(ca_zip,1,2) ca_zip,count(*) cnt
@@ -1607,6 +1668,544 @@ order by substr(r_reason_desc,1,20)
 limit 100
 """
 
+# ---- batch 5 (STAGED): the reference's multi-part a/b pairs ------------
+# TpcdsTestProgram.java:76-87 counts 103 queries vs 99 because q14 q23 q24
+# q39 ship as a/b pairs — the last distinctive literal shapes the suite
+# lacks. Staged = pytest-verified against DuckDB at sf0.001/0.01/0.1 but
+# NOT yet in queries()/oracle_sql(): ROADMAP's r8 freeze caps new graded
+# entries (the 5 batch-4 queries used the cap), so these eight flip into
+# _LITERAL in r9 (a 1-line move) and grade with that round's window.
+
+# query14a.sql — cross-channel INTERSECT of (brand,class,category) triples,
+# per-channel monthly sums vs the all-channel average, 4-level ROLLUP.
+# d_moy 11 → 5 (order dates end 2001-08-01, so November 2001 is empty).
+# Adaptations: money at the aggregate boundary; the INTERSECT subquery
+# gets the alias `x` its 14b sibling already has;
+# ORDER BY gets explicit NULLS FIRST — the ROLLUP output can exceed the
+# LIMIT and Spark (NULLS FIRST) and DuckDB (NULLS LAST) disagree on the
+# default, which would cut different rows.
+_Q14A = """
+with  cross_items as
+ (select i_item_sk ss_item_sk
+ from item,
+ (select iss.i_brand_id brand_id
+     ,iss.i_class_id class_id
+     ,iss.i_category_id category_id
+ from store_sales
+     ,item iss
+     ,date_dim d1
+ where ss_item_sk = iss.i_item_sk
+   and ss_sold_date_sk = d1.d_date_sk
+   and d1.d_year between 1999 AND 1999 + 2
+ intersect
+ select ics.i_brand_id
+     ,ics.i_class_id
+     ,ics.i_category_id
+ from catalog_sales
+     ,item ics
+     ,date_dim d2
+ where cs_item_sk = ics.i_item_sk
+   and cs_sold_date_sk = d2.d_date_sk
+   and d2.d_year between 1999 AND 1999 + 2
+ intersect
+ select iws.i_brand_id
+     ,iws.i_class_id
+     ,iws.i_category_id
+ from web_sales
+     ,item iws
+     ,date_dim d3
+ where ws_item_sk = iws.i_item_sk
+   and ws_sold_date_sk = d3.d_date_sk
+   and d3.d_year between 1999 AND 1999 + 2) x
+ where i_brand_id = brand_id
+      and i_class_id = class_id
+      and i_category_id = category_id
+),
+ avg_sales as
+ (select avg(quantity*list_price) average_sales
+  from (select ss_quantity quantity
+             ,ss_list_price list_price
+       from store_sales
+           ,date_dim
+       where ss_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2
+       union all
+       select cs_quantity quantity
+             ,cs_list_price list_price
+       from catalog_sales
+           ,date_dim
+       where cs_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2
+       union all
+       select ws_quantity quantity
+             ,ws_list_price list_price
+       from web_sales
+           ,date_dim
+       where ws_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2) x)
+  select  channel, i_brand_id,i_class_id,i_category_id,
+        round(sum(sales) / 100, 2) sum_sales, sum(number_sales) number_sales
+ from(
+       select 'store' channel, i_brand_id,i_class_id
+             ,i_category_id,sum(ss_quantity*ss_list_price) sales
+             , count(*) number_sales
+       from store_sales
+           ,item
+           ,date_dim
+       where ss_item_sk in (select ss_item_sk from cross_items)
+         and ss_item_sk = i_item_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year = 1999+2
+         and d_moy = 5
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)
+       union all
+       select 'catalog' channel, i_brand_id,i_class_id,i_category_id, sum(cs_quantity*cs_list_price) sales, count(*) number_sales
+       from catalog_sales
+           ,item
+           ,date_dim
+       where cs_item_sk in (select ss_item_sk from cross_items)
+         and cs_item_sk = i_item_sk
+         and cs_sold_date_sk = d_date_sk
+         and d_year = 1999+2
+         and d_moy = 5
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(cs_quantity*cs_list_price) > (select average_sales from avg_sales)
+       union all
+       select 'web' channel, i_brand_id,i_class_id,i_category_id, sum(ws_quantity*ws_list_price) sales , count(*) number_sales
+       from web_sales
+           ,item
+           ,date_dim
+       where ws_item_sk in (select ss_item_sk from cross_items)
+         and ws_item_sk = i_item_sk
+         and ws_sold_date_sk = d_date_sk
+         and d_year = 1999+2
+         and d_moy = 5
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(ws_quantity*ws_list_price) > (select average_sales from avg_sales)
+ ) y
+ group by rollup (channel, i_brand_id,i_class_id,i_category_id)
+ order by channel nulls first, i_brand_id nulls first, i_class_id nulls first,
+          i_category_id nulls first
+ limit 100
+"""
+
+# query14b.sql — the same cross_items/avg_sales scaffold, then this-week
+# vs same-week-last-year store sales joined on the item triple. The
+# d_week_seq anchor dates (2000-12-11 / 1999-12-11) exist at every SF.
+# Money at the aggregate boundary; output aliases are the reference's own.
+_Q14B = """
+with  cross_items as
+ (select i_item_sk ss_item_sk
+ from item,
+ (select iss.i_brand_id brand_id
+     ,iss.i_class_id class_id
+     ,iss.i_category_id category_id
+ from store_sales
+     ,item iss
+     ,date_dim d1
+ where ss_item_sk = iss.i_item_sk
+   and ss_sold_date_sk = d1.d_date_sk
+   and d1.d_year between 1999 AND 1999 + 2
+ intersect
+ select ics.i_brand_id
+     ,ics.i_class_id
+     ,ics.i_category_id
+ from catalog_sales
+     ,item ics
+     ,date_dim d2
+ where cs_item_sk = ics.i_item_sk
+   and cs_sold_date_sk = d2.d_date_sk
+   and d2.d_year between 1999 AND 1999 + 2
+ intersect
+ select iws.i_brand_id
+     ,iws.i_class_id
+     ,iws.i_category_id
+ from web_sales
+     ,item iws
+     ,date_dim d3
+ where ws_item_sk = iws.i_item_sk
+   and ws_sold_date_sk = d3.d_date_sk
+   and d3.d_year between 1999 AND 1999 + 2) x
+ where i_brand_id = brand_id
+      and i_class_id = class_id
+      and i_category_id = category_id
+),
+ avg_sales as
+(select avg(quantity*list_price) average_sales
+  from (select ss_quantity quantity
+             ,ss_list_price list_price
+       from store_sales
+           ,date_dim
+       where ss_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2
+       union all
+       select cs_quantity quantity
+             ,cs_list_price list_price
+       from catalog_sales
+           ,date_dim
+       where cs_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2
+       union all
+       select ws_quantity quantity
+             ,ws_list_price list_price
+       from web_sales
+           ,date_dim
+       where ws_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2) x)
+  select  this_year.channel ty_channel
+                           ,this_year.i_brand_id ty_brand
+                           ,this_year.i_class_id ty_class
+                           ,this_year.i_category_id ty_category
+                           ,round(this_year.sales / 100, 2) ty_sales
+                           ,this_year.number_sales ty_number_sales
+                           ,last_year.channel ly_channel
+                           ,last_year.i_brand_id ly_brand
+                           ,last_year.i_class_id ly_class
+                           ,last_year.i_category_id ly_category
+                           ,round(last_year.sales / 100, 2) ly_sales
+                           ,last_year.number_sales ly_number_sales
+ from
+ (select 'store' channel, i_brand_id,i_class_id,i_category_id
+        ,sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+ from store_sales
+     ,item
+     ,date_dim
+ where ss_item_sk in (select ss_item_sk from cross_items)
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_week_seq = (select d_week_seq
+                     from date_dim
+                     where d_year = 1999 + 1
+                       and d_moy = 12
+                       and d_dom = 11)
+ group by i_brand_id,i_class_id,i_category_id
+ having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) this_year,
+ (select 'store' channel, i_brand_id,i_class_id
+        ,i_category_id, sum(ss_quantity*ss_list_price) sales, count(*) number_sales
+ from store_sales
+     ,item
+     ,date_dim
+ where ss_item_sk in (select ss_item_sk from cross_items)
+   and ss_item_sk = i_item_sk
+   and ss_sold_date_sk = d_date_sk
+   and d_week_seq = (select d_week_seq
+                     from date_dim
+                     where d_year = 1999
+                       and d_moy = 12
+                       and d_dom = 11)
+ group by i_brand_id,i_class_id,i_category_id
+ having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)) last_year
+ where this_year.i_brand_id= last_year.i_brand_id
+   and this_year.i_class_id = last_year.i_class_id
+   and this_year.i_category_id = last_year.i_category_id
+ order by this_year.channel, this_year.i_brand_id, this_year.i_class_id, this_year.i_category_id
+ limit 100
+"""
+
+# query23a.sql — frequent store items × best store customers gating
+# catalog+web February sales. Adaptations: HAVING count(*) > 4 → > 1 (the
+# synthetic fact tops out at 3 rows per (item, day) even at sf0.1 — the
+# same selectivity-retarget standard as q3); money at the boundary; the
+# reference's unaliased FROM-subqueries get aliases (y/z) for
+# cross-engine name-resolution hygiene (its 14b sibling aliases them too).
+_Q23A = """
+with frequent_ss_items as
+ (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt
+  from store_sales
+      ,date_dim
+      ,item
+  where ss_sold_date_sk = d_date_sk
+    and ss_item_sk = i_item_sk
+    and d_year in (2000,2000+1,2000+2,2000+3)
+  group by substr(i_item_desc,1,30),i_item_sk,d_date
+  having count(*) > 1),
+ max_store_sales as
+ (select max(csales) tpcds_cmax
+  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales
+        from store_sales
+            ,customer
+            ,date_dim
+        where ss_customer_sk = c_customer_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year in (2000,2000+1,2000+2,2000+3)
+        group by c_customer_sk) y),
+ best_ss_customer as
+ (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales
+  from store_sales
+      ,customer
+  where ss_customer_sk = c_customer_sk
+  group by c_customer_sk
+  having sum(ss_quantity*ss_sales_price) > (50/100.0) * (select
+  *
+from
+ max_store_sales))
+  select  round(sum(sales) / 100, 2) total_sales
+ from (select cs_quantity*cs_list_price sales
+       from catalog_sales
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and cs_sold_date_sk = d_date_sk
+         and cs_item_sk in (select item_sk from frequent_ss_items)
+         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+      union all
+      select ws_quantity*ws_list_price sales
+       from web_sales
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and ws_sold_date_sk = d_date_sk
+         and ws_item_sk in (select item_sk from frequent_ss_items)
+         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)) z
+ limit 100
+"""
+
+# query23b.sql — the per-customer-name variant of 23a. Same retargets;
+# branch sums rounded at their own aggregate boundary (the outer UNION ALL
+# carries them through unaggregated).
+_Q23B = """
+with frequent_ss_items as
+ (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt
+  from store_sales
+      ,date_dim
+      ,item
+  where ss_sold_date_sk = d_date_sk
+    and ss_item_sk = i_item_sk
+    and d_year in (2000,2000 + 1,2000 + 2,2000 + 3)
+  group by substr(i_item_desc,1,30),i_item_sk,d_date
+  having count(*) > 1),
+ max_store_sales as
+ (select max(csales) tpcds_cmax
+  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales
+        from store_sales
+            ,customer
+            ,date_dim
+        where ss_customer_sk = c_customer_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year in (2000,2000+1,2000+2,2000+3)
+        group by c_customer_sk) y),
+ best_ss_customer as
+ (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales
+  from store_sales
+      ,customer
+  where ss_customer_sk = c_customer_sk
+  group by c_customer_sk
+  having sum(ss_quantity*ss_sales_price) > (50/100.0) * (select
+  *
+ from max_store_sales))
+  select  c_last_name,c_first_name,sales
+ from (select c_last_name,c_first_name,round(sum(cs_quantity*cs_list_price) / 100, 2) sales
+        from catalog_sales
+            ,customer
+            ,date_dim
+        where d_year = 2000
+         and d_moy = 2
+         and cs_sold_date_sk = d_date_sk
+         and cs_item_sk in (select item_sk from frequent_ss_items)
+         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+         and cs_bill_customer_sk = c_customer_sk
+       group by c_last_name,c_first_name
+      union all
+      select c_last_name,c_first_name,round(sum(ws_quantity*ws_list_price) / 100, 2) sales
+       from web_sales
+           ,customer
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and ws_sold_date_sk = d_date_sk
+         and ws_item_sk in (select item_sk from frequent_ss_items)
+         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+         and ws_bill_customer_sk = c_customer_sk
+       group by c_last_name,c_first_name) z
+     order by c_last_name,c_first_name,sales
+  limit 100
+"""
+
+# query24a.sql — returned store sales by out-of-state-ish customers whose
+# home zip matches the store zip, color-sliced vs 5% of the all-color
+# average. Adaptations: i_color 'peach' → 'col_5' (synthetic color map
+# p % 13, the q41-pinned codomain); money at the boundary.
+_Q24A = """
+with ssales as
+(select c_last_name
+      ,c_first_name
+      ,s_store_name
+      ,ca_state
+      ,s_state
+      ,i_color
+      ,i_current_price
+      ,i_manager_id
+      ,i_units
+      ,i_size
+      ,sum(ss_net_paid) netpaid
+from store_sales
+    ,store_returns
+    ,store
+    ,item
+    ,customer
+    ,customer_address
+where ss_ticket_number = sr_ticket_number
+  and ss_item_sk = sr_item_sk
+  and ss_customer_sk = c_customer_sk
+  and ss_item_sk = i_item_sk
+  and ss_store_sk = s_store_sk
+  and c_current_addr_sk = ca_address_sk
+  and c_birth_country <> upper(ca_country)
+  and s_zip = ca_zip
+and s_market_id=8
+group by c_last_name
+        ,c_first_name
+        ,s_store_name
+        ,ca_state
+        ,s_state
+        ,i_color
+        ,i_current_price
+        ,i_manager_id
+        ,i_units
+        ,i_size)
+select c_last_name
+      ,c_first_name
+      ,s_store_name
+      ,round(sum(netpaid) / 100, 2) paid
+from ssales
+where i_color = 'col_5'
+group by c_last_name
+        ,c_first_name
+        ,s_store_name
+having sum(netpaid) > (select 0.05*avg(netpaid)
+                                 from ssales)
+order by c_last_name
+        ,c_first_name
+        ,s_store_name
+"""
+
+# query24b.sql — the second color slice: 'saddle' → 'col_9'.
+_Q24B = """
+with ssales as
+(select c_last_name
+      ,c_first_name
+      ,s_store_name
+      ,ca_state
+      ,s_state
+      ,i_color
+      ,i_current_price
+      ,i_manager_id
+      ,i_units
+      ,i_size
+      ,sum(ss_net_paid) netpaid
+from store_sales
+    ,store_returns
+    ,store
+    ,item
+    ,customer
+    ,customer_address
+where ss_ticket_number = sr_ticket_number
+  and ss_item_sk = sr_item_sk
+  and ss_customer_sk = c_customer_sk
+  and ss_item_sk = i_item_sk
+  and ss_store_sk = s_store_sk
+  and c_current_addr_sk = ca_address_sk
+  and c_birth_country <> upper(ca_country)
+  and s_zip = ca_zip
+  and s_market_id = 8
+group by c_last_name
+        ,c_first_name
+        ,s_store_name
+        ,ca_state
+        ,s_state
+        ,i_color
+        ,i_current_price
+        ,i_manager_id
+        ,i_units
+        ,i_size)
+select c_last_name
+      ,c_first_name
+      ,s_store_name
+      ,round(sum(netpaid) / 100, 2) paid
+from ssales
+where i_color = 'col_9'
+group by c_last_name
+        ,c_first_name
+        ,s_store_name
+having sum(netpaid) > (select 0.05*avg(netpaid)
+                           from ssales)
+order by c_last_name
+        ,c_first_name
+        ,s_store_name
+"""
+
+# query39a.sql — inventory coefficient-of-variation month-over-month
+# self-join. Adaptations: decimal(7,2) cast → double (q7's standard);
+# inv2's output columns aliased *_2 (the driver/pytest compare is
+# name-keyed and the reference emits duplicate names); mean/cov rounded
+# to 4dp at the output boundary (stddev_samp is float; the > 1 / > 1.5
+# filters keep the raw values — integer-sample cov sits at the boundary
+# only on exact algebraic ties).
+_Q39A = """
+with inv as
+(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+ from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+            ,stddev_samp(cast(inv_quantity_on_hand as double)) stdev,avg(cast(inv_quantity_on_hand as double)) mean
+      from inventory
+          ,item
+          ,warehouse
+          ,date_dim
+      where inv_item_sk = i_item_sk
+        and inv_warehouse_sk = w_warehouse_sk
+        and inv_date_sk = d_date_sk
+        and d_year =2001
+      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+ where case mean when 0 then 0 else stdev/mean end > 1)
+select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy
+        ,round(inv1.mean, 4) mean, round(inv1.cov, 4) cov
+        ,inv2.w_warehouse_sk w_warehouse_sk_2,inv2.i_item_sk i_item_sk_2
+        ,inv2.d_moy d_moy_2
+        ,round(inv2.mean, 4) mean_2, round(inv2.cov, 4) cov_2
+from inv inv1,inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+  and inv1.d_moy=1
+  and inv2.d_moy=1+1
+order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+        ,inv2.d_moy,inv2.mean, inv2.cov
+"""
+
+# query39b.sql — 39a restricted to January cov > 1.5 (a 2-sample group
+# tops out at cov √2, so only ≥3-sample cells with one large lot pass —
+# the dense weekly snapshot gives 4-5 samples per month).
+_Q39B = """
+with inv as
+(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+       ,stdev,mean, case mean when 0 then null else stdev/mean end cov
+ from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
+            ,stddev_samp(cast(inv_quantity_on_hand as double)) stdev,avg(cast(inv_quantity_on_hand as double)) mean
+      from inventory
+          ,item
+          ,warehouse
+          ,date_dim
+      where inv_item_sk = i_item_sk
+        and inv_warehouse_sk = w_warehouse_sk
+        and inv_date_sk = d_date_sk
+        and d_year =2001
+      group by w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy) foo
+ where case mean when 0 then 0 else stdev/mean end > 1)
+select inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy
+        ,round(inv1.mean, 4) mean, round(inv1.cov, 4) cov
+        ,inv2.w_warehouse_sk w_warehouse_sk_2,inv2.i_item_sk i_item_sk_2
+        ,inv2.d_moy d_moy_2
+        ,round(inv2.mean, 4) mean_2, round(inv2.cov, 4) cov_2
+from inv inv1,inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+  and inv1.w_warehouse_sk =  inv2.w_warehouse_sk
+  and inv1.d_moy=1
+  and inv2.d_moy=1+1
+  and inv1.cov > 1.5
+order by inv1.w_warehouse_sk,inv1.i_item_sk,inv1.d_moy,inv1.mean,inv1.cov
+        ,inv2.d_moy,inv2.mean, inv2.cov
+"""
+
 _LITERAL = {
     "tpcds_lit_q3": _Q3,
     "tpcds_lit_q7": _Q7,
@@ -1642,6 +2241,21 @@ _LITERAL = {
     "tpcds_lit_q46": _Q46,
     "tpcds_lit_q53": _Q53,
     "tpcds_lit_q85": _Q85,
+}
+
+# Batch 5, STAGED for r9 (see the batch-5 block comment): kept out of
+# _LITERAL so queries()/oracle_sql() stay frozen this round; the pytest
+# oracle-parity gate runs these at sf0.001/0.01/0.1 exactly like graded
+# entries (tests/test_tpcds_literal_staged.py).
+_STAGED = {
+    "tpcds_lit_q14a": _Q14A,
+    "tpcds_lit_q14b": _Q14B,
+    "tpcds_lit_q23a": _Q23A,
+    "tpcds_lit_q23b": _Q23B,
+    "tpcds_lit_q24a": _Q24A,
+    "tpcds_lit_q24b": _Q24B,
+    "tpcds_lit_q39a": _Q39A,
+    "tpcds_lit_q39b": _Q39B,
 }
 
 
@@ -1701,6 +2315,31 @@ _ALIAS_CTES = ",\n".join(
 )
 
 
+# Batch-5 tables, materialized LAZILY on top of the graded star: inventory
+# is |part| × ~350 Sundays × 2 warehouses — only q39 should pay its
+# checkpoint cost, never the 33 graded literal queries or bench.
+_STAR_TABLES_EXT = ("store_returns", "inventory")
+
+
+def _ensure_star_ext(spark: SparkSession, sf_dir: str) -> None:
+    key = os.path.abspath(sf_dir)
+    _ensure_star(spark, sf_dir)
+    if getattr(spark, "_graft_tpcds_star_ext_for", None) == key:
+        return
+    for name in _STAR_TABLES_EXT:
+        df = spark.sql(
+            f"WITH {_SPARK_CTES} SELECT * FROM {name}"
+        ).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(f"tpcds_star_{name}")
+    spark._graft_tpcds_star_ext_for = key
+
+
+_ALIAS_CTES_EXT = ",\n".join(
+    f"{name} AS (SELECT * FROM tpcds_star_{name})"
+    for name in _STAR_TABLES + _STAR_TABLES_EXT
+)
+
+
 def _runner(qtext: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_star(spark, sf_dir)
@@ -1709,6 +2348,20 @@ def _runner(qtext: str):
     return run
 
 
+def _runner_ext(qtext: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_star_ext(spark, sf_dir)
+        return spark.sql(_compose(_ALIAS_CTES_EXT, qtext))
+
+    return run
+
+
 QUERIES = {name: _runner(text) for name, text in _LITERAL.items()}
 
 ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _LITERAL.items()}
+
+# Staged batch 5 (r9 flip: move entries into _LITERAL and delete these two
+# dicts — the ext runner keeps working unchanged).
+STAGED_QUERIES = {name: _runner_ext(text) for name, text in _STAGED.items()}
+
+STAGED_ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _STAGED.items()}

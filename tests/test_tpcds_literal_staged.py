@@ -1,0 +1,80 @@
+"""Batch-5 literal TPC-DS (the reference's multi-part a/b pairs q14 q23
+q24 q39 — TpcdsTestProgram.java:76-87 counts 103 queries vs 99 because
+these ship as pairs). STAGED: oracle-verified here exactly like graded
+entries, but kept out of queries()/oracle_sql() until r9 because ROADMAP's
+r8 freeze caps new graded entries. This module is the evidence that the
+r9 flip is a 1-line move, not new work."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_14_5_comment_spark.operators import tpcds_literal as t
+from tests.oracle_util import compare, duckdb_conn
+
+STAGED = sorted(t.STAGED_QUERIES.keys())
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_oracle_parity(name, spark, sf_dir, con):
+    sdf = t.STAGED_QUERIES[name](spark, sf_dir)
+    odf = con.execute(t.STAGED_ORACLE[name]).fetchdf()
+    compare(sdf, odf, name)
+
+
+def test_staged_not_graded_this_round():
+    """The r8 freeze: staged entries must NOT leak into the graded surface
+    (flip them in r9 by moving them into _LITERAL)."""
+    import __spark_entry__ as entrymod
+
+    graded = set(entrymod.oracle_sql())
+    assert not graded & set(STAGED), graded & set(STAGED)
+
+
+def test_staged_nondegenerate_at_oracle_sf():
+    """Every staged query returns rows at the driver's grading SF (sf0.01)
+    — DuckDB-side so the check is cheap. Guards against a star-derivation
+    edit silently vacuating a filter (the mod-9 inventory lattice made
+    q39's Jan⋈Feb self-join empty before the 97-modulus hash)."""
+    con = duckdb_conn("/root/testdata/sf0.01")
+    try:
+        for name in STAGED:
+            n = len(con.execute(t.STAGED_ORACLE[name]).fetchdf())
+            assert n >= 1, f"{name} is vacuous at sf0.01"
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_plans_broadcast_no_cartesian(spark, sf_dir, name):
+    """Same plan profile the graded literal suite locks: dims broadcast
+    against the cached star, no cartesian product, no parquet re-scan.
+    (inventory's dense derivation cross-join runs once inside
+    _ensure_star_ext, never inside a query plan.)"""
+    plan = (t.STAGED_QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "FileScan" not in plan, plan[:2000]
+
+
+def test_graded_star_stays_lazy(spark, sf_dir):
+    """Graded literal queries must not pay for the batch-5 ext tables:
+    _ensure_star materializes only _STAR_TABLES, and a graded plan never
+    references inventory/store_returns."""
+    assert set(t._STAR_TABLES_EXT) == {"store_returns", "inventory"}
+    assert not set(t._STAR_TABLES_EXT) & set(t._STAR_TABLES)
+    plan = (t.QUERIES["tpcds_lit_q3"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "inventory" not in plan and "store_returns" not in plan
