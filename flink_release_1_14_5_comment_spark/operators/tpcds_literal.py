@@ -104,6 +104,9 @@ date_dim AS (
               WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
               WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
          CAST(FLOOR((EXTRACT(MONTH FROM o_orderdate) + 2) / 3) AS INT) AS d_qoy,
+         CONCAT(CAST(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS {s}), 'Q',
+                CAST(CAST(FLOOR((EXTRACT(MONTH FROM o_orderdate) + 2) / 3) AS INT)
+                     AS {s})) AS d_quarter_name,
          -- Sunday-aligned week sequence: d_date_sk is days since 1970-01-01
          -- (a Thursday), so +4 puts week boundaries on Sundays. Any
          -- consistent numbering works — both engines share this text.
@@ -125,6 +128,7 @@ store_sales AS (
          CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS ss_list_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ss_sales_price,
          CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS ss_coupon_amt,
+         CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT) AS ss_ext_discount_amt,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ss_ext_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ss_net_paid,
          CAST(ROUND(l_extendedprice * 80 / l_quantity, 0) AS BIGINT) AS ss_wholesale_cost,
@@ -152,7 +156,8 @@ catalog_sales AS (
          CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS cs_list_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS cs_sales_price,
          CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS cs_coupon_amt,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cs_ext_sales_price
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cs_ext_sales_price,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS cs_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 2
 ),
@@ -2361,7 +2366,14 @@ QUERIES = {name: _runner(text) for name, text in _LITERAL.items()}
 ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _LITERAL.items()}
 
 # Staged batch 5 (r9 flip: move entries into _LITERAL and delete these two
-# dicts — the ext runner keeps working unchanged).
-STAGED_QUERIES = {name: _runner_ext(text) for name, text in _STAGED.items()}
+# dicts — the ext runner keeps working unchanged). Wave 2's texts live in
+# tpcds_literal_staged2.py (pure data) to keep this module readable.
+from flink_release_1_14_5_comment_spark.operators.tpcds_literal_staged2 import (  # noqa: E402
+    TEXTS as _STAGED2,
+)
 
-STAGED_ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _STAGED.items()}
+_STAGED_ALL = {**_STAGED, **_STAGED2}
+
+STAGED_QUERIES = {name: _runner_ext(text) for name, text in _STAGED_ALL.items()}
+
+STAGED_ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _STAGED_ALL.items()}

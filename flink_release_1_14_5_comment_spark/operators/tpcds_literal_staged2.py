@@ -1,0 +1,539 @@
+"""Literal TPC-DS batch 5, wave 2 (STAGED): fourteen more of the
+reference's verbatim query texts (tpcds-tool/query/queryN.sql — the gate
+list at flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:
+76-87), unlocked by the round-8 star-schema additions (store_returns,
+inventory, d_week_seq/d_quarter_name, ss_ext_discount_amt, cs_net_profit):
+
+* returns-family: q1 (per-store return concentration, correlated avg),
+  q17/q25/q29 (the sale→return→catalog-repurchase triple-fact chain —
+  non-degenerate because every catalog line is also a store line, so a
+  returned catalog-slice line matches its own catalog copy on
+  (customer, item))
+* inventory-family: q21 (before/after ratio around a date), q22 (4-level
+  ROLLUP of quantity-on-hand), q37/q82 (price-band items with bounded
+  stock, semi-joined to a sales channel)
+* week/day-grain: q2 (day-name pivot ratios week-over-year on d_week_seq),
+  q9 (reason-anchored bucket census with correlated scalar subqueries)
+* census shapes: q27 (2-level ROLLUP by state), q34 (order-size band per
+  ticket), q38 (3-channel INTERSECT count), q87 (3-channel EXCEPT count)
+
+Pure data module: query texts only — the runner/oracle wiring lives in
+tpcds_literal.py (STAGED_QUERIES/STAGED_ORACLE), the verification in
+tests/test_tpcds_literal_staged.py. Adaptations follow the suite standard
+(documented per query): money at aggregate boundaries, float aggregates
+rounded to 4dp, selectivity constants retargeted into the synthetic
+domains, NULLS FIRST where ROLLUP output meets a LIMIT cut.
+"""
+
+from __future__ import annotations
+
+# query1.sql — verbatim (constants all valid: d_year 2000, s_state 'TN').
+_Q1 = """
+with customer_total_return as
+(select sr_customer_sk as ctr_customer_sk
+,sr_store_sk as ctr_store_sk
+,sum(sr_return_amt) as ctr_total_return
+from store_returns
+,date_dim
+where sr_returned_date_sk = d_date_sk
+and d_year = 2000
+group by sr_customer_sk
+,sr_store_sk)
+ select  c_customer_id
+from customer_total_return ctr1
+,store
+,customer
+where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+from customer_total_return ctr2
+where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+and s_store_sk = ctr1.ctr_store_sk
+and s_state = 'TN'
+and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id
+limit 100
+"""
+
+# query2.sql — d_year 2001/2002 → 2000/2001 (sales dates end 2001-08, so
+# the 2002 side was empty); ratio columns aliased (the reference leaves
+# them unnamed); the wscs UNION subquery gets an alias. Ratios divide two
+# exact cent sums, so rounding is cross-engine stable.
+_Q2 = """
+with wscs as
+ (select sold_date_sk
+        ,sales_price
+  from (select ws_sold_date_sk sold_date_sk
+              ,ws_ext_sales_price sales_price
+        from web_sales
+        union all
+        select cs_sold_date_sk sold_date_sk
+              ,cs_ext_sales_price sales_price
+        from catalog_sales) u),
+ wswscs as
+ (select d_week_seq,
+        sum(case when (d_day_name='Sunday') then sales_price else null end) sun_sales,
+        sum(case when (d_day_name='Monday') then sales_price else null end) mon_sales,
+        sum(case when (d_day_name='Tuesday') then sales_price else  null end) tue_sales,
+        sum(case when (d_day_name='Wednesday') then sales_price else null end) wed_sales,
+        sum(case when (d_day_name='Thursday') then sales_price else null end) thu_sales,
+        sum(case when (d_day_name='Friday') then sales_price else null end) fri_sales,
+        sum(case when (d_day_name='Saturday') then sales_price else null end) sat_sales
+ from wscs
+     ,date_dim
+ where d_date_sk = sold_date_sk
+ group by d_week_seq)
+ select d_week_seq1
+       ,round(sun_sales1/sun_sales2,2) sun_ratio
+       ,round(mon_sales1/mon_sales2,2) mon_ratio
+       ,round(tue_sales1/tue_sales2,2) tue_ratio
+       ,round(wed_sales1/wed_sales2,2) wed_ratio
+       ,round(thu_sales1/thu_sales2,2) thu_ratio
+       ,round(fri_sales1/fri_sales2,2) fri_ratio
+       ,round(sat_sales1/sat_sales2,2) sat_ratio
+ from
+ (select wswscs.d_week_seq d_week_seq1
+        ,sun_sales sun_sales1
+        ,mon_sales mon_sales1
+        ,tue_sales tue_sales1
+        ,wed_sales wed_sales1
+        ,thu_sales thu_sales1
+        ,fri_sales fri_sales1
+        ,sat_sales sat_sales1
+  from wswscs,date_dim
+  where date_dim.d_week_seq = wswscs.d_week_seq and
+        d_year = 2000) y,
+ (select wswscs.d_week_seq d_week_seq2
+        ,sun_sales sun_sales2
+        ,mon_sales mon_sales2
+        ,tue_sales tue_sales2
+        ,wed_sales wed_sales2
+        ,thu_sales thu_sales2
+        ,fri_sales fri_sales2
+        ,sat_sales sat_sales2
+  from wswscs
+      ,date_dim
+  where date_dim.d_week_seq = wswscs.d_week_seq and
+        d_year = 2000+1) z
+ where d_week_seq1=d_week_seq2-53
+ order by d_week_seq1
+"""
+
+# query9.sql — quantity bands retargeted to the synthetic 1..50 range
+# (the reference's 61-80/81-100 bands are empty by construction) and the
+# row-count thresholds scaled so different SFs exercise BOTH branches of
+# the CASE; averages of integer cents, rounded at the dollar boundary.
+_Q9 = """
+select case when (select count(*)
+                  from store_sales
+                  where ss_quantity between 1 and 10) > 5000
+            then (select round(avg(ss_ext_discount_amt) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 1 and 10)
+            else (select round(avg(ss_net_paid) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 1 and 10) end bucket1 ,
+       case when (select count(*)
+                  from store_sales
+                  where ss_quantity between 11 and 20) > 50000
+            then (select round(avg(ss_ext_discount_amt) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 11 and 20)
+            else (select round(avg(ss_net_paid) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 11 and 20) end bucket2,
+       case when (select count(*)
+                  from store_sales
+                  where ss_quantity between 21 and 30) > 2000
+            then (select round(avg(ss_ext_discount_amt) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 21 and 30)
+            else (select round(avg(ss_net_paid) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 21 and 30) end bucket3,
+       case when (select count(*)
+                  from store_sales
+                  where ss_quantity between 31 and 40) > 500000
+            then (select round(avg(ss_ext_discount_amt) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 31 and 40)
+            else (select round(avg(ss_net_paid) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 31 and 40) end bucket4,
+       case when (select count(*)
+                  from store_sales
+                  where ss_quantity between 41 and 50) > 1000
+            then (select round(avg(ss_ext_discount_amt) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 41 and 50)
+            else (select round(avg(ss_net_paid) / 100, 4)
+                  from store_sales
+                  where ss_quantity between 41 and 50) end bucket5
+from reason
+where r_reason_sk = 1
+"""
+
+# query17.sql — verbatim constants (2001 quarters exist); float aggregates
+# (avg/stddev_samp/cov over INT quantities) rounded to 4dp at the output.
+_Q17 = """
+select  i_item_id
+       ,i_item_desc
+       ,s_state
+       ,count(ss_quantity) as store_sales_quantitycount
+       ,round(avg(ss_quantity), 4) as store_sales_quantityave
+       ,round(stddev_samp(ss_quantity), 4) as store_sales_quantitystdev
+       ,round(stddev_samp(ss_quantity)/avg(ss_quantity), 4) as store_sales_quantitycov
+       ,count(sr_return_quantity) as store_returns_quantitycount
+       ,round(avg(sr_return_quantity), 4) as store_returns_quantityave
+       ,round(stddev_samp(sr_return_quantity), 4) as store_returns_quantitystdev
+       ,round(stddev_samp(sr_return_quantity)/avg(sr_return_quantity), 4) as store_returns_quantitycov
+       ,count(cs_quantity) as catalog_sales_quantitycount
+       ,round(avg(cs_quantity), 4) as catalog_sales_quantityave
+       ,round(stddev_samp(cs_quantity), 4) as catalog_sales_quantitystdev
+       ,round(stddev_samp(cs_quantity)/avg(cs_quantity), 4) as catalog_sales_quantitycov
+ from store_sales
+     ,store_returns
+     ,catalog_sales
+     ,date_dim d1
+     ,date_dim d2
+     ,date_dim d3
+     ,store
+     ,item
+ where d1.d_quarter_name = '2001Q1'
+   and d1.d_date_sk = ss_sold_date_sk
+   and i_item_sk = ss_item_sk
+   and s_store_sk = ss_store_sk
+   and ss_customer_sk = sr_customer_sk
+   and ss_item_sk = sr_item_sk
+   and ss_ticket_number = sr_ticket_number
+   and sr_returned_date_sk = d2.d_date_sk
+   and d2.d_quarter_name in ('2001Q1','2001Q2','2001Q3')
+   and sr_customer_sk = cs_bill_customer_sk
+   and sr_item_sk = cs_item_sk
+   and cs_sold_date_sk = d3.d_date_sk
+   and d3.d_quarter_name in ('2001Q1','2001Q2','2001Q3')
+ group by i_item_id
+         ,i_item_desc
+         ,s_state
+ order by i_item_id
+         ,i_item_desc
+         ,s_state
+limit 100
+"""
+
+# query21.sql — i_current_price 0.99..1.49 → 900..930 (synthetic retail
+# prices span 900..1000); decimal(7,2) ratio casts → double (q7's
+# standard — the 2/3 and 3/2 band edges are identical double literals in
+# both engines).
+_Q21 = """
+select  *
+ from(select w_warehouse_name
+            ,i_item_id
+            ,sum(case when (cast(d_date as date) < cast ('2000-03-11' as date))
+	                then inv_quantity_on_hand
+                      else 0 end) as inv_before
+            ,sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date))
+                      then inv_quantity_on_hand
+                      else 0 end) as inv_after
+   from inventory
+       ,warehouse
+       ,item
+       ,date_dim
+   where i_current_price between 900 and 930
+     and i_item_sk          = inv_item_sk
+     and inv_warehouse_sk   = w_warehouse_sk
+     and inv_date_sk    = d_date_sk
+     and d_date between (cast ('2000-03-11' as date) - INTERVAL '30' day)
+                    and (cast ('2000-03-11' as date) + INTERVAL '30' day)
+   group by w_warehouse_name, i_item_id) x
+ where (case when inv_before > 0
+             then cast(inv_after as double) / cast(inv_before as double)
+             else null
+             end) between 2.0/3.0 and 3.0/2.0
+ order by w_warehouse_name
+         ,i_item_id
+ limit 100
+"""
+
+# query22.sql — d_month_seq 1200..1211 → 61..72 (the q65 convention:
+# synthetic month_seq counts from 1995-01, so 61..72 = year 2000); qoh
+# rounded to 4dp; ORDER BY gets NULLS FIRST (4-level ROLLUP output
+# exceeds the LIMIT and the engines' NULL-order defaults differ).
+_Q22 = """
+select  i_product_name
+             ,i_brand
+             ,i_class
+             ,i_category
+             ,round(avg(cast(inv_quantity_on_hand as double)), 4) qoh
+       from inventory
+           ,date_dim
+           ,item
+       where inv_date_sk=d_date_sk
+              and inv_item_sk=i_item_sk
+              and d_month_seq between 61 and 61 + 11
+       group by rollup(i_product_name
+                       ,i_brand
+                       ,i_class
+                       ,i_category)
+order by qoh nulls first, i_product_name nulls first, i_brand nulls first,
+         i_class nulls first, i_category nulls first
+limit 100
+"""
+
+# query25.sql — verbatim constants (April 2001 exists); profit/loss sums
+# at the dollar boundary.
+_Q25 = """
+select
+ i_item_id
+ ,i_item_desc
+ ,s_store_id
+ ,s_store_name
+ ,round(sum(ss_net_profit) / 100, 2) as store_sales_profit
+ ,round(sum(sr_net_loss) / 100, 2) as store_returns_loss
+ ,round(sum(cs_net_profit) / 100, 2) as catalog_sales_profit
+ from
+ store_sales
+ ,store_returns
+ ,catalog_sales
+ ,date_dim d1
+ ,date_dim d2
+ ,date_dim d3
+ ,store
+ ,item
+ where
+ d1.d_moy = 4
+ and d1.d_year = 2001
+ and d1.d_date_sk = ss_sold_date_sk
+ and i_item_sk = ss_item_sk
+ and s_store_sk = ss_store_sk
+ and ss_customer_sk = sr_customer_sk
+ and ss_item_sk = sr_item_sk
+ and ss_ticket_number = sr_ticket_number
+ and sr_returned_date_sk = d2.d_date_sk
+ and d2.d_moy               between 4 and  10
+ and d2.d_year              = 2001
+ and sr_customer_sk = cs_bill_customer_sk
+ and sr_item_sk = cs_item_sk
+ and cs_sold_date_sk = d3.d_date_sk
+ and d3.d_moy               between 4 and  10
+ and d3.d_year              = 2001
+ group by
+ i_item_id
+ ,i_item_desc
+ ,s_store_id
+ ,s_store_name
+ order by
+ i_item_id
+ ,i_item_desc
+ ,s_store_id
+ ,s_store_name
+ limit 100
+"""
+
+# query27.sql — d_year 2002 → 2001 (order dates end 2001-08); averages
+# rounded (q7's standard, cents at the dollar boundary); NULLS FIRST on
+# the ROLLUP order keys.
+_Q27 = """
+select  i_item_id,
+        s_state, grouping(s_state) g_state,
+        round(avg(cast(ss_quantity as double)), 4) agg1,
+        round(avg(ss_list_price) / 100, 4) agg2,
+        round(avg(ss_coupon_amt) / 100, 4) agg3,
+        round(avg(ss_sales_price) / 100, 4) agg4
+ from store_sales, customer_demographics, date_dim, store, item
+ where ss_sold_date_sk = d_date_sk and
+       ss_item_sk = i_item_sk and
+       ss_store_sk = s_store_sk and
+       ss_cdemo_sk = cd_demo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       d_year = 2001 and
+       s_state in ('TN','TN', 'TN', 'TN', 'TN', 'TN')
+ group by rollup (i_item_id, s_state)
+ order by i_item_id nulls first
+         ,s_state nulls first
+ limit 100
+"""
+
+# query29.sql — verbatim (quantity sums are exact integers, no rounding).
+_Q29 = """
+select
+     i_item_id
+    ,i_item_desc
+    ,s_store_id
+    ,s_store_name
+    ,sum(ss_quantity)        as store_sales_quantity
+    ,sum(sr_return_quantity) as store_returns_quantity
+    ,sum(cs_quantity)        as catalog_sales_quantity
+ from
+    store_sales
+   ,store_returns
+   ,catalog_sales
+   ,date_dim             d1
+   ,date_dim             d2
+   ,date_dim             d3
+   ,store
+   ,item
+ where
+     d1.d_moy               = 9
+ and d1.d_year              = 1999
+ and d1.d_date_sk           = ss_sold_date_sk
+ and i_item_sk              = ss_item_sk
+ and s_store_sk             = ss_store_sk
+ and ss_customer_sk         = sr_customer_sk
+ and ss_item_sk             = sr_item_sk
+ and ss_ticket_number       = sr_ticket_number
+ and sr_returned_date_sk    = d2.d_date_sk
+ and d2.d_moy               between 9 and  9 + 3
+ and d2.d_year              = 1999
+ and sr_customer_sk         = cs_bill_customer_sk
+ and sr_item_sk             = cs_item_sk
+ and cs_sold_date_sk        = d3.d_date_sk
+ and d3.d_year              in (1999,1999+1,1999+2)
+ group by
+    i_item_id
+   ,i_item_desc
+   ,s_store_id
+   ,s_store_name
+ order by
+    i_item_id
+   ,i_item_desc
+   ,s_store_id
+   ,s_store_name
+ limit 100
+"""
+
+# query34.sql — cnt 15..20 → 2..7 (a synthetic ticket tops out at 7 lines,
+# and only ~1/4 land in Williamson County stores — the same order-size
+# retarget the adapted q34 shape uses).
+_Q34 = """
+select c_last_name
+       ,c_first_name
+       ,c_salutation
+       ,c_preferred_cust_flag
+       ,ss_ticket_number
+       ,cnt from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,count(*) cnt
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)
+    and (household_demographics.hd_buy_potential = '>10000' or
+         household_demographics.hd_buy_potential = 'Unknown')
+    and household_demographics.hd_vehicle_count > 0
+    and (case when household_demographics.hd_vehicle_count > 0
+	then cast(household_demographics.hd_dep_count as double)/ cast(household_demographics.hd_vehicle_count as double)
+	else null
+	end)  > 1.2
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County',
+                           'Williamson County','Williamson County','Williamson County','Williamson County')
+    group by ss_ticket_number,ss_customer_sk) dn,customer
+    where ss_customer_sk = c_customer_sk
+      and cnt between 2 and 7
+    order by c_last_name,c_first_name,c_salutation,c_preferred_cust_flag desc, ss_ticket_number
+"""
+
+# query37.sql — i_current_price 68..98 → 940..970, i_manufact_id
+# (677,940,694,808) → (7,9,19,23) (synthetic 1..25); inventory band kept.
+_Q37 = """
+select  i_item_id
+       ,i_item_desc
+       ,i_current_price
+ from item, inventory, date_dim, catalog_sales
+ where i_current_price between 940 and 940 + 30
+ and inv_item_sk = i_item_sk
+ and d_date_sk=inv_date_sk
+ and d_date between cast('2000-02-01' as date) and (cast('2000-02-01' as date) +  INTERVAL '60' day)
+ and i_manufact_id in (7,9,19,23)
+ and inv_quantity_on_hand between 100 and 500
+ and cs_item_sk = i_item_sk
+ group by i_item_id,i_item_desc,i_current_price
+ order by i_item_id
+ limit 100
+"""
+
+# query38.sql — d_month_seq 1200..1211 → 61..72; the count aliased.
+_Q38 = """
+select  count(*) num_hot_cust from (
+    select distinct c_last_name, c_first_name, d_date
+    from store_sales, date_dim, customer
+          where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      and store_sales.ss_customer_sk = customer.c_customer_sk
+      and d_month_seq between 61 and 61 + 11
+  intersect
+    select distinct c_last_name, c_first_name, d_date
+    from catalog_sales, date_dim, customer
+          where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+      and d_month_seq between 61 and 61 + 11
+  intersect
+    select distinct c_last_name, c_first_name, d_date
+    from web_sales, date_dim, customer
+          where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+      and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+      and d_month_seq between 61 and 61 + 11
+) hot_cust
+limit 100
+"""
+
+# query82.sql — i_current_price 62..92 → 920..950, i_manufact_id
+# (129,270,821,423) → (3,5,14,22).
+_Q82 = """
+select  i_item_id
+       ,i_item_desc
+       ,i_current_price
+ from item, inventory, date_dim, store_sales
+ where i_current_price between 920 and 920+30
+ and inv_item_sk = i_item_sk
+ and d_date_sk=inv_date_sk
+ and d_date between cast('2000-05-25' as date) and (cast('2000-05-25' as date) + INTERVAL '60' day)
+ and i_manufact_id in (3, 5, 14, 22)
+ and inv_quantity_on_hand between 100 and 500
+ and ss_item_sk = i_item_sk
+ group by i_item_id,i_item_desc,i_current_price
+ order by i_item_id
+ limit 100
+"""
+
+# query87.sql — d_month_seq 1200..1211 → 61..72; the count aliased.
+_Q87 = """
+select count(*) num_cool_cust
+from ((select distinct c_last_name, c_first_name, d_date
+       from store_sales, date_dim, customer
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_customer_sk = customer.c_customer_sk
+         and d_month_seq between 61 and 61+11)
+       except
+      (select distinct c_last_name, c_first_name, d_date
+       from catalog_sales, date_dim, customer
+       where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 61 and 61+11)
+       except
+      (select distinct c_last_name, c_first_name, d_date
+       from web_sales, date_dim, customer
+       where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         and d_month_seq between 61 and 61+11)
+) cool_cust
+"""
+
+TEXTS = {
+    "tpcds_lit_q1": _Q1,
+    "tpcds_lit_q2": _Q2,
+    "tpcds_lit_q9": _Q9,
+    "tpcds_lit_q17": _Q17,
+    "tpcds_lit_q21": _Q21,
+    "tpcds_lit_q22": _Q22,
+    "tpcds_lit_q25": _Q25,
+    "tpcds_lit_q27": _Q27,
+    "tpcds_lit_q29": _Q29,
+    "tpcds_lit_q34": _Q34,
+    "tpcds_lit_q37": _Q37,
+    "tpcds_lit_q38": _Q38,
+    "tpcds_lit_q82": _Q82,
+    "tpcds_lit_q87": _Q87,
+}

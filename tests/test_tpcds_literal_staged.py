@@ -65,7 +65,10 @@ def test_staged_plans_broadcast_no_cartesian(spark, sf_dir, name):
     plan = (t.STAGED_QUERIES[name](spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    if name != "tpcds_lit_q9":
+        # q9 has no equi-join at all: five scalar-subquery bucket pairs
+        # over store_sales anchored on a one-row reason scan.
+        assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "FileScan" not in plan, plan[:2000]
 
 
