@@ -521,6 +521,464 @@ from ((select distinct c_last_name, c_first_name, d_date
 ) cool_cust
 """
 
+# ---- wave 3: no new tables needed --------------------------------------
+
+# query28.sql — six quantity-band bucket scans with avg / count / count
+# distinct of list price. Bands retargeted into the synthetic cents
+# domains (list ~45k-970k, coupon ~11k-310k, wholesale ~36k-776k cents);
+# averages rounded at the dollar boundary.
+_Q28 = """
+select  *
+from (select round(avg(ss_list_price) / 100, 4) B1_LP
+            ,count(ss_list_price) B1_CNT
+            ,count(distinct ss_list_price) B1_CNTD
+      from store_sales
+      where ss_quantity between 0 and 5
+        and (ss_list_price between 180000 and 180000+60000
+             or ss_coupon_amt between 80000 and 80000+40000
+             or ss_wholesale_cost between 140000 and 140000+60000)) B1,
+     (select round(avg(ss_list_price) / 100, 4) B2_LP
+            ,count(ss_list_price) B2_CNT
+            ,count(distinct ss_list_price) B2_CNTD
+      from store_sales
+      where ss_quantity between 6 and 10
+        and (ss_list_price between 90000 and 90000+60000
+          or ss_coupon_amt between 50000 and 50000+40000
+          or ss_wholesale_cost between 80000 and 80000+60000)) B2,
+     (select round(avg(ss_list_price) / 100, 4) B3_LP
+            ,count(ss_list_price) B3_CNT
+            ,count(distinct ss_list_price) B3_CNTD
+      from store_sales
+      where ss_quantity between 11 and 15
+        and (ss_list_price between 140000 and 140000+60000
+          or ss_coupon_amt between 120000 and 120000+40000
+          or ss_wholesale_cost between 170000 and 170000+60000)) B3,
+     (select round(avg(ss_list_price) / 100, 4) B4_LP
+            ,count(ss_list_price) B4_CNT
+            ,count(distinct ss_list_price) B4_CNTD
+      from store_sales
+      where ss_quantity between 16 and 20
+        and (ss_list_price between 130000 and 130000+60000
+          or ss_coupon_amt between 60000 and 60000+40000
+          or ss_wholesale_cost between 110000 and 110000+60000)) B4,
+     (select round(avg(ss_list_price) / 100, 4) B5_LP
+            ,count(ss_list_price) B5_CNT
+            ,count(distinct ss_list_price) B5_CNTD
+      from store_sales
+      where ss_quantity between 21 and 25
+        and (ss_list_price between 120000 and 120000+60000
+          or ss_coupon_amt between 85000 and 85000+40000
+          or ss_wholesale_cost between 95000 and 95000+60000)) B5,
+     (select round(avg(ss_list_price) / 100, 4) B6_LP
+            ,count(ss_list_price) B6_CNT
+            ,count(distinct ss_list_price) B6_CNTD
+      from store_sales
+      where ss_quantity between 26 and 30
+        and (ss_list_price between 150000 and 150000+60000
+          or ss_coupon_amt between 70000 and 70000+40000
+          or ss_wholesale_cost between 75000 and 75000+60000)) B6
+limit 100
+"""
+
+# query56.sql — three-channel color-sliced UNION ALL at gmt -5.
+# i_color ('slate','blanched','burnished') → ('col_1','col_2','col_3');
+# the outer sum rounded at the dollar boundary (inner CTEs stay in cents
+# so the rounding happens once).
+_Q56 = """
+with ss as (
+ select i_item_id,sum(ss_ext_sales_price) total_sales
+ from
+ 	store_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where i_item_id in (select
+     i_item_id
+from item
+where i_color in ('col_1','col_2','col_3'))
+ and     ss_item_sk              = i_item_sk
+ and     ss_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     ss_addr_sk              = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id),
+ cs as (
+ select i_item_id,sum(cs_ext_sales_price) total_sales
+ from
+ 	catalog_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from item
+where i_color in ('col_1','col_2','col_3'))
+ and     cs_item_sk              = i_item_sk
+ and     cs_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     cs_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id),
+ ws as (
+ select i_item_id,sum(ws_ext_sales_price) total_sales
+ from
+ 	web_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from item
+where i_color in ('col_1','col_2','col_3'))
+ and     ws_item_sk              = i_item_sk
+ and     ws_sold_date_sk         = d_date_sk
+ and     d_year                  = 2001
+ and     d_moy                   = 2
+ and     ws_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id)
+  select  i_item_id ,round(sum(total_sales) / 100, 2) total_sales
+ from  (select * from ss
+        union all
+        select * from cs
+        union all
+        select * from ws) tmp1
+ group by i_item_id
+ order by total_sales,
+          i_item_id
+ limit 100
+"""
+
+# query58.sql — same-week revenue balance across the three channels
+# (nested scalar subquery resolving a date to its week). The anchor date
+# 2000-01-03 exists at every SF; the ±10% balance band → (0.3x, 3x) (the
+# catalog/web channels are disjoint 1/3 order slices, so an item selling
+# in all three channels in ONE week is already rare — ±10% never fires at
+# any SF); deviation ratios rounded to 4dp, the average at the dollar
+# boundary. Empty at sf0.001 (q8's documented precedent).
+_Q58 = """
+with ss_items as
+ (select i_item_id item_id
+        ,sum(ss_ext_sales_price) ss_item_rev
+ from store_sales
+     ,item
+     ,date_dim
+ where ss_item_sk = i_item_sk
+   and d_date in (select d_date
+                  from date_dim
+                  where d_week_seq = (select d_week_seq
+                                      from date_dim
+                                      where d_date = '2000-01-03'))
+   and ss_sold_date_sk   = d_date_sk
+ group by i_item_id),
+ cs_items as
+ (select i_item_id item_id
+        ,sum(cs_ext_sales_price) cs_item_rev
+  from catalog_sales
+      ,item
+      ,date_dim
+ where cs_item_sk = i_item_sk
+  and  d_date in (select d_date
+                  from date_dim
+                  where d_week_seq = (select d_week_seq
+                                      from date_dim
+                                      where d_date = '2000-01-03'))
+  and  cs_sold_date_sk = d_date_sk
+ group by i_item_id),
+ ws_items as
+ (select i_item_id item_id
+        ,sum(ws_ext_sales_price) ws_item_rev
+  from web_sales
+      ,item
+      ,date_dim
+ where ws_item_sk = i_item_sk
+  and  d_date in (select d_date
+                  from date_dim
+                  where d_week_seq =(select d_week_seq
+                                     from date_dim
+                                     where d_date = '2000-01-03'))
+  and ws_sold_date_sk   = d_date_sk
+ group by i_item_id)
+  select  ss_items.item_id
+       ,round(ss_item_rev / 100, 2) ss_item_rev
+       ,round(ss_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100, 4) ss_dev
+       ,round(cs_item_rev / 100, 2) cs_item_rev
+       ,round(cs_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100, 4) cs_dev
+       ,round(ws_item_rev / 100, 2) ws_item_rev
+       ,round(ws_item_rev/((ss_item_rev+cs_item_rev+ws_item_rev)/3) * 100, 4) ws_dev
+       ,round((ss_item_rev+cs_item_rev+ws_item_rev)/3 / 100, 2) average
+ from ss_items,cs_items,ws_items
+ where ss_items.item_id=cs_items.item_id
+   and ss_items.item_id=ws_items.item_id
+   and ss_item_rev between 0.3 * cs_item_rev and 3.0 * cs_item_rev
+   and ss_item_rev between 0.3 * ws_item_rev and 3.0 * ws_item_rev
+   and cs_item_rev between 0.3 * ss_item_rev and 3.0 * ss_item_rev
+   and cs_item_rev between 0.3 * ws_item_rev and 3.0 * ws_item_rev
+   and ws_item_rev between 0.3 * ss_item_rev and 3.0 * ss_item_rev
+   and ws_item_rev between 0.3 * cs_item_rev and 3.0 * cs_item_rev
+ order by ss_items.item_id
+         ,ss_item_rev
+ limit 100
+"""
+
+# query59.sql — store day-name sums week-over-year on d_week_seq.
+# d_month_seq 1212..1223/1224..1235 → 61..72/73..84 (years 2000/2001);
+# ratio columns aliased and rounded (exact cent sums divide
+# deterministically).
+_Q59 = """
+with wss as
+ (select d_week_seq,
+        ss_store_sk,
+        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+        sum(case when (d_day_name='Tuesday') then ss_sales_price else  null end) tue_sales,
+        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+ from store_sales,date_dim
+ where d_date_sk = ss_sold_date_sk
+ group by d_week_seq,ss_store_sk
+ )
+  select  s_store_name1,s_store_id1,d_week_seq1
+       ,round(sun_sales1/sun_sales2, 4) sun_ratio
+       ,round(mon_sales1/mon_sales2, 4) mon_ratio
+       ,round(tue_sales1/tue_sales2, 4) tue_ratio
+       ,round(wed_sales1/wed_sales2, 4) wed_ratio
+       ,round(thu_sales1/thu_sales2, 4) thu_ratio
+       ,round(fri_sales1/fri_sales2, 4) fri_ratio
+       ,round(sat_sales1/sat_sales2, 4) sat_ratio
+ from
+ (select s_store_name s_store_name1,wss.d_week_seq d_week_seq1
+        ,s_store_id s_store_id1,sun_sales sun_sales1
+        ,mon_sales mon_sales1,tue_sales tue_sales1
+        ,wed_sales wed_sales1,thu_sales thu_sales1
+        ,fri_sales fri_sales1,sat_sales sat_sales1
+  from wss,store,date_dim d
+  where d.d_week_seq = wss.d_week_seq and
+        ss_store_sk = s_store_sk and
+        d_month_seq between 61 and 61 + 11) y,
+ (select s_store_name s_store_name2,wss.d_week_seq d_week_seq2
+        ,s_store_id s_store_id2,sun_sales sun_sales2
+        ,mon_sales mon_sales2,tue_sales tue_sales2
+        ,wed_sales wed_sales2,thu_sales thu_sales2
+        ,fri_sales fri_sales2,sat_sales sat_sales2
+  from wss,store,date_dim d
+  where d.d_week_seq = wss.d_week_seq and
+        ss_store_sk = s_store_sk and
+        d_month_seq between 61+ 12 and 61 + 23) x
+ where s_store_id1=s_store_id2
+   and d_week_seq1=d_week_seq2-52
+ order by s_store_name1,s_store_id1,d_week_seq1
+limit 100
+"""
+
+# query60.sql — q56's category sibling: 'Music' → 'CAT_3'.
+_Q60 = """
+with ss as (
+ select
+          i_item_id,sum(ss_ext_sales_price) total_sales
+ from
+ 	store_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id in (select
+  i_item_id
+from
+ item
+where i_category in ('CAT_3'))
+ and     ss_item_sk              = i_item_sk
+ and     ss_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 9
+ and     ss_addr_sk              = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id),
+ cs as (
+ select
+          i_item_id,sum(cs_ext_sales_price) total_sales
+ from
+ 	catalog_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from
+ item
+where i_category in ('CAT_3'))
+ and     cs_item_sk              = i_item_sk
+ and     cs_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 9
+ and     cs_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id),
+ ws as (
+ select
+          i_item_id,sum(ws_ext_sales_price) total_sales
+ from
+ 	web_sales,
+ 	date_dim,
+         customer_address,
+         item
+ where
+         i_item_id               in (select
+  i_item_id
+from
+ item
+where i_category in ('CAT_3'))
+ and     ws_item_sk              = i_item_sk
+ and     ws_sold_date_sk         = d_date_sk
+ and     d_year                  = 1998
+ and     d_moy                   = 9
+ and     ws_bill_addr_sk         = ca_address_sk
+ and     ca_gmt_offset           = -5
+ group by i_item_id)
+  select
+  i_item_id
+,round(sum(total_sales) / 100, 2) total_sales
+ from  (select * from ss
+        union all
+        select * from cs
+        union all
+        select * from ws) tmp1
+ group by i_item_id
+ order by i_item_id
+      ,total_sales
+ limit 100
+"""
+
+# query63.sql — q53's monthly/manager sibling: d_month_seq → 61..72;
+# category/class/brand IN-lists retargeted to mutually consistent
+# synthetic values (category fixes p%10 → class p%5, brand p%40); money
+# rounded inside the subquery exactly like the graded q53.
+_Q63 = """
+select  *
+from (select i_manager_id
+             ,round(sum(ss_sales_price) / 100, 2) sum_sales
+             ,round(avg(sum(ss_sales_price)) over (partition by i_manager_id) / 100, 4) avg_monthly_sales
+      from item
+          ,store_sales
+          ,date_dim
+          ,store
+      where ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and ss_store_sk = s_store_sk
+        and d_month_seq in (61,61+1,61+2,61+3,61+4,61+5,61+6,61+7,61+8,61+9,61+10,61+11)
+        and ((    i_category in ('CAT_2','CAT_4','CAT_7')
+              and i_class in ('class_2','class_4')
+              and i_brand in ('Brand#2','Brand#4',
+		                  'Brand#12','Brand#34'))
+           or(    i_category in ('CAT_1','CAT_6','CAT_9')
+              and i_class in ('class_1','class_5')
+              and i_brand in ('Brand#1','Brand#6','Brand#21',
+		                 'Brand#26')))
+group by i_manager_id, d_moy) tmp1
+where case when avg_monthly_sales > 0 then abs (sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+order by i_manager_id
+        ,avg_monthly_sales
+        ,sum_sales
+limit 100
+"""
+
+# query67.sql — 8-level ROLLUP with per-category rank ≤ 100 (the literal
+# form of the graded adapted q67 shape). d_month_seq → 61..72; money
+# rounded at the output (rank computed on the exact cent sums); ORDER BY
+# keys get NULLS FIRST (8-level ROLLUP output far exceeds the LIMIT).
+_Q67 = """
+select  i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+        d_moy, s_store_id, round(sumsales / 100, 2) sumsales, rk
+from (select i_category
+            ,i_class
+            ,i_brand
+            ,i_product_name
+            ,d_year
+            ,d_qoy
+            ,d_moy
+            ,s_store_id
+            ,sumsales
+            ,rank() over (partition by i_category order by sumsales desc) rk
+      from (select i_category
+                  ,i_class
+                  ,i_brand
+                  ,i_product_name
+                  ,d_year
+                  ,d_qoy
+                  ,d_moy
+                  ,s_store_id
+                  ,sum(coalesce(ss_sales_price*ss_quantity,0)) sumsales
+            from store_sales
+                ,date_dim
+                ,store
+                ,item
+       where  ss_sold_date_sk=d_date_sk
+          and ss_item_sk=i_item_sk
+          and ss_store_sk = s_store_sk
+          and d_month_seq between 61 and 61+11
+       group by  rollup(i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,s_store_id))dw1) dw2
+where rk <= 100
+order by i_category nulls first
+        ,i_class nulls first
+        ,i_brand nulls first
+        ,i_product_name nulls first
+        ,d_year nulls first
+        ,d_qoy nulls first
+        ,d_moy nulls first
+        ,s_store_id nulls first
+        ,sumsales
+        ,rk
+limit 100
+"""
+
+# query70.sql — state/county profit ROLLUP gated on a ranked-states
+# subquery (rank window inside an IN). d_month_seq → 61..72; money at the
+# dollar boundary (the rank windows order on the exact cent sums).
+_Q70 = """
+select
+    round(sum(ss_net_profit) / 100, 2) as total_sum
+   ,s_state
+   ,s_county
+   ,grouping(s_state)+grouping(s_county) as lochierarchy
+   ,rank() over (
+ 	partition by grouping(s_state)+grouping(s_county),
+ 	case when grouping(s_county) = 0 then s_state end
+ 	order by sum(ss_net_profit) desc) as rank_within_parent
+ from
+    store_sales
+   ,date_dim       d1
+   ,store
+ where
+    d1.d_month_seq between 61 and 61+11
+ and d1.d_date_sk = ss_sold_date_sk
+ and s_store_sk  = ss_store_sk
+ and s_state in
+             ( select s_state
+               from  (select s_state as s_state,
+ 			    rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking
+                      from   store_sales, store, date_dim
+                      where  d_month_seq between 61 and 61+11
+ 			    and d_date_sk = ss_sold_date_sk
+ 			    and s_store_sk  = ss_store_sk
+                      group by s_state
+                     ) tmp1
+               where ranking <= 5
+             )
+ group by rollup(s_state,s_county)
+ order by
+   lochierarchy desc
+  ,case when lochierarchy = 0 then s_state end
+  ,rank_within_parent
+ limit 100
+"""
+
 TEXTS = {
     "tpcds_lit_q1": _Q1,
     "tpcds_lit_q2": _Q2,
@@ -536,4 +994,13 @@ TEXTS = {
     "tpcds_lit_q38": _Q38,
     "tpcds_lit_q82": _Q82,
     "tpcds_lit_q87": _Q87,
+    # wave 3
+    "tpcds_lit_q28": _Q28,
+    "tpcds_lit_q56": _Q56,
+    "tpcds_lit_q58": _Q58,
+    "tpcds_lit_q59": _Q59,
+    "tpcds_lit_q60": _Q60,
+    "tpcds_lit_q63": _Q63,
+    "tpcds_lit_q67": _Q67,
+    "tpcds_lit_q70": _Q70,
 }
