@@ -157,6 +157,9 @@ catalog_sales AS (
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS cs_sales_price,
          CAST(ROUND(l_extendedprice * l_discount * 50, 0) AS BIGINT) AS cs_coupon_amt,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cs_ext_sales_price,
+         CAST(ROUND(l_extendedprice * 110, 0) AS BIGINT) AS cs_ext_list_price,
+         CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT) AS cs_ext_discount_amt,
+         CAST(ROUND(l_extendedprice * 80, 0) AS BIGINT) AS cs_ext_wholesale_cost,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS cs_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 2
@@ -175,6 +178,9 @@ web_sales AS (
               ELSE o_custkey END AS ws_bill_addr_sk,
          CAST(l_quantity AS INT) AS ws_quantity,
          CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS ws_list_price,
+         CAST(ROUND(l_extendedprice * 110, 0) AS BIGINT) AS ws_ext_list_price,
+         CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT) AS ws_ext_discount_amt,
+         CAST(ROUND(l_extendedprice * 80, 0) AS BIGINT) AS ws_ext_wholesale_cost,
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ws_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_net_paid,
@@ -192,6 +198,10 @@ web_returns AS (
   -- non-degenerate split).
   SELECT l_partkey AS wr_item_sk,
          l_orderkey AS wr_order_number,
+         CAST({ddiff_shipdate} AS BIGINT) AS wr_returned_date_sk,
+         o_custkey AS wr_returning_customer_sk,
+         o_custkey AS wr_returning_addr_sk,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 90, 0) AS BIGINT) AS wr_return_amt,
          1 + (o_custkey % 70) AS wr_refunded_cdemo_sk,
          1 + ((o_custkey + 7 * (l_linenumber % 2)) % 70) AS wr_returning_cdemo_sk,
          o_custkey AS wr_refunded_addr_sk,
@@ -286,6 +296,12 @@ store AS (
               WHEN s_store_sk % 4 = 2 THEN 'Bronx County'
               ELSE 'Orange County' END AS s_county,
          CAST(190 + s_store_sk * 8 AS INT) AS s_number_employees,
+         CAST(1 + (s_store_sk % 3) AS INT) AS s_company_id,
+         CAST(100 + s_store_sk * 7 AS {s}) AS s_street_number,
+         CASE WHEN s_store_sk % 3 = 0 THEN 'Main'
+              WHEN s_store_sk % 3 = 1 THEN 'Oak' ELSE 'Pine' END AS s_street_name,
+         CASE WHEN s_store_sk % 2 = 0 THEN 'Street' ELSE 'Avenue' END AS s_street_type,
+         CONCAT('Suite ', CAST(s_store_sk * 10 AS {s})) AS s_suite_number,
          CAST(CASE WHEN s_store_sk % 2 = 0 THEN -5 ELSE -6 END AS INT) AS s_gmt_offset
   FROM (SELECT DISTINCT 1 + (c_custkey % 12) AS s_store_sk FROM tpcds_customer_base) t
 ),
@@ -315,7 +331,10 @@ customer_demographics AS (
          CASE WHEN cd_demo_sk % 4 = 0 THEN 'Low Risk'
               WHEN cd_demo_sk % 4 = 1 THEN 'Good'
               WHEN cd_demo_sk % 4 = 2 THEN 'High Risk'
-              ELSE 'Unknown' END AS cd_credit_rating
+              ELSE 'Unknown' END AS cd_credit_rating,
+         CAST(cd_demo_sk % 7 AS INT) AS cd_dep_count,
+         CAST(cd_demo_sk % 4 AS INT) AS cd_dep_employed_count,
+         CAST(cd_demo_sk % 3 AS INT) AS cd_dep_college_count
   FROM (SELECT DISTINCT 1 + (c_custkey % 70) AS cd_demo_sk FROM tpcds_customer_base) t
 ),
 customer AS (
@@ -328,6 +347,12 @@ customer AS (
          CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
          c_custkey AS c_current_addr_sk,
          1 + (c_custkey % 70) AS c_current_cdemo_sk,
+         CONCAT('user_', CAST(c_custkey % 9973 AS {s})) AS c_login,
+         CONCAT('c', CAST(c_custkey AS {s}), '@example.com') AS c_email_address,
+         CAST(1 + (c_custkey % 28) AS INT) AS c_birth_day,
+         CAST(1 + (c_custkey % 12) AS INT) AS c_birth_month,
+         CAST(1924 + (c_custkey % 68) AS INT) AS c_birth_year,
+         CAST(10957 + (c_custkey % 365) AS BIGINT) AS c_last_review_date_sk,
          -- q24's c_birth_country <> upper(ca_country) arm: ca_country is
          -- always 'United States', so 1/3 of customers are excluded.
          CASE WHEN c_custkey % 3 = 0 THEN 'UNITED STATES'
@@ -350,6 +375,9 @@ customer_address AS (
   SELECT c_custkey AS ca_address_sk,
          lpad(CAST(((c_custkey % 100) * 7919) % 100000 AS {s}), 5, '0') AS ca_zip,
          CONCAT('City_', CAST(1 + (c_custkey % 37) AS {s})) AS ca_city,
+         CASE WHEN c_custkey % 3 = 0 THEN 'Williamson County'
+              WHEN c_custkey % 3 = 1 THEN 'Bronx County'
+              ELSE 'Orange County' END AS ca_county,
          CASE WHEN c_custkey % 8 = 0 THEN 'CA' WHEN c_custkey % 8 = 1 THEN 'WA'
               WHEN c_custkey % 8 = 2 THEN 'GA' WHEN c_custkey % 8 = 3 THEN 'TX'
               WHEN c_custkey % 8 = 4 THEN 'OH' WHEN c_custkey % 8 = 5 THEN 'NY'
@@ -361,6 +389,9 @@ customer_address AS (
   SELECT c_custkey + 1000000000 AS ca_address_sk,
          lpad(CAST(((c_custkey % 100) * 7919 + 13) % 100000 AS {s}), 5, '0') AS ca_zip,
          CONCAT('City_', CAST(1 + ((c_custkey * 5 + 3) % 37) AS {s})) AS ca_city,
+         CASE WHEN c_custkey % 3 = 0 THEN 'Williamson County'
+              WHEN c_custkey % 3 = 1 THEN 'Bronx County'
+              ELSE 'Orange County' END AS ca_county,
          CASE WHEN c_custkey % 8 = 0 THEN 'WA' WHEN c_custkey % 8 = 1 THEN 'GA'
               WHEN c_custkey % 8 = 2 THEN 'TX' WHEN c_custkey % 8 = 3 THEN 'OH'
               WHEN c_custkey % 8 = 4 THEN 'NY' WHEN c_custkey % 8 = 5 THEN 'TN'
