@@ -160,7 +160,17 @@ catalog_sales AS (
          CAST(ROUND(l_extendedprice * 110, 0) AS BIGINT) AS cs_ext_list_price,
          CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT) AS cs_ext_discount_amt,
          CAST(ROUND(l_extendedprice * 80, 0) AS BIGINT) AS cs_ext_wholesale_cost,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS cs_net_profit
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS cs_net_profit,
+         l_orderkey AS cs_order_number,
+         1 + (l_suppkey % 5) AS cs_warehouse_sk,
+         1 + ((l_orderkey + l_linenumber) % 6) AS cs_call_center_sk,
+         1 + ((l_orderkey + l_linenumber) % 12) AS cs_catalog_page_sk,
+         1 + ((l_orderkey + l_linenumber) % 4) AS cs_ship_mode_sk,
+         CAST({ddiff_shipdate} AS BIGINT) AS cs_ship_date_sk,
+         CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
+              ELSE o_custkey END AS cs_ship_addr_sk,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cs_net_paid,
+         CAST(ROUND(l_extendedprice * 5, 0) AS BIGINT) AS cs_ext_ship_cost
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 2
 ),
@@ -171,6 +181,7 @@ web_sales AS (
          1 + ((l_orderkey + l_linenumber) % 4) AS ws_ship_mode_sk,
          1 + (l_orderkey % 3) AS ws_web_site_sk,
          1 + ((l_orderkey + l_linenumber) % 10) AS ws_web_page_sk,
+         1 + ((l_orderkey + l_linenumber) % 50) AS ws_promo_sk,
          l_partkey AS ws_item_sk,
          l_orderkey AS ws_order_number,
          o_custkey AS ws_bill_customer_sk,
@@ -184,7 +195,11 @@ web_sales AS (
          CAST(ROUND(l_extendedprice * (1 - l_discount) / l_quantity * 100, 0) AS BIGINT) AS ws_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_ext_sales_price,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS ws_net_paid,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ws_net_profit
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100 - l_extendedprice * 80, 0) AS BIGINT) AS ws_net_profit,
+         CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
+              ELSE o_custkey END AS ws_ship_addr_sk,
+         1 + ((o_custkey + l_orderkey) % 20) AS ws_ship_hdemo_sk,
+         CAST(ROUND(l_extendedprice * 5, 0) AS BIGINT) AS ws_ext_ship_cost
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 1
 ),
@@ -202,6 +217,8 @@ web_returns AS (
          o_custkey AS wr_returning_customer_sk,
          o_custkey AS wr_returning_addr_sk,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 90, 0) AS BIGINT) AS wr_return_amt,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 30, 0) AS BIGINT) AS wr_net_loss,
+         1 + ((l_orderkey + l_linenumber) % 10) AS wr_web_page_sk,
          1 + (o_custkey % 70) AS wr_refunded_cdemo_sk,
          1 + ((o_custkey + 7 * (l_linenumber % 2)) % 70) AS wr_returning_cdemo_sk,
          o_custkey AS wr_refunded_addr_sk,
@@ -224,7 +241,10 @@ reason AS (
 ),
 warehouse AS (
   SELECT w_warehouse_sk,
-         CONCAT('Warehouse number ', CAST(w_warehouse_sk AS {s})) AS w_warehouse_name
+         CONCAT('Warehouse number ', CAST(w_warehouse_sk AS {s})) AS w_warehouse_name,
+         CASE WHEN w_warehouse_sk % 4 = 0 THEN 'TN'
+              WHEN w_warehouse_sk % 4 = 1 THEN 'CA'
+              WHEN w_warehouse_sk % 4 = 2 THEN 'NY' ELSE 'WA' END AS w_state
   FROM (SELECT DISTINCT 1 + (c_custkey % 5) AS w_warehouse_sk FROM tpcds_customer_base) t
 ),
 ship_mode AS (
@@ -237,11 +257,15 @@ ship_mode AS (
 ),
 web_site AS (
   SELECT web_site_sk,
-         CONCAT('site_', CAST(web_site_sk AS {s})) AS web_name
+         CONCAT('site_', CAST(web_site_sk AS {s})) AS web_name,
+         CONCAT('WS_', lpad(CAST(web_site_sk AS {s}), 4, '0')) AS web_site_id,
+         CASE WHEN web_site_sk % 3 = 0 THEN 'pri'
+              WHEN web_site_sk % 3 = 1 THEN 'able' ELSE 'ese' END AS web_company_name
   FROM (SELECT DISTINCT 1 + (c_custkey % 3) AS web_site_sk FROM tpcds_customer_base) t
 ),
 household_demographics AS (
   SELECT hd_demo_sk,
+         hd_demo_sk AS hd_income_band_sk,
          CAST(hd_demo_sk % 8 AS INT) AS hd_dep_count,
          CAST(hd_demo_sk % 5 AS INT) AS hd_vehicle_count,
          CASE WHEN hd_demo_sk % 4 = 0 THEN '>10000'
@@ -353,6 +377,7 @@ customer AS (
          CAST(1 + (c_custkey % 12) AS INT) AS c_birth_month,
          CAST(1924 + (c_custkey % 68) AS INT) AS c_birth_year,
          CAST(10957 + (c_custkey % 365) AS BIGINT) AS c_last_review_date_sk,
+         1 + (c_custkey % 20) AS c_current_hdemo_sk,
          -- q24's c_birth_country <> upper(ca_country) arm: ca_country is
          -- always 'United States', so 1/3 of customers are excluded.
          CASE WHEN c_custkey % 3 = 0 THEN 'UNITED STATES'
@@ -378,6 +403,14 @@ customer_address AS (
          CASE WHEN c_custkey % 3 = 0 THEN 'Williamson County'
               WHEN c_custkey % 3 = 1 THEN 'Bronx County'
               ELSE 'Orange County' END AS ca_county,
+         CAST(1 + (c_custkey % 999) AS {s}) AS ca_street_number,
+         CASE WHEN c_custkey % 3 = 0 THEN 'Main'
+              WHEN c_custkey % 3 = 1 THEN 'Oak' ELSE 'Pine' END AS ca_street_name,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Street' ELSE 'Avenue' END AS ca_street_type,
+         CONCAT('Suite ', CAST(c_custkey % 90 AS {s})) AS ca_suite_number,
+         CASE WHEN c_custkey % 3 = 0 THEN 'condo'
+              WHEN c_custkey % 3 = 1 THEN 'single family'
+              ELSE 'apartment' END AS ca_location_type,
          CASE WHEN c_custkey % 8 = 0 THEN 'CA' WHEN c_custkey % 8 = 1 THEN 'WA'
               WHEN c_custkey % 8 = 2 THEN 'GA' WHEN c_custkey % 8 = 3 THEN 'TX'
               WHEN c_custkey % 8 = 4 THEN 'OH' WHEN c_custkey % 8 = 5 THEN 'NY'
@@ -392,6 +425,14 @@ customer_address AS (
          CASE WHEN c_custkey % 3 = 0 THEN 'Williamson County'
               WHEN c_custkey % 3 = 1 THEN 'Bronx County'
               ELSE 'Orange County' END AS ca_county,
+         CAST(1 + ((c_custkey + 13) % 999) AS {s}) AS ca_street_number,
+         CASE WHEN c_custkey % 3 = 0 THEN 'Oak'
+              WHEN c_custkey % 3 = 1 THEN 'Pine' ELSE 'Main' END AS ca_street_name,
+         CASE WHEN c_custkey % 2 = 0 THEN 'Avenue' ELSE 'Street' END AS ca_street_type,
+         CONCAT('Suite ', CAST((c_custkey + 7) % 90 AS {s})) AS ca_suite_number,
+         CASE WHEN c_custkey % 3 = 0 THEN 'apartment'
+              WHEN c_custkey % 3 = 1 THEN 'condo'
+              ELSE 'single family' END AS ca_location_type,
          CASE WHEN c_custkey % 8 = 0 THEN 'WA' WHEN c_custkey % 8 = 1 THEN 'GA'
               WHEN c_custkey % 8 = 2 THEN 'TX' WHEN c_custkey % 8 = 3 THEN 'OH'
               WHEN c_custkey % 8 = 4 THEN 'NY' WHEN c_custkey % 8 = 5 THEN 'TN'
@@ -399,6 +440,48 @@ customer_address AS (
          'United States' AS ca_country,
          CAST(CASE WHEN c_custkey % 3 = 1 THEN -5 ELSE -6 END AS INT) AS ca_gmt_offset
   FROM tpcds_customer_base
+),
+call_center AS (
+  SELECT cc_call_center_sk,
+         CONCAT('CC_', lpad(CAST(cc_call_center_sk AS {s}), 4, '0')) AS cc_call_center_id,
+         CONCAT('call_center_', CAST(cc_call_center_sk AS {s})) AS cc_name,
+         CONCAT('Manager_', CAST(cc_call_center_sk AS {s})) AS cc_manager,
+         CASE WHEN cc_call_center_sk % 4 = 0 THEN 'Williamson County'
+              WHEN cc_call_center_sk % 4 = 1 THEN 'Franklin Parish'
+              WHEN cc_call_center_sk % 4 = 2 THEN 'Bronx County'
+              ELSE 'Orange County' END AS cc_county
+  FROM (SELECT DISTINCT 1 + (c_custkey % 6) AS cc_call_center_sk FROM tpcds_customer_base) t
+),
+catalog_page AS (
+  SELECT cp_catalog_page_sk,
+         CONCAT('CP_', lpad(CAST(cp_catalog_page_sk AS {s}), 4, '0')) AS cp_catalog_page_id
+  FROM (SELECT DISTINCT 1 + (c_custkey % 12) AS cp_catalog_page_sk FROM tpcds_customer_base) t
+),
+income_band AS (
+  SELECT ib_income_band_sk,
+         CAST((ib_income_band_sk - 1) * 10000 AS INT) AS ib_lower_bound,
+         CAST(ib_income_band_sk * 10000 - 1 AS INT) AS ib_upper_bound
+  FROM (SELECT DISTINCT 1 + (c_custkey % 20) AS ib_income_band_sk FROM tpcds_customer_base) t
+),
+catalog_returns AS (
+  -- catalog-channel returns (the %3=2 order slice ∩ l_returnflag = 'R'),
+  -- joinable back to catalog_sales on (cr_item_sk, cr_order_number).
+  SELECT l_partkey AS cr_item_sk,
+         l_orderkey AS cr_order_number,
+         CAST({ddiff_shipdate} AS BIGINT) AS cr_returned_date_sk,
+         o_custkey AS cr_returning_customer_sk,
+         o_custkey AS cr_refunded_customer_sk,
+         o_custkey AS cr_returning_addr_sk,
+         1 + ((l_orderkey + l_linenumber) % 6) AS cr_call_center_sk,
+         1 + ((l_orderkey + l_linenumber) % 12) AS cr_catalog_page_sk,
+         1 + ((l_orderkey + l_suppkey) % 35) AS cr_reason_sk,
+         CAST(l_quantity AS INT) AS cr_return_quantity,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 90, 0) AS BIGINT) AS cr_return_amount,
+         CAST(ROUND(l_extendedprice * ((1 - l_discount) * 90 + l_tax * 90), 0) AS BIGINT) AS cr_return_amt_inc_tax,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 80, 0) AS BIGINT) AS cr_refunded_cash,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 30, 0) AS BIGINT) AS cr_net_loss
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_orderkey % 3 = 2 AND l_returnflag = 'R'
 ),
 store_returns AS (
   -- store-channel returns (the store channel keeps every order): one
@@ -2354,7 +2437,8 @@ _ALIAS_CTES = ",\n".join(
 # Batch-5 tables, materialized LAZILY on top of the graded star: inventory
 # is |part| × ~350 Sundays × 2 warehouses — only q39 should pay its
 # checkpoint cost, never the 33 graded literal queries or bench.
-_STAR_TABLES_EXT = ("store_returns", "inventory")
+_STAR_TABLES_EXT = ("store_returns", "inventory", "catalog_returns",
+                    "call_center", "catalog_page", "income_band")
 
 
 def _ensure_star_ext(spark: SparkSession, sf_dir: str) -> None:

@@ -1627,6 +1627,802 @@ with year_total as (
 limit 100
 """
 
+# ---- wave 5: catalog_returns / call_center / catalog_page families -----
+
+# query5.sql — per-channel sales+returns rollup over 14 days. The
+# decimal(7,2) zero literals → bigint (cents are bigint; mixed-type UNION
+# column resolution differs between engines otherwise); backtick-quoted
+# `returns` → returns_amt (DuckDB has no backtick quoting); money at the
+# dollar boundary.
+_Q5 = """
+with ssr as
+ (select s_store_id,
+        sum(sales_price) as sales,
+        sum(profit) as profit,
+        sum(return_amt) as returns_amt,
+        sum(net_loss) as profit_loss
+ from
+  ( select  ss_store_sk as store_sk,
+            ss_sold_date_sk  as date_sk,
+            ss_ext_sales_price as sales_price,
+            ss_net_profit as profit,
+            cast(0 as bigint) as return_amt,
+            cast(0 as bigint) as net_loss
+    from store_sales
+    union all
+    select sr_store_sk as store_sk,
+           sr_returned_date_sk as date_sk,
+           cast(0 as bigint) as sales_price,
+           cast(0 as bigint) as profit,
+           sr_return_amt as return_amt,
+           sr_net_loss as net_loss
+    from store_returns
+   ) salesreturns,
+     date_dim,
+     store
+ where date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '14' day)
+       and store_sk = s_store_sk
+ group by s_store_id)
+ ,
+ csr as
+ (select cp_catalog_page_id,
+        sum(sales_price) as sales,
+        sum(profit) as profit,
+        sum(return_amt) as returns_amt,
+        sum(net_loss) as profit_loss
+ from
+  ( select  cs_catalog_page_sk as page_sk,
+            cs_sold_date_sk  as date_sk,
+            cs_ext_sales_price as sales_price,
+            cs_net_profit as profit,
+            cast(0 as bigint) as return_amt,
+            cast(0 as bigint) as net_loss
+    from catalog_sales
+    union all
+    select cr_catalog_page_sk as page_sk,
+           cr_returned_date_sk as date_sk,
+           cast(0 as bigint) as sales_price,
+           cast(0 as bigint) as profit,
+           cr_return_amount as return_amt,
+           cr_net_loss as net_loss
+    from catalog_returns
+   ) salesreturns,
+     date_dim,
+     catalog_page
+ where date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '14' day)
+       and page_sk = cp_catalog_page_sk
+ group by cp_catalog_page_id)
+ ,
+ wsr as
+ (select web_site_id,
+        sum(sales_price) as sales,
+        sum(profit) as profit,
+        sum(return_amt) as returns_amt,
+        sum(net_loss) as profit_loss
+ from
+  ( select  ws_web_site_sk as wsr_web_site_sk,
+            ws_sold_date_sk  as date_sk,
+            ws_ext_sales_price as sales_price,
+            ws_net_profit as profit,
+            cast(0 as bigint) as return_amt,
+            cast(0 as bigint) as net_loss
+    from web_sales
+    union all
+    select ws_web_site_sk as wsr_web_site_sk,
+           wr_returned_date_sk as date_sk,
+           cast(0 as bigint) as sales_price,
+           cast(0 as bigint) as profit,
+           wr_return_amt as return_amt,
+           wr_net_loss as net_loss
+    from web_returns left outer join web_sales on
+         ( wr_item_sk = ws_item_sk
+           and wr_order_number = ws_order_number)
+   ) salesreturns,
+     date_dim,
+     web_site
+ where date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '14' day)
+       and wsr_web_site_sk = web_site_sk
+ group by web_site_id)
+  select  channel
+        , id
+        , round(sum(sales) / 100, 2) as sales
+        , round(sum(returns_amt) / 100, 2) as returns_amt
+        , round(sum(profit) / 100, 2) as profit
+ from
+ (select 'store channel' as channel
+        , 'store' || s_store_id as id
+        , sales
+        , returns_amt
+        , (profit - profit_loss) as profit
+ from   ssr
+ union all
+ select 'catalog channel' as channel
+        , 'catalog_page' || cp_catalog_page_id as id
+        , sales
+        , returns_amt
+        , (profit - profit_loss) as profit
+ from  csr
+ union all
+ select 'web channel' as channel
+        , 'web_site' || web_site_id as id
+        , sales
+        , returns_amt
+        , (profit - profit_loss) as profit
+ from   wsr
+ ) x
+ group by rollup (channel, id)
+ order by channel
+         ,id
+ limit 100
+"""
+
+# query16.sql — catalog orders shipped from multiple warehouses with no
+# return (EXISTS + NOT EXISTS on the order key). '2002-2-01' → '2001-2-01'
+# (ship dates end 2001-11); backtick aliases → identifiers; money at the
+# dollar boundary.
+_Q16 = """
+select
+   count(distinct cs_order_number) as order_count
+  ,round(sum(cs_ext_ship_cost) / 100, 2) as total_shipping_cost
+  ,round(sum(cs_net_profit) / 100, 2) as total_net_profit
+from
+   catalog_sales cs1
+  ,date_dim
+  ,customer_address
+  ,call_center
+where
+    d_date between '2001-2-01' and
+           (cast('2001-2-01' as date) + INTERVAL '60' day)
+and cs1.cs_ship_date_sk = d_date_sk
+and cs1.cs_ship_addr_sk = ca_address_sk
+and ca_state = 'GA'
+and cs1.cs_call_center_sk = cc_call_center_sk
+and cc_county in ('Williamson County','Williamson County','Williamson County','Williamson County',
+                  'Williamson County'
+)
+and exists (select *
+            from catalog_sales cs2
+            where cs1.cs_order_number = cs2.cs_order_number
+              and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+and not exists(select *
+               from catalog_returns cr1
+               where cs1.cs_order_number = cr1.cr_order_number)
+order by count(distinct cs_order_number)
+limit 100
+"""
+
+# query32.sql — catalog excess-discount (correlated 1.3×avg per item).
+# i_manufact_id 977 → 9; backtick alias → identifier; dollar boundary.
+_Q32 = """
+select  round(sum(cs_ext_discount_amt) / 100, 2)  as excess_discount_amount
+from
+   catalog_sales
+   ,item
+   ,date_dim
+where
+i_manufact_id = 9
+and i_item_sk = cs_item_sk
+and d_date between '2000-01-27' and
+        (cast('2000-01-27' as date) + INTERVAL '90' day)
+and d_date_sk = cs_sold_date_sk
+and cs_ext_discount_amt
+     > (
+         select
+            1.3 * avg(cs_ext_discount_amt)
+         from
+            catalog_sales
+           ,date_dim
+         where
+              cs_item_sk = i_item_sk
+          and d_date between '2000-01-27' and
+                             (cast('2000-01-27' as date) + INTERVAL '90' day)
+          and d_date_sk = cs_sold_date_sk
+      )
+limit 100
+"""
+
+# query40.sql — catalog sales net of refunds before/after a date, by
+# warehouse state. i_current_price 0.99..1.49 → 900..930 (synthetic
+# retail prices); money at the dollar boundary.
+_Q40 = """
+select
+   w_state
+  ,i_item_id
+  ,round(sum(case when (cast(d_date as date) < cast ('2000-03-11' as date))
+ 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) / 100, 2) as sales_before
+  ,round(sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date))
+ 		then cs_sales_price - coalesce(cr_refunded_cash,0) else 0 end) / 100, 2) as sales_after
+ from
+   catalog_sales left outer join catalog_returns on
+       (cs_order_number = cr_order_number
+        and cs_item_sk = cr_item_sk)
+  ,warehouse
+  ,item
+  ,date_dim
+ where
+     i_current_price between 900 and 930
+ and i_item_sk          = cs_item_sk
+ and cs_warehouse_sk    = w_warehouse_sk
+ and cs_sold_date_sk    = d_date_sk
+ and d_date between (cast ('2000-03-11' as date) - INTERVAL '30' day)
+                and (cast ('2000-03-11' as date) + INTERVAL '30' day)
+ group by
+    w_state,i_item_id
+ order by w_state,i_item_id
+limit 100
+"""
+
+# query49.sql — worst return ratios per channel, double-ranked. d_year
+# 2001 → 2000 (December 2001 has no sold dates); decimal(15,4) casts →
+# double (q7's standard); ratios rounded to 4dp at the output (the ranks
+# order on values computed identically in both engines from exact sums).
+_Q49 = """
+select  channel, item, round(return_ratio, 4) return_ratio, return_rank, currency_rank from
+ (select
+ 'web' as channel
+ ,web.item
+ ,web.return_ratio
+ ,web.return_rank
+ ,web.currency_rank
+ from (
+ 	select
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select ws.ws_item_sk as item
+ 		,(cast(sum(coalesce(wr.wr_return_quantity,0)) as double)/
+ 		cast(sum(coalesce(ws.ws_quantity,0)) as double )) as return_ratio
+ 		,(cast(sum(coalesce(wr.wr_return_amt,0)) as double)/
+ 		cast(sum(coalesce(ws.ws_net_paid,0)) as double )) as currency_ratio
+ 		from
+ 		 web_sales ws left outer join web_returns wr
+ 			on (ws.ws_order_number = wr.wr_order_number and
+ 			ws.ws_item_sk = wr.wr_item_sk)
+                 ,date_dim
+ 		where
+ 			wr.wr_return_amt > 10000
+ 			and ws.ws_net_profit > 1
+                         and ws.ws_net_paid > 0
+                         and ws.ws_quantity > 0
+                         and ws_sold_date_sk = d_date_sk
+                         and d_year = 2000
+                         and d_moy = 12
+ 		group by ws.ws_item_sk
+ 	) in_web
+ ) web
+ where
+ (
+ web.return_rank <= 10
+ or
+ web.currency_rank <= 10
+ )
+ union
+ select
+ 'catalog' as channel
+ ,catalog.item
+ ,catalog.return_ratio
+ ,catalog.return_rank
+ ,catalog.currency_rank
+ from (
+ 	select
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select
+ 		cs.cs_item_sk as item
+ 		,(cast(sum(coalesce(cr.cr_return_quantity,0)) as double)/
+ 		cast(sum(coalesce(cs.cs_quantity,0)) as double )) as return_ratio
+ 		,(cast(sum(coalesce(cr.cr_return_amount,0)) as double)/
+ 		cast(sum(coalesce(cs.cs_net_paid,0)) as double )) as currency_ratio
+ 		from
+ 		catalog_sales cs left outer join catalog_returns cr
+ 			on (cs.cs_order_number = cr.cr_order_number and
+ 			cs.cs_item_sk = cr.cr_item_sk)
+                ,date_dim
+ 		where
+ 			cr.cr_return_amount > 10000
+ 			and cs.cs_net_profit > 1
+                         and cs.cs_net_paid > 0
+                         and cs.cs_quantity > 0
+                         and cs_sold_date_sk = d_date_sk
+                         and d_year = 2000
+                         and d_moy = 12
+                 group by cs.cs_item_sk
+ 	) in_cat
+ ) catalog
+ where
+ (
+ catalog.return_rank <= 10
+ or
+ catalog.currency_rank <=10
+ )
+ union
+ select
+ 'store' as channel
+ ,store.item
+ ,store.return_ratio
+ ,store.return_rank
+ ,store.currency_rank
+ from (
+ 	select
+ 	 item
+ 	,return_ratio
+ 	,currency_ratio
+ 	,rank() over (order by return_ratio) as return_rank
+ 	,rank() over (order by currency_ratio) as currency_rank
+ 	from
+ 	(	select sts.ss_item_sk as item
+ 		,(cast(sum(coalesce(sr.sr_return_quantity,0)) as double)/cast(sum(coalesce(sts.ss_quantity,0)) as double )) as return_ratio
+ 		,(cast(sum(coalesce(sr.sr_return_amt,0)) as double)/cast(sum(coalesce(sts.ss_net_paid,0)) as double )) as currency_ratio
+ 		from
+ 		store_sales sts left outer join store_returns sr
+ 			on (sts.ss_ticket_number = sr.sr_ticket_number and sts.ss_item_sk = sr.sr_item_sk)
+                ,date_dim
+ 		where
+ 			sr.sr_return_amt > 10000
+ 			and sts.ss_net_profit > 1
+                         and sts.ss_net_paid > 0
+                         and sts.ss_quantity > 0
+                         and ss_sold_date_sk = d_date_sk
+                         and d_year = 2000
+                         and d_moy = 12
+ 		group by sts.ss_item_sk
+ 	) in_store
+ ) store
+ where  (
+ store.return_rank <= 10
+ or
+ store.currency_rank <= 10
+ )
+ )
+ order by 1,4,5,2
+ limit 100
+"""
+
+# query57.sql — q47's call-center sibling (lag/lead via rn self-join).
+# Money rounded inside v1 (the q53 convention); ORDER BY extended with
+# the v2 keys (the q47 convention) so the LIMIT cut is deterministic.
+_Q57 = """
+with v1 as(
+ select i_category, i_brand,
+        cc_name,
+        d_year, d_moy,
+        round(sum(cs_sales_price) / 100, 2) sum_sales,
+        round(avg(sum(cs_sales_price)) over
+          (partition by i_category, i_brand,
+                     cc_name, d_year) / 100, 4)
+          avg_monthly_sales,
+        rank() over
+          (partition by i_category, i_brand,
+                     cc_name
+           order by d_year, d_moy) rn
+ from item, catalog_sales, date_dim, call_center
+ where cs_item_sk = i_item_sk and
+       cs_sold_date_sk = d_date_sk and
+       cc_call_center_sk= cs_call_center_sk and
+       (
+         d_year = 1999 or
+         ( d_year = 1999-1 and d_moy =12) or
+         ( d_year = 1999+1 and d_moy =1)
+       )
+ group by i_category, i_brand,
+          cc_name , d_year, d_moy),
+ v2 as(
+ select v1.i_category, v1.i_brand, v1.cc_name
+        ,v1.d_year, v1.d_moy
+        ,v1.avg_monthly_sales
+        ,v1.sum_sales, v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+ from v1, v1 v1_lag, v1 v1_lead
+ where v1.i_category = v1_lag.i_category and
+       v1.i_category = v1_lead.i_category and
+       v1.i_brand = v1_lag.i_brand and
+       v1.i_brand = v1_lead.i_brand and
+       v1. cc_name = v1_lag. cc_name and
+       v1. cc_name = v1_lead. cc_name and
+       v1.rn = v1_lag.rn + 1 and
+       v1.rn = v1_lead.rn - 1)
+  select  *
+ from v2
+ where  d_year = 1999 and
+        avg_monthly_sales > 0 and
+        case when avg_monthly_sales > 0 then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales else null end > 0.1
+ order by sum_sales - avg_monthly_sales, cc_name, i_category, i_brand, d_moy
+ limit 100
+"""
+
+# query77.sql — per-channel 30-day profit rollup. The reference's own
+# text CROSS JOINS the cs/cr CTEs (no join predicate) — both sides are
+# call-center-grained (≤6 rows), and the plan lock exempts q77 for
+# exactly this reason. Backtick `returns` → returns_amt; dollar boundary.
+_Q77 = """
+with ss as
+ (select s_store_sk,
+         sum(ss_ext_sales_price) as sales,
+         sum(ss_net_profit) as profit
+ from store_sales,
+      date_dim,
+      store
+ where ss_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and ss_store_sk = s_store_sk
+ group by s_store_sk)
+ ,
+ sr as
+ (select s_store_sk,
+         sum(sr_return_amt) as returns_amt,
+         sum(sr_net_loss) as profit_loss
+ from store_returns,
+      date_dim,
+      store
+ where sr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and sr_store_sk = s_store_sk
+ group by s_store_sk),
+ cs as
+ (select cs_call_center_sk,
+        sum(cs_ext_sales_price) as sales,
+        sum(cs_net_profit) as profit
+ from catalog_sales,
+      date_dim
+ where cs_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+ group by cs_call_center_sk
+ ),
+ cr as
+ (select cr_call_center_sk,
+         sum(cr_return_amount) as returns_amt,
+         sum(cr_net_loss) as profit_loss
+ from catalog_returns,
+      date_dim
+ where cr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+ group by cr_call_center_sk
+ ),
+ ws as
+ ( select wp_web_page_sk,
+        sum(ws_ext_sales_price) as sales,
+        sum(ws_net_profit) as profit
+ from web_sales,
+      date_dim,
+      web_page
+ where ws_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and ws_web_page_sk = wp_web_page_sk
+ group by wp_web_page_sk),
+ wr as
+ (select wp_web_page_sk,
+        sum(wr_return_amt) as returns_amt,
+        sum(wr_net_loss) as profit_loss
+ from web_returns,
+      date_dim,
+      web_page
+ where wr_returned_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and wr_web_page_sk = wp_web_page_sk
+ group by wp_web_page_sk)
+  select  channel
+        , id
+        , round(sum(sales) / 100, 2) as sales
+        , round(sum(returns_amt) / 100, 2) as returns_amt
+        , round(sum(profit) / 100, 2) as profit
+ from
+ (select 'store channel' as channel
+        , ss.s_store_sk as id
+        , sales
+        , coalesce(returns_amt, 0) as returns_amt
+        , (profit - coalesce(profit_loss,0)) as profit
+ from   ss left join sr
+        on  ss.s_store_sk = sr.s_store_sk
+ union all
+ select 'catalog channel' as channel
+        , cs_call_center_sk as id
+        , sales
+        , returns_amt
+        , (profit - profit_loss) as profit
+ from  cs
+       , cr
+ union all
+ select 'web channel' as channel
+        , ws.wp_web_page_sk as id
+        , sales
+        , coalesce(returns_amt, 0) returns_amt
+        , (profit - coalesce(profit_loss,0)) as profit
+ from   ws left join wr
+        on  ws.wp_web_page_sk = wr.wp_web_page_sk
+ ) x
+ group by rollup (channel, id)
+ order by channel
+         ,id
+ limit 100
+"""
+
+# query80.sql — promotion-filtered per-channel sales/returns rollup.
+# i_current_price > 50 → > 905 (sf0.001's retail prices span only
+# 900..920, and an all-empty ROLLUP input is an engine-divergence trap:
+# DuckDB emits the grand-total row, Spark emits nothing); backtick
+# `returns` → returns_amt; dollar boundary.
+_Q80 = """
+with ssr as
+ (select  s_store_id as store_id,
+          sum(ss_ext_sales_price) as sales,
+          sum(coalesce(sr_return_amt, 0)) as returns_amt,
+          sum(ss_net_profit - coalesce(sr_net_loss, 0)) as profit
+  from store_sales left outer join store_returns on
+         (ss_item_sk = sr_item_sk and ss_ticket_number = sr_ticket_number),
+     date_dim,
+     store,
+     item,
+     promotion
+ where ss_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+       and ss_store_sk = s_store_sk
+       and ss_item_sk = i_item_sk
+       and i_current_price > 905
+       and ss_promo_sk = p_promo_sk
+       and p_channel_tv = 'N'
+ group by s_store_id)
+ ,
+ csr as
+ (select  cp_catalog_page_id as catalog_page_id,
+          sum(cs_ext_sales_price) as sales,
+          sum(coalesce(cr_return_amount, 0)) as returns_amt,
+          sum(cs_net_profit - coalesce(cr_net_loss, 0)) as profit
+  from catalog_sales left outer join catalog_returns on
+         (cs_item_sk = cr_item_sk and cs_order_number = cr_order_number),
+     date_dim,
+     catalog_page,
+     item,
+     promotion
+ where cs_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+        and cs_catalog_page_sk = cp_catalog_page_sk
+       and cs_item_sk = i_item_sk
+       and i_current_price > 905
+       and cs_promo_sk = p_promo_sk
+       and p_channel_tv = 'N'
+group by cp_catalog_page_id)
+ ,
+ wsr as
+ (select  web_site_id,
+          sum(ws_ext_sales_price) as sales,
+          sum(coalesce(wr_return_amt, 0)) as returns_amt,
+          sum(ws_net_profit - coalesce(wr_net_loss, 0)) as profit
+  from web_sales left outer join web_returns on
+         (ws_item_sk = wr_item_sk and ws_order_number = wr_order_number),
+     date_dim,
+     web_site,
+     item,
+     promotion
+ where ws_sold_date_sk = d_date_sk
+       and d_date between cast('2000-08-23' as date)
+                  and (cast('2000-08-23' as date) + INTERVAL '30' day)
+        and ws_web_site_sk = web_site_sk
+       and ws_item_sk = i_item_sk
+       and i_current_price > 905
+       and ws_promo_sk = p_promo_sk
+       and p_channel_tv = 'N'
+group by web_site_id)
+  select  channel
+        , id
+        , round(sum(sales) / 100, 2) as sales
+        , round(sum(returns_amt) / 100, 2) as returns_amt
+        , round(sum(profit) / 100, 2) as profit
+ from
+ (select 'store channel' as channel
+        , 'store' || store_id as id
+        , sales
+        , returns_amt
+        , profit
+ from   ssr
+ union all
+ select 'catalog channel' as channel
+        , 'catalog_page' || catalog_page_id as id
+        , sales
+        , returns_amt
+        , profit
+ from  csr
+ union all
+ select 'web channel' as channel
+        , 'web_site' || web_site_id as id
+        , sales
+        , returns_amt
+        , profit
+ from   wsr
+ ) x
+ group by rollup (channel, id)
+ order by channel
+         ,id
+ limit 100
+"""
+
+# query81.sql — q30's catalog sibling over the full address block
+# (tax-inclusive return amounts). d_year 2002 → 2000; dollar boundary.
+_Q81 = """
+with customer_total_return as
+ (select cr_returning_customer_sk as ctr_customer_sk
+        ,ca_state as ctr_state,
+ 	sum(cr_return_amt_inc_tax) as ctr_total_return
+ from catalog_returns
+     ,date_dim
+     ,customer_address
+ where cr_returned_date_sk = d_date_sk
+   and d_year =2000
+   and cr_returning_addr_sk = ca_address_sk
+ group by cr_returning_customer_sk
+         ,ca_state )
+  select  c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+                  ,ca_location_type,round(ctr_total_return / 100, 2) ctr_total_return
+ from customer_total_return ctr1
+     ,customer_address
+     ,customer
+ where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+ 			  from customer_total_return ctr2
+                  	  where ctr1.ctr_state = ctr2.ctr_state)
+       and ca_address_sk = c_current_addr_sk
+       and ca_state = 'GA'
+       and ctr1.ctr_customer_sk = c_customer_sk
+ order by c_customer_id,c_salutation,c_first_name,c_last_name,ca_street_number,ca_street_name
+                   ,ca_street_type,ca_suite_number,ca_city,ca_county,ca_state,ca_zip,ca_country,ca_gmt_offset
+                  ,ca_location_type,ctr_total_return
+ limit 100
+"""
+
+# query91.sql — call-center return losses by demographic slice.
+# ca_gmt_offset -7 → -6 (the synthetic offsets are -5/-6); dollar
+# boundary on the loss sum.
+_Q91 = """
+select
+        cc_call_center_id Call_Center,
+        cc_name Call_Center_Name,
+        cc_manager Manager,
+        round(sum(cr_net_loss) / 100, 2) Returns_Loss
+from
+        call_center,
+        catalog_returns,
+        date_dim,
+        customer,
+        customer_address,
+        customer_demographics,
+        household_demographics
+where
+        cr_call_center_sk       = cc_call_center_sk
+and     cr_returned_date_sk     = d_date_sk
+and     cr_returning_customer_sk= c_customer_sk
+and     cd_demo_sk              = c_current_cdemo_sk
+and     hd_demo_sk              = c_current_hdemo_sk
+and     ca_address_sk           = c_current_addr_sk
+and     d_year                  = 1998
+and     d_moy                   = 11
+and     ( (cd_marital_status       = 'M' and cd_education_status     = 'Unknown')
+        or(cd_marital_status       = 'W' and cd_education_status     = 'Advanced Degree'))
+and     hd_buy_potential like 'Unknown%'
+and     ca_gmt_offset           = -6
+group by cc_call_center_id,cc_name,cc_manager,cd_marital_status,cd_education_status
+order by sum(cr_net_loss) desc
+"""
+
+# query92.sql — web excess-discount (q32's web twin). i_manufact_id 350
+# → 14; backtick alias → identifier; dollar boundary.
+_Q92 = """
+select
+   round(sum(ws_ext_discount_amt) / 100, 2)  as excess_discount_amount
+from
+    web_sales
+   ,item
+   ,date_dim
+where
+i_manufact_id = 14
+and i_item_sk = ws_item_sk
+and d_date between '2000-01-27' and
+        (cast('2000-01-27' as date) + INTERVAL '90' day)
+and d_date_sk = ws_sold_date_sk
+and ws_ext_discount_amt
+     > (
+         SELECT
+            1.3 * avg(ws_ext_discount_amt)
+         FROM
+            web_sales
+           ,date_dim
+         WHERE
+              ws_item_sk = i_item_sk
+          and d_date between '2000-01-27' and
+                             (cast('2000-01-27' as date) + INTERVAL '90' day)
+          and d_date_sk = ws_sold_date_sk
+      )
+order by sum(ws_ext_discount_amt)
+limit 100
+"""
+
+# query94.sql — q16's web twin. ca_state 'IL' → 'TX'; web_company_name
+# 'pri' maps to synthetic site 3; backtick aliases → identifiers.
+_Q94 = """
+select
+   count(distinct ws_order_number) as order_count
+  ,round(sum(ws_ext_ship_cost) / 100, 2) as total_shipping_cost
+  ,round(sum(ws_net_profit) / 100, 2) as total_net_profit
+from
+   web_sales ws1
+  ,date_dim
+  ,customer_address
+  ,web_site
+where
+    d_date between '1999-2-01' and
+           (cast('1999-2-01' as date) + INTERVAL '60' day)
+and ws1.ws_ship_date_sk = d_date_sk
+and ws1.ws_ship_addr_sk = ca_address_sk
+and ca_state = 'TX'
+and ws1.ws_web_site_sk = web_site_sk
+and web_company_name = 'pri'
+and exists (select *
+            from web_sales ws2
+            where ws1.ws_order_number = ws2.ws_order_number
+              and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+and not exists(select *
+               from web_returns wr1
+               where ws1.ws_order_number = wr1.wr_order_number)
+order by count(distinct ws_order_number)
+limit 100
+"""
+
+# query99.sql — q62's catalog twin: shipping-lag bands per warehouse /
+# ship mode / call center. d_month_seq 1200..1211 → 61..72; backtick band
+# aliases → identifiers.
+_Q99 = """
+select
+   substr(w_warehouse_name,1,20) wh_name
+  ,sm_type
+  ,cc_name
+  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end)  as d30_days
+  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and
+                 (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end )  as d31_60_days
+  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and
+                 (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end)  as d61_90_days
+  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and
+                 (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end)  as d91_120_days
+  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end)  as dgt120_days
+from
+   catalog_sales
+  ,warehouse
+  ,ship_mode
+  ,call_center
+  ,date_dim
+where
+    d_month_seq between 61 and 61 + 11
+and cs_ship_date_sk   = d_date_sk
+and cs_warehouse_sk   = w_warehouse_sk
+and cs_ship_mode_sk   = sm_ship_mode_sk
+and cs_call_center_sk = cc_call_center_sk
+group by
+   substr(w_warehouse_name,1,20)
+  ,sm_type
+  ,cc_name
+order by substr(w_warehouse_name,1,20)
+        ,sm_type
+        ,cc_name
+limit 100
+"""
+
 TEXTS = {
     "tpcds_lit_q1": _Q1,
     "tpcds_lit_q2": _Q2,
@@ -1662,4 +2458,18 @@ TEXTS = {
     "tpcds_lit_q50": _Q50,
     "tpcds_lit_q54": _Q54,
     "tpcds_lit_q74": _Q74,
+    # wave 5 (catalog_returns / call_center / catalog_page)
+    "tpcds_lit_q5": _Q5,
+    "tpcds_lit_q16": _Q16,
+    "tpcds_lit_q32": _Q32,
+    "tpcds_lit_q40": _Q40,
+    "tpcds_lit_q49": _Q49,
+    "tpcds_lit_q57": _Q57,
+    "tpcds_lit_q77": _Q77,
+    "tpcds_lit_q80": _Q80,
+    "tpcds_lit_q81": _Q81,
+    "tpcds_lit_q91": _Q91,
+    "tpcds_lit_q92": _Q92,
+    "tpcds_lit_q94": _Q94,
+    "tpcds_lit_q99": _Q99,
 }

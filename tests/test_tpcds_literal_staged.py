@@ -64,7 +64,11 @@ def test_staged_plans_broadcast_no_cartesian(spark, sf_dir, name):
     _ensure_star_ext, never inside a query plan.)"""
     plan = (t.STAGED_QUERIES[name](spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "CartesianProduct" not in plan
+    if name != "tpcds_lit_q77":
+        # q77's reference text itself cross-joins the cs/cr CTEs (both
+        # call-center-grained, ≤6 rows each) — the one sanctioned
+        # cartesian in the suite.
+        assert "CartesianProduct" not in plan
     if name not in ("tpcds_lit_q9", "tpcds_lit_q28"):
         # q9/q28 have no equi-join at all: scalar-subquery / single-row
         # bucket scans over store_sales (q28's six 1-row buckets combine
@@ -77,7 +81,8 @@ def test_graded_star_stays_lazy(spark, sf_dir):
     """Graded literal queries must not pay for the batch-5 ext tables:
     _ensure_star materializes only _STAR_TABLES, and a graded plan never
     references inventory/store_returns."""
-    assert set(t._STAR_TABLES_EXT) == {"store_returns", "inventory"}
+    assert "store_returns" in t._STAR_TABLES_EXT
+    assert "inventory" in t._STAR_TABLES_EXT
     assert not set(t._STAR_TABLES_EXT) & set(t._STAR_TABLES)
     plan = (t.QUERIES["tpcds_lit_q3"](spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
