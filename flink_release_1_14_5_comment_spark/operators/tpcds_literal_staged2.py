@@ -2423,6 +2423,325 @@ order by substr(w_warehouse_name,1,20)
 limit 100
 """
 
+# ---- wave 6: returns-complete shapes, no schema changes ----------------
+
+# query51.sql — web-vs-store cumulative crossover via FULL OUTER + two
+# running windows. d_month_seq 1200..1211 → 61..72; money rounded at the
+# output (the crossover comparison uses exact cents; the d_date output
+# column is cast to varchar — engines disagree on date object types). The
+# synthetic web
+# channel is a SUBSET slice of the store channel, so the literal
+# web > store crossover is structurally empty — the filter compares
+# 3×web (the slice's share factor) to restore the intended selectivity.
+_Q51 = """
+WITH web_v1 as (
+select
+  ws_item_sk item_sk, d_date,
+  sum(sum(ws_sales_price))
+      over (partition by ws_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from web_sales
+    ,date_dim
+where ws_sold_date_sk=d_date_sk
+  and d_month_seq between 61 and 61+11
+  and ws_item_sk is not NULL
+group by ws_item_sk, d_date),
+store_v1 as (
+select
+  ss_item_sk item_sk, d_date,
+  sum(sum(ss_sales_price))
+      over (partition by ss_item_sk order by d_date rows between unbounded preceding and current row) cume_sales
+from store_sales
+    ,date_dim
+where ss_sold_date_sk=d_date_sk
+  and d_month_seq between 61 and 61+11
+  and ss_item_sk is not NULL
+group by ss_item_sk, d_date)
+ select  item_sk, cast(d_date as varchar(10)) d_date,
+        round(web_sales / 100, 2) web_sales,
+        round(store_sales / 100, 2) store_sales,
+        round(web_cumulative / 100, 2) web_cumulative,
+        round(store_cumulative / 100, 2) store_cumulative
+from (select item_sk
+     ,d_date
+     ,web_sales
+     ,store_sales
+     ,max(web_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) web_cumulative
+     ,max(store_sales)
+         over (partition by item_sk order by d_date rows between unbounded preceding and current row) store_cumulative
+     from (select case when web.item_sk is not null then web.item_sk else store.item_sk end item_sk
+                 ,case when web.d_date is not null then web.d_date else store.d_date end d_date
+                 ,web.cume_sales web_sales
+                 ,store.cume_sales store_sales
+           from web_v1 web full outer join store_v1 store on (web.item_sk = store.item_sk
+                                                          and web.d_date = store.d_date)
+          )x )y
+where web_cumulative * 3 > store_cumulative
+order by item_sk
+        ,d_date
+limit 100
+"""
+
+# query75.sql — year-over-year net-of-returns decline across all three
+# channels (UNION dedup of per-line detail). 'Books' → 'CAT_4'; d_year
+# 2002 → 2001 (prev 2000); decimal(17,2) ratio casts → double with a
+# nullif(., 0) divisor guard (net-of-returns counts can sum to zero and
+# Spark's ANSI mode errors on division by zero); money diffs at the
+# dollar boundary; the backtick `year` alias → curr_year.
+_Q75 = """
+WITH all_sales AS (
+ SELECT d_year
+       ,i_brand_id
+       ,i_class_id
+       ,i_category_id
+       ,i_manufact_id
+       ,SUM(sales_cnt) AS sales_cnt
+       ,SUM(sales_amt) AS sales_amt
+ FROM (SELECT d_year
+             ,i_brand_id
+             ,i_class_id
+             ,i_category_id
+             ,i_manufact_id
+             ,cs_quantity - COALESCE(cr_return_quantity,0) AS sales_cnt
+             ,cs_ext_sales_price - COALESCE(cr_return_amount,0) AS sales_amt
+       FROM catalog_sales JOIN item ON i_item_sk=cs_item_sk
+                          JOIN date_dim ON d_date_sk=cs_sold_date_sk
+                          LEFT JOIN catalog_returns ON (cs_order_number=cr_order_number
+                                                    AND cs_item_sk=cr_item_sk)
+       WHERE i_category='CAT_4'
+       UNION
+       SELECT d_year
+             ,i_brand_id
+             ,i_class_id
+             ,i_category_id
+             ,i_manufact_id
+             ,ss_quantity - COALESCE(sr_return_quantity,0) AS sales_cnt
+             ,ss_ext_sales_price - COALESCE(sr_return_amt,0) AS sales_amt
+       FROM store_sales JOIN item ON i_item_sk=ss_item_sk
+                        JOIN date_dim ON d_date_sk=ss_sold_date_sk
+                        LEFT JOIN store_returns ON (ss_ticket_number=sr_ticket_number
+                                                AND ss_item_sk=sr_item_sk)
+       WHERE i_category='CAT_4'
+       UNION
+       SELECT d_year
+             ,i_brand_id
+             ,i_class_id
+             ,i_category_id
+             ,i_manufact_id
+             ,ws_quantity - COALESCE(wr_return_quantity,0) AS sales_cnt
+             ,ws_ext_sales_price - COALESCE(wr_return_amt,0) AS sales_amt
+       FROM web_sales JOIN item ON i_item_sk=ws_item_sk
+                      JOIN date_dim ON d_date_sk=ws_sold_date_sk
+                      LEFT JOIN web_returns ON (ws_order_number=wr_order_number
+                                            AND ws_item_sk=wr_item_sk)
+       WHERE i_category='CAT_4') sales_detail
+ GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+ SELECT  prev_yr.d_year AS prev_year
+                          ,curr_yr.d_year AS curr_year
+                          ,curr_yr.i_brand_id
+                          ,curr_yr.i_class_id
+                          ,curr_yr.i_category_id
+                          ,curr_yr.i_manufact_id
+                          ,prev_yr.sales_cnt AS prev_yr_cnt
+                          ,curr_yr.sales_cnt AS curr_yr_cnt
+                          ,curr_yr.sales_cnt-prev_yr.sales_cnt AS sales_cnt_diff
+                          ,round((curr_yr.sales_amt-prev_yr.sales_amt) / 100, 2) AS sales_amt_diff
+ FROM all_sales curr_yr, all_sales prev_yr
+ WHERE curr_yr.i_brand_id=prev_yr.i_brand_id
+   AND curr_yr.i_class_id=prev_yr.i_class_id
+   AND curr_yr.i_category_id=prev_yr.i_category_id
+   AND curr_yr.i_manufact_id=prev_yr.i_manufact_id
+   AND curr_yr.d_year=2001
+   AND prev_yr.d_year=2001-1
+   AND CAST(curr_yr.sales_cnt AS double)/nullif(CAST(prev_yr.sales_cnt AS double), 0)<0.9
+ ORDER BY sales_cnt_diff,sales_amt_diff
+ limit 100
+"""
+
+# query83.sql — returned quantity balance across the three channels in
+# anchor weeks. The decimal(7,2) cast dropped (quantities are exact
+# ints; mixed decimal/bigint sums type-diverge across engines); deviation
+# ratios rounded to 4dp. The reference's 3 anchor dates → 12 (one per
+# month of 2000): the synthetic catalog/web channels are 1/3 slices, so
+# an item returned in ALL three channels within 3 weeks almost never
+# exists at the oracle SFs.
+_Q83 = """
+with sr_items as
+ (select i_item_id item_id,
+        sum(sr_return_quantity) sr_item_qty
+ from store_returns,
+      item,
+      date_dim
+ where sr_item_sk = i_item_sk
+ and   d_date    in
+	(select d_date
+	from date_dim
+	where d_week_seq in
+		(select d_week_seq
+		from date_dim
+	  where d_date in ('2000-01-14','2000-02-11','2000-03-10','2000-04-14','2000-05-12','2000-06-30','2000-07-14','2000-08-11','2000-09-27','2000-10-13','2000-11-17','2000-12-08')))
+ and   sr_returned_date_sk   = d_date_sk
+ group by i_item_id),
+ cr_items as
+ (select i_item_id item_id,
+        sum(cr_return_quantity) cr_item_qty
+ from catalog_returns,
+      item,
+      date_dim
+ where cr_item_sk = i_item_sk
+ and   d_date    in
+	(select d_date
+	from date_dim
+	where d_week_seq in
+		(select d_week_seq
+		from date_dim
+	  where d_date in ('2000-01-14','2000-02-11','2000-03-10','2000-04-14','2000-05-12','2000-06-30','2000-07-14','2000-08-11','2000-09-27','2000-10-13','2000-11-17','2000-12-08')))
+ and   cr_returned_date_sk   = d_date_sk
+ group by i_item_id),
+ wr_items as
+ (select i_item_id item_id,
+        sum(wr_return_quantity) wr_item_qty
+ from web_returns,
+      item,
+      date_dim
+ where wr_item_sk = i_item_sk
+ and   d_date    in
+	(select d_date
+	from date_dim
+	where d_week_seq in
+		(select d_week_seq
+		from date_dim
+		where d_date in ('2000-01-14','2000-02-11','2000-03-10','2000-04-14','2000-05-12','2000-06-30','2000-07-14','2000-08-11','2000-09-27','2000-10-13','2000-11-17','2000-12-08')))
+ and   wr_returned_date_sk   = d_date_sk
+ group by i_item_id)
+  select  sr_items.item_id
+       ,sr_item_qty
+       ,round(sr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100, 4) sr_dev
+       ,cr_item_qty
+       ,round(cr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100, 4) cr_dev
+       ,wr_item_qty
+       ,round(wr_item_qty/(sr_item_qty+cr_item_qty+wr_item_qty)/3.0 * 100, 4) wr_dev
+       ,round(cast(sr_item_qty+cr_item_qty+wr_item_qty as double)/3.0, 4) average
+ from sr_items
+     ,cr_items
+     ,wr_items
+ where sr_items.item_id=cr_items.item_id
+   and sr_items.item_id=wr_items.item_id
+ order by sr_items.item_id
+         ,sr_item_qty
+ limit 100
+"""
+
+# query84.sql — income-band customer lookup fanned out by store returns.
+# ca_city 'Edgewood' → 'City_5' (synthetic city pool); the income-band
+# bound constants are verbatim (bands 5..8 of the synthetic 10k-wide
+# bands satisfy them).
+_Q84 = """
+select  c_customer_id as customer_id
+       , coalesce(c_last_name,'') || ', ' || coalesce(c_first_name,'') as customername
+ from customer
+     ,customer_address
+     ,customer_demographics
+     ,household_demographics
+     ,income_band
+     ,store_returns
+ where ca_city	        =  'City_5'
+   and c_current_addr_sk = ca_address_sk
+   and ib_lower_bound   >=  38128
+   and ib_upper_bound   <=  38128 + 50000
+   and ib_income_band_sk = hd_income_band_sk
+   and cd_demo_sk = c_current_cdemo_sk
+   and hd_demo_sk = c_current_hdemo_sk
+   and sr_cdemo_sk = cd_demo_sk
+ order by c_customer_id
+ limit 100
+"""
+
+# query93.sql — sales net of same-ticket returns for one return reason.
+# 'reason 28' → 'reason desc number 028' (the synthetic reason text);
+# money at the dollar boundary.
+_Q93 = """
+select  ss_customer_sk
+            ,round(sum(act_sales) / 100, 2) sumsales
+      from (select ss_item_sk
+                  ,ss_ticket_number
+                  ,ss_customer_sk
+                  ,case when sr_return_quantity is not null then (ss_quantity-sr_return_quantity)*ss_sales_price
+                                                            else (ss_quantity*ss_sales_price) end act_sales
+            from store_sales left outer join store_returns on (sr_item_sk = ss_item_sk
+                                                               and sr_ticket_number = ss_ticket_number)
+                ,reason
+            where sr_reason_sk = r_reason_sk
+              and r_reason_desc = 'reason desc number 028') t
+      group by ss_customer_sk
+      order by sumsales, ss_customer_sk
+limit 100
+"""
+
+# query95.sql — q94 with the multi-warehouse condition as an IN over a
+# self-joined CTE plus a returned-order IN (the literal form of the
+# graded adapted multi-hop-exists shape). ca_state 'IL' → 'TX'; backtick
+# aliases → identifiers; dollar boundary.
+_Q95 = """
+with ws_wh as
+(select ws1.ws_order_number,ws1.ws_warehouse_sk wh1,ws2.ws_warehouse_sk wh2
+ from web_sales ws1,web_sales ws2
+ where ws1.ws_order_number = ws2.ws_order_number
+   and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+ select
+   count(distinct ws_order_number) as order_count
+  ,round(sum(ws_ext_ship_cost) / 100, 2) as total_shipping_cost
+  ,round(sum(ws_net_profit) / 100, 2) as total_net_profit
+from
+   web_sales ws1
+  ,date_dim
+  ,customer_address
+  ,web_site
+where
+    d_date between '1999-2-01' and
+           (cast('1999-2-01' as date) + INTERVAL '60' day)
+and ws1.ws_ship_date_sk = d_date_sk
+and ws1.ws_ship_addr_sk = ca_address_sk
+and ca_state = 'TX'
+and ws1.ws_web_site_sk = web_site_sk
+and web_company_name = 'pri'
+and ws1.ws_order_number in (select ws_order_number
+                            from ws_wh)
+and ws1.ws_order_number in (select wr_order_number
+                            from web_returns,ws_wh
+                            where wr_order_number = ws_wh.ws_order_number)
+order by count(distinct ws_order_number)
+limit 100
+"""
+
+# query97.sql — store/catalog basket overlap census via FULL OUTER join
+# (the literal form of the graded adapted channel-overlap shape).
+# d_month_seq 1200..1211 → 61..72.
+_Q97 = """
+with ssci as (
+select ss_customer_sk customer_sk
+      ,ss_item_sk item_sk
+from store_sales,date_dim
+where ss_sold_date_sk = d_date_sk
+  and d_month_seq between 61 and 61 + 11
+group by ss_customer_sk
+        ,ss_item_sk),
+csci as(
+ select cs_bill_customer_sk customer_sk
+      ,cs_item_sk item_sk
+from catalog_sales,date_dim
+where cs_sold_date_sk = d_date_sk
+  and d_month_seq between 61 and 61 + 11
+group by cs_bill_customer_sk
+        ,cs_item_sk)
+ select  sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) store_only
+      ,sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) catalog_only
+      ,sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) store_and_catalog
+from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
+                               and ssci.item_sk = csci.item_sk)
+limit 100
+"""
+
 TEXTS = {
     "tpcds_lit_q1": _Q1,
     "tpcds_lit_q2": _Q2,
@@ -2472,4 +2791,12 @@ TEXTS = {
     "tpcds_lit_q92": _Q92,
     "tpcds_lit_q94": _Q94,
     "tpcds_lit_q99": _Q99,
+    # wave 6
+    "tpcds_lit_q51": _Q51,
+    "tpcds_lit_q75": _Q75,
+    "tpcds_lit_q83": _Q83,
+    "tpcds_lit_q84": _Q84,
+    "tpcds_lit_q93": _Q93,
+    "tpcds_lit_q95": _Q95,
+    "tpcds_lit_q97": _Q97,
 }
