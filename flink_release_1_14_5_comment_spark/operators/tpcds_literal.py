@@ -121,8 +121,10 @@ store_sales AS (
          1 + ((l_orderkey + l_linenumber) % 50) AS ss_promo_sk,
          1 + (l_suppkey % 12) AS ss_store_sk,
          1 + ((o_custkey + l_orderkey) % 20) AS ss_hdemo_sk,
-         CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
+         CASE WHEN (l_orderkey + l_linenumber) % 41 = 0 THEN CAST(NULL AS BIGINT)
+              WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
               ELSE o_custkey END AS ss_addr_sk,
+         CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS BIGINT) AS ss_sold_time_sk,
          l_orderkey AS ss_ticket_number,
          CAST(l_quantity AS INT) AS ss_quantity,
          CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT) AS ss_list_price,
@@ -167,9 +169,14 @@ catalog_sales AS (
          1 + ((l_orderkey + l_linenumber) % 12) AS cs_catalog_page_sk,
          1 + ((l_orderkey + l_linenumber) % 4) AS cs_ship_mode_sk,
          CAST({ddiff_shipdate} AS BIGINT) AS cs_ship_date_sk,
-         CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
+         CASE WHEN (l_orderkey + l_linenumber) % 43 = 0 THEN CAST(NULL AS BIGINT)
+              WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
               ELSE o_custkey END AS cs_ship_addr_sk,
+         CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS BIGINT) AS cs_sold_time_sk,
+         1 + ((o_custkey + l_orderkey) % 20) AS cs_bill_hdemo_sk,
+         CAST(ROUND(l_extendedprice * 80 / l_quantity, 0) AS BIGINT) AS cs_wholesale_cost,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS cs_net_paid,
+         CAST(ROUND(l_extendedprice * (1 - l_discount + l_tax) * 100, 0) AS BIGINT) AS cs_net_paid_inc_tax,
          CAST(ROUND(l_extendedprice * 5, 0) AS BIGINT) AS cs_ext_ship_cost
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 2
@@ -199,6 +206,10 @@ web_sales AS (
          CASE WHEN l_orderkey % 3 = 0 THEN o_custkey + 1000000000
               ELSE o_custkey END AS ws_ship_addr_sk,
          1 + ((o_custkey + l_orderkey) % 20) AS ws_ship_hdemo_sk,
+         CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS BIGINT) AS ws_sold_time_sk,
+         CAST(ROUND(l_extendedprice * 80 / l_quantity, 0) AS BIGINT) AS ws_wholesale_cost,
+         CASE WHEN (l_orderkey + l_linenumber) % 43 = 0 THEN CAST(NULL AS BIGINT)
+              ELSE o_custkey END AS ws_ship_customer_sk,
          CAST(ROUND(l_extendedprice * 5, 0) AS BIGINT) AS ws_ext_ship_cost
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 1
@@ -231,6 +242,7 @@ web_returns AS (
 ),
 web_page AS (
   SELECT wp_web_page_sk,
+         CAST(4800 + wp_web_page_sk * 50 AS INT) AS wp_char_count,
          CONCAT('page_', CAST(wp_web_page_sk AS {s})) AS wp_url
   FROM (SELECT DISTINCT 1 + (c_custkey % 10) AS wp_web_page_sk FROM tpcds_customer_base) t
 ),
@@ -244,11 +256,19 @@ warehouse AS (
          CONCAT('Warehouse number ', CAST(w_warehouse_sk AS {s})) AS w_warehouse_name,
          CASE WHEN w_warehouse_sk % 4 = 0 THEN 'TN'
               WHEN w_warehouse_sk % 4 = 1 THEN 'CA'
-              WHEN w_warehouse_sk % 4 = 2 THEN 'NY' ELSE 'WA' END AS w_state
+              WHEN w_warehouse_sk % 4 = 2 THEN 'NY' ELSE 'WA' END AS w_state,
+         CAST(50000 + w_warehouse_sk * 25000 AS INT) AS w_warehouse_sq_ft,
+         CONCAT('City_', CAST(1 + (w_warehouse_sk % 5) AS {s})) AS w_city,
+         CASE WHEN w_warehouse_sk % 4 = 0 THEN 'Williamson County'
+              WHEN w_warehouse_sk % 4 = 1 THEN 'Franklin Parish'
+              WHEN w_warehouse_sk % 4 = 2 THEN 'Bronx County'
+              ELSE 'Orange County' END AS w_county,
+         'United States' AS w_country
   FROM (SELECT DISTINCT 1 + (c_custkey % 5) AS w_warehouse_sk FROM tpcds_customer_base) t
 ),
 ship_mode AS (
   SELECT sm_ship_mode_sk,
+         CASE WHEN sm_ship_mode_sk % 2 = 0 THEN 'DHL' ELSE 'BARIAN' END AS sm_carrier,
          CASE WHEN sm_ship_mode_sk % 4 = 0 THEN 'EXPRESS'
               WHEN sm_ship_mode_sk % 4 = 1 THEN 'NEXT DAY'
               WHEN sm_ship_mode_sk % 4 = 2 THEN 'REGULAR'
@@ -378,6 +398,8 @@ customer AS (
          CAST(1924 + (c_custkey % 68) AS INT) AS c_birth_year,
          CAST(10957 + (c_custkey % 365) AS BIGINT) AS c_last_review_date_sk,
          1 + (c_custkey % 20) AS c_current_hdemo_sk,
+         CAST(9131 + (c_custkey % 2400) AS BIGINT) AS c_first_sales_date_sk,
+         CAST(9131 + ((c_custkey * 7 + 100) % 2400) AS BIGINT) AS c_first_shipto_date_sk,
          -- q24's c_birth_country <> upper(ca_country) arm: ca_country is
          -- always 'United States', so 1/3 of customers are excluded.
          CASE WHEN c_custkey % 3 = 0 THEN 'UNITED STATES'
@@ -479,6 +501,8 @@ catalog_returns AS (
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 90, 0) AS BIGINT) AS cr_return_amount,
          CAST(ROUND(l_extendedprice * ((1 - l_discount) * 90 + l_tax * 90), 0) AS BIGINT) AS cr_return_amt_inc_tax,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 80, 0) AS BIGINT) AS cr_refunded_cash,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 7, 0) AS BIGINT) AS cr_reversed_charge,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 3, 0) AS BIGINT) AS cr_store_credit,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 30, 0) AS BIGINT) AS cr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_orderkey % 3 = 2 AND l_returnflag = 'R'
@@ -500,6 +524,21 @@ store_returns AS (
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 30, 0) AS BIGINT) AS sr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
+),
+time_dim AS (
+  -- one row per distinct second-of-day the facts reference (the shared
+  -- (orderkey, linenumber) hash formula); ~50% of 86400 at sf0.01 and
+  -- near-dense at sf0.1 — both engines derive the identical set.
+  SELECT t_time_sk,
+         t_time_sk AS t_time,
+         CAST(FLOOR(t_time_sk / 3600) AS INT) AS t_hour,
+         CAST(FLOOR((t_time_sk % 3600) / 60) AS INT) AS t_minute,
+         CASE WHEN FLOOR(t_time_sk / 3600) BETWEEN 6 AND 8 THEN 'breakfast'
+              WHEN FLOOR(t_time_sk / 3600) BETWEEN 11 AND 13 THEN 'lunch'
+              WHEN FLOOR(t_time_sk / 3600) BETWEEN 17 AND 19 THEN 'dinner'
+              ELSE NULL END AS t_meal_time
+  FROM (SELECT DISTINCT CAST((l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS BIGINT) AS t_time_sk
+        FROM lineitem) t
 ),
 inventory AS (
   -- dense weekly snapshot, the real TPC-DS inventory profile: one row per
@@ -2438,7 +2477,7 @@ _ALIAS_CTES = ",\n".join(
 # is |part| × ~350 Sundays × 2 warehouses — only q39 should pay its
 # checkpoint cost, never the 33 graded literal queries or bench.
 _STAR_TABLES_EXT = ("store_returns", "inventory", "catalog_returns",
-                    "call_center", "catalog_page", "income_band")
+                    "call_center", "catalog_page", "income_band", "time_dim")
 
 
 def _ensure_star_ext(spark: SparkSession, sf_dir: str) -> None:

@@ -2742,6 +2742,575 @@ from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
 limit 100
 """
 
+# ---- wave 7: time_dim family + NULL-key census + remaining shapes ------
+
+# query44.sql — best/worst items by avg net profit, rank-joined. The
+# synthetic fact now carries a rare NULL ss_addr_sk slice (1/41 of lines)
+# so the reference's `ss_addr_sk is null` anchor subquery is non-empty.
+_Q44 = """
+select  asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+from(select *
+     from (select item_sk,rank() over (order by rank_col asc) rnk
+           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+                 from store_sales ss1
+                 where ss_store_sk = 4
+                 group by ss_item_sk
+                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                  from store_sales
+                                                  where ss_store_sk = 4
+                                                    and ss_addr_sk is null
+                                                  group by ss_store_sk))V1)V11
+     where rnk  < 11) asceding,
+    (select *
+     from (select item_sk,rank() over (order by rank_col desc) rnk
+           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+                 from store_sales ss1
+                 where ss_store_sk = 4
+                 group by ss_item_sk
+                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                                                  from store_sales
+                                                  where ss_store_sk = 4
+                                                    and ss_addr_sk is null
+                                                  group by ss_store_sk))V2)V21
+     where rnk  < 11) descending,
+item i1,
+item i2
+where asceding.rnk = descending.rnk
+  and i1.i_item_sk=asceding.item_sk
+  and i2.i_item_sk=descending.item_sk
+order by asceding.rnk
+limit 100
+"""
+
+# query66.sql — warehouse monthly shipping pivot over both non-store
+# channels. Backtick `year` → dyear; money pivots at the dollar boundary,
+# per-square-foot ratios rounded to 4dp; verbatim time band and carriers
+# (the synthetic sm_carrier pool is exactly DHL/BARIAN).
+_Q66 = """
+select
+         w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+        ,ship_carriers
+        ,dyear
+ 	,round(sum(jan_sales) / 100, 2) as jan_sales
+ 	,round(sum(feb_sales) / 100, 2) as feb_sales
+ 	,round(sum(mar_sales) / 100, 2) as mar_sales
+ 	,round(sum(apr_sales) / 100, 2) as apr_sales
+ 	,round(sum(may_sales) / 100, 2) as may_sales
+ 	,round(sum(jun_sales) / 100, 2) as jun_sales
+ 	,round(sum(jul_sales) / 100, 2) as jul_sales
+ 	,round(sum(aug_sales) / 100, 2) as aug_sales
+ 	,round(sum(sep_sales) / 100, 2) as sep_sales
+ 	,round(sum(oct_sales) / 100, 2) as oct_sales
+ 	,round(sum(nov_sales) / 100, 2) as nov_sales
+ 	,round(sum(dec_sales) / 100, 2) as dec_sales
+ 	,round(sum(jan_sales/w_warehouse_sq_ft), 4) as jan_sales_per_sq_foot
+ 	,round(sum(feb_sales/w_warehouse_sq_ft), 4) as feb_sales_per_sq_foot
+ 	,round(sum(mar_sales/w_warehouse_sq_ft), 4) as mar_sales_per_sq_foot
+ 	,round(sum(apr_sales/w_warehouse_sq_ft), 4) as apr_sales_per_sq_foot
+ 	,round(sum(may_sales/w_warehouse_sq_ft), 4) as may_sales_per_sq_foot
+ 	,round(sum(jun_sales/w_warehouse_sq_ft), 4) as jun_sales_per_sq_foot
+ 	,round(sum(jul_sales/w_warehouse_sq_ft), 4) as jul_sales_per_sq_foot
+ 	,round(sum(aug_sales/w_warehouse_sq_ft), 4) as aug_sales_per_sq_foot
+ 	,round(sum(sep_sales/w_warehouse_sq_ft), 4) as sep_sales_per_sq_foot
+ 	,round(sum(oct_sales/w_warehouse_sq_ft), 4) as oct_sales_per_sq_foot
+ 	,round(sum(nov_sales/w_warehouse_sq_ft), 4) as nov_sales_per_sq_foot
+ 	,round(sum(dec_sales/w_warehouse_sq_ft), 4) as dec_sales_per_sq_foot
+ 	,round(sum(jan_net) / 100, 2) as jan_net
+ 	,round(sum(feb_net) / 100, 2) as feb_net
+ 	,round(sum(mar_net) / 100, 2) as mar_net
+ 	,round(sum(apr_net) / 100, 2) as apr_net
+ 	,round(sum(may_net) / 100, 2) as may_net
+ 	,round(sum(jun_net) / 100, 2) as jun_net
+ 	,round(sum(jul_net) / 100, 2) as jul_net
+ 	,round(sum(aug_net) / 100, 2) as aug_net
+ 	,round(sum(sep_net) / 100, 2) as sep_net
+ 	,round(sum(oct_net) / 100, 2) as oct_net
+ 	,round(sum(nov_net) / 100, 2) as nov_net
+ 	,round(sum(dec_net) / 100, 2) as dec_net
+ from (
+     select
+ 	w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+ 	,'DHL' || ',' || 'BARIAN' as ship_carriers
+       ,d_year as dyear
+ 	,sum(case when d_moy = 1
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as jan_sales
+ 	,sum(case when d_moy = 2
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as feb_sales
+ 	,sum(case when d_moy = 3
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as mar_sales
+ 	,sum(case when d_moy = 4
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as apr_sales
+ 	,sum(case when d_moy = 5
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as may_sales
+ 	,sum(case when d_moy = 6
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as jun_sales
+ 	,sum(case when d_moy = 7
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as jul_sales
+ 	,sum(case when d_moy = 8
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as aug_sales
+ 	,sum(case when d_moy = 9
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as sep_sales
+ 	,sum(case when d_moy = 10
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as oct_sales
+ 	,sum(case when d_moy = 11
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as nov_sales
+ 	,sum(case when d_moy = 12
+ 		then ws_ext_sales_price* ws_quantity else 0 end) as dec_sales
+ 	,sum(case when d_moy = 1
+ 		then ws_net_paid * ws_quantity else 0 end) as jan_net
+ 	,sum(case when d_moy = 2
+ 		then ws_net_paid * ws_quantity else 0 end) as feb_net
+ 	,sum(case when d_moy = 3
+ 		then ws_net_paid * ws_quantity else 0 end) as mar_net
+ 	,sum(case when d_moy = 4
+ 		then ws_net_paid * ws_quantity else 0 end) as apr_net
+ 	,sum(case when d_moy = 5
+ 		then ws_net_paid * ws_quantity else 0 end) as may_net
+ 	,sum(case when d_moy = 6
+ 		then ws_net_paid * ws_quantity else 0 end) as jun_net
+ 	,sum(case when d_moy = 7
+ 		then ws_net_paid * ws_quantity else 0 end) as jul_net
+ 	,sum(case when d_moy = 8
+ 		then ws_net_paid * ws_quantity else 0 end) as aug_net
+ 	,sum(case when d_moy = 9
+ 		then ws_net_paid * ws_quantity else 0 end) as sep_net
+ 	,sum(case when d_moy = 10
+ 		then ws_net_paid * ws_quantity else 0 end) as oct_net
+ 	,sum(case when d_moy = 11
+ 		then ws_net_paid * ws_quantity else 0 end) as nov_net
+ 	,sum(case when d_moy = 12
+ 		then ws_net_paid * ws_quantity else 0 end) as dec_net
+     from
+          web_sales
+         ,warehouse
+         ,date_dim
+         ,time_dim
+ 	  ,ship_mode
+     where
+            ws_warehouse_sk =  w_warehouse_sk
+        and ws_sold_date_sk = d_date_sk
+        and ws_sold_time_sk = t_time_sk
+ 	and ws_ship_mode_sk = sm_ship_mode_sk
+        and d_year = 2001
+ 	and t_time between 30838 and 30838+28800
+ 	and sm_carrier in ('DHL','BARIAN')
+     group by
+        w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+       ,d_year
+ union all
+     select
+ 	w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+ 	,'DHL' || ',' || 'BARIAN' as ship_carriers
+       ,d_year as dyear
+ 	,sum(case when d_moy = 1
+ 		then cs_sales_price* cs_quantity else 0 end) as jan_sales
+ 	,sum(case when d_moy = 2
+ 		then cs_sales_price* cs_quantity else 0 end) as feb_sales
+ 	,sum(case when d_moy = 3
+ 		then cs_sales_price* cs_quantity else 0 end) as mar_sales
+ 	,sum(case when d_moy = 4
+ 		then cs_sales_price* cs_quantity else 0 end) as apr_sales
+ 	,sum(case when d_moy = 5
+ 		then cs_sales_price* cs_quantity else 0 end) as may_sales
+ 	,sum(case when d_moy = 6
+ 		then cs_sales_price* cs_quantity else 0 end) as jun_sales
+ 	,sum(case when d_moy = 7
+ 		then cs_sales_price* cs_quantity else 0 end) as jul_sales
+ 	,sum(case when d_moy = 8
+ 		then cs_sales_price* cs_quantity else 0 end) as aug_sales
+ 	,sum(case when d_moy = 9
+ 		then cs_sales_price* cs_quantity else 0 end) as sep_sales
+ 	,sum(case when d_moy = 10
+ 		then cs_sales_price* cs_quantity else 0 end) as oct_sales
+ 	,sum(case when d_moy = 11
+ 		then cs_sales_price* cs_quantity else 0 end) as nov_sales
+ 	,sum(case when d_moy = 12
+ 		then cs_sales_price* cs_quantity else 0 end) as dec_sales
+ 	,sum(case when d_moy = 1
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as jan_net
+ 	,sum(case when d_moy = 2
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as feb_net
+ 	,sum(case when d_moy = 3
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as mar_net
+ 	,sum(case when d_moy = 4
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as apr_net
+ 	,sum(case when d_moy = 5
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as may_net
+ 	,sum(case when d_moy = 6
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as jun_net
+ 	,sum(case when d_moy = 7
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as jul_net
+ 	,sum(case when d_moy = 8
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as aug_net
+ 	,sum(case when d_moy = 9
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as sep_net
+ 	,sum(case when d_moy = 10
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as oct_net
+ 	,sum(case when d_moy = 11
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as nov_net
+ 	,sum(case when d_moy = 12
+ 		then cs_net_paid_inc_tax * cs_quantity else 0 end) as dec_net
+     from
+          catalog_sales
+         ,warehouse
+         ,date_dim
+         ,time_dim
+ 	 ,ship_mode
+     where
+            cs_warehouse_sk =  w_warehouse_sk
+        and cs_sold_date_sk = d_date_sk
+        and cs_sold_time_sk = t_time_sk
+ 	and cs_ship_mode_sk = sm_ship_mode_sk
+        and d_year = 2001
+ 	and t_time between 30838 AND 30838+28800
+ 	and sm_carrier in ('DHL','BARIAN')
+     group by
+        w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+       ,d_year
+ ) x
+ group by
+        w_warehouse_name
+ 	,w_warehouse_sq_ft
+ 	,w_city
+ 	,w_county
+ 	,w_state
+ 	,w_country
+ 	,ship_carriers
+       ,dyear
+ order by w_warehouse_name
+ limit 100
+"""
+
+# query71.sql — breakfast/dinner brand sales by minute across all three
+# channels. i_manager_id = 1 verbatim; money at the dollar boundary.
+_Q71 = """
+select i_brand_id brand_id, i_brand brand,t_hour,t_minute,
+ 	round(sum(ext_price) / 100, 2) ext_price
+ from item, (select ws_ext_sales_price as ext_price,
+                        ws_sold_date_sk as sold_date_sk,
+                        ws_item_sk as sold_item_sk,
+                        ws_sold_time_sk as time_sk
+                 from web_sales,date_dim
+                 where d_date_sk = ws_sold_date_sk
+                   and d_moy=11
+                   and d_year=1999
+                 union all
+                 select cs_ext_sales_price as ext_price,
+                        cs_sold_date_sk as sold_date_sk,
+                        cs_item_sk as sold_item_sk,
+                        cs_sold_time_sk as time_sk
+                 from catalog_sales,date_dim
+                 where d_date_sk = cs_sold_date_sk
+                   and d_moy=11
+                   and d_year=1999
+                 union all
+                 select ss_ext_sales_price as ext_price,
+                        ss_sold_date_sk as sold_date_sk,
+                        ss_item_sk as sold_item_sk,
+                        ss_sold_time_sk as time_sk
+                 from store_sales,date_dim
+                 where d_date_sk = ss_sold_date_sk
+                   and d_moy=11
+                   and d_year=1999
+                 ) tmp,time_dim
+ where
+   sold_item_sk = i_item_sk
+   and i_manager_id=1
+   and time_sk = t_time_sk
+   and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+ group by i_brand, i_brand_id,t_hour,t_minute
+ order by ext_price desc, i_brand_id
+"""
+
+# query72.sql — catalog orders short on inventory in the sold week
+# (9-way join with three date_dim roles and two LEFT joins). Verbatim
+# constants (all the demographic values exist); counts only, no money;
+# the trailing bare d_week_seq ORDER key qualified as d1 (ambiguous under
+# DuckDB's resolution with three date_dim instances).
+_Q72 = """
+select  i_item_desc
+      ,w_warehouse_name
+      ,d1.d_week_seq
+      ,sum(case when p_promo_sk is null then 1 else 0 end) no_promo
+      ,sum(case when p_promo_sk is not null then 1 else 0 end) promo
+      ,count(*) total_cnt
+from catalog_sales
+join inventory on (cs_item_sk = inv_item_sk)
+join warehouse on (w_warehouse_sk=inv_warehouse_sk)
+join item on (i_item_sk = cs_item_sk)
+join customer_demographics on (cs_bill_cdemo_sk = cd_demo_sk)
+join household_demographics on (cs_bill_hdemo_sk = hd_demo_sk)
+join date_dim d1 on (cs_sold_date_sk = d1.d_date_sk)
+join date_dim d2 on (inv_date_sk = d2.d_date_sk)
+join date_dim d3 on (cs_ship_date_sk = d3.d_date_sk)
+left outer join promotion on (cs_promo_sk=p_promo_sk)
+left outer join catalog_returns on (cr_item_sk = cs_item_sk and cr_order_number = cs_order_number)
+where d1.d_week_seq = d2.d_week_seq
+  and inv_quantity_on_hand < cs_quantity
+  and d3.d_date > d1.d_date + INTERVAL '5' day
+  and hd_buy_potential = '>10000'
+  and d1.d_year = 1999
+  and cd_marital_status = 'D'
+group by i_item_desc,w_warehouse_name,d1.d_week_seq
+order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq
+limit 100
+"""
+
+# query76.sql — NULL-key sales census per channel. The synthetic fact
+# carries NULL slices on ws_ship_customer_sk and cs_ship_addr_sk (1/43 of
+# lines); ss_store_sk is never NULL by construction (every synthetic sale
+# records a store), so the store branch is legitimately empty — the
+# census still exercises all three scans and the UNION.
+_Q76 = """
+select  channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt, round(SUM(ext_sales_price) / 100, 2) sales_amt FROM (
+        SELECT 'store' as channel, 'ss_store_sk' col_name, d_year, d_qoy, i_category, ss_ext_sales_price ext_sales_price
+         FROM store_sales, item, date_dim
+         WHERE ss_store_sk IS NULL
+           AND ss_sold_date_sk=d_date_sk
+           AND ss_item_sk=i_item_sk
+        UNION ALL
+        SELECT 'web' as channel, 'ws_ship_customer_sk' col_name, d_year, d_qoy, i_category, ws_ext_sales_price ext_sales_price
+         FROM web_sales, item, date_dim
+         WHERE ws_ship_customer_sk IS NULL
+           AND ws_sold_date_sk=d_date_sk
+           AND ws_item_sk=i_item_sk
+        UNION ALL
+        SELECT 'catalog' as channel, 'cs_ship_addr_sk' col_name, d_year, d_qoy, i_category, cs_ext_sales_price ext_sales_price
+         FROM catalog_sales, item, date_dim
+         WHERE cs_ship_addr_sk IS NULL
+           AND cs_sold_date_sk=d_date_sk
+           AND cs_item_sk=i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+limit 100
+"""
+
+# query78.sql — store loyalty vs other channels for unreturned sales
+# (LEFT-join anti pattern). The decimal(7,2) quantity cast dropped
+# (exact int sums); money at the dollar boundary; ratio is int/int → the
+# same double in both engines.
+_Q78 = """
+with ws as
+  (select d_year AS ws_sold_year, ws_item_sk,
+    ws_bill_customer_sk ws_customer_sk,
+    sum(ws_quantity) ws_qty,
+    sum(ws_wholesale_cost) ws_wc,
+    sum(ws_sales_price) ws_sp
+   from web_sales
+   left join web_returns on wr_order_number=ws_order_number and ws_item_sk=wr_item_sk
+   join date_dim on ws_sold_date_sk = d_date_sk
+   where wr_order_number is null
+   group by d_year, ws_item_sk, ws_bill_customer_sk
+   ),
+cs as
+  (select d_year AS cs_sold_year, cs_item_sk,
+    cs_bill_customer_sk cs_customer_sk,
+    sum(cs_quantity) cs_qty,
+    sum(cs_wholesale_cost) cs_wc,
+    sum(cs_sales_price) cs_sp
+   from catalog_sales
+   left join catalog_returns on cr_order_number=cs_order_number and cs_item_sk=cr_item_sk
+   join date_dim on cs_sold_date_sk = d_date_sk
+   where cr_order_number is null
+   group by d_year, cs_item_sk, cs_bill_customer_sk
+   ),
+ss as
+  (select d_year AS ss_sold_year, ss_item_sk,
+    ss_customer_sk,
+    sum(ss_quantity) ss_qty,
+    sum(ss_wholesale_cost) ss_wc,
+    sum(ss_sales_price) ss_sp
+   from store_sales
+   left join store_returns on sr_ticket_number=ss_ticket_number and ss_item_sk=sr_item_sk
+   join date_dim on ss_sold_date_sk = d_date_sk
+   where sr_ticket_number is null
+   group by d_year, ss_item_sk, ss_customer_sk
+   )
+ select
+ss_sold_year, ss_item_sk, ss_customer_sk,
+round(ss_qty/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2) ratio,
+ss_qty store_qty, round(ss_wc / 100, 2) store_wholesale_cost, round(ss_sp / 100, 2) store_sales_price,
+coalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,
+round((coalesce(ws_wc,0)+coalesce(cs_wc,0)) / 100, 2) other_chan_wholesale_cost,
+round((coalesce(ws_sp,0)+coalesce(cs_sp,0)) / 100, 2) other_chan_sales_price
+from ss
+left join ws on (ws_sold_year=ss_sold_year and ws_item_sk=ss_item_sk and ws_customer_sk=ss_customer_sk)
+left join cs on (cs_sold_year=ss_sold_year and cs_item_sk=ss_item_sk and cs_customer_sk=ss_customer_sk)
+where (coalesce(ws_qty,0)>0 or coalesce(cs_qty, 0)>0) and ss_sold_year=2000
+order by
+  ss_sold_year, ss_item_sk, ss_customer_sk,
+  ss_qty desc, ss_wc desc, ss_sp desc,
+  other_chan_qty,
+  other_chan_wholesale_cost,
+  other_chan_sales_price,
+  ratio
+limit 100
+"""
+
+# query88.sql — eight half-hour store-traffic buckets cross-joined
+# (single-row sides → broadcast nested loop). s_store_name 'ese' →
+# 'Store_5'; counts only.
+_Q88 = """
+select  *
+from
+ (select count(*) h8_30_to_9
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 8
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s1,
+ (select count(*) h9_to_9_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 9
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s2,
+ (select count(*) h9_30_to_10
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 9
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s3,
+ (select count(*) h10_to_10_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 10
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s4,
+ (select count(*) h10_30_to_11
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 10
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s5,
+ (select count(*) h11_to_11_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 11
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s6,
+ (select count(*) h11_30_to_12
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 11
+     and time_dim.t_minute >= 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s7,
+ (select count(*) h12_to_12_30
+ from store_sales, household_demographics , time_dim, store
+ where ss_sold_time_sk = time_dim.t_time_sk
+     and ss_hdemo_sk = household_demographics.hd_demo_sk
+     and ss_store_sk = s_store_sk
+     and time_dim.t_hour = 12
+     and time_dim.t_minute < 30
+     and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+          (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+          (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+     and store.s_store_name = 'Store_5') s8
+"""
+
+# query90.sql — web AM/PM traffic ratio. decimal(15,4) casts → double
+# with a nullif guard (Spark ANSI errors on a zero PM count); the
+# backtick `at` alias → am; ratio rounded to 4dp.
+_Q90 = """
+select  round(cast(amc as double)/nullif(cast(pmc as double), 0), 4) am_pm_ratio
+ from ( select count(*) amc
+       from web_sales, household_demographics , time_dim, web_page
+       where ws_sold_time_sk = time_dim.t_time_sk
+         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         and ws_web_page_sk = web_page.wp_web_page_sk
+         and time_dim.t_hour between 8 and 8+1
+         and household_demographics.hd_dep_count = 6
+         and web_page.wp_char_count between 5000 and 5200) am
+      ,( select count(*) pmc
+       from web_sales, household_demographics , time_dim, web_page
+       where ws_sold_time_sk = time_dim.t_time_sk
+         and ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+         and ws_web_page_sk = web_page.wp_web_page_sk
+         and time_dim.t_hour between 19 and 19+1
+         and household_demographics.hd_dep_count = 6
+         and web_page.wp_char_count between 5000 and 5200) pt
+ order by am_pm_ratio
+ limit 100
+"""
+
+# query96.sql — evening store-traffic count. s_store_name 'ese' →
+# 'Store_5'; the bare count aliased.
+_Q96 = """
+select  count(*) cnt
+from store_sales
+    ,household_demographics
+    ,time_dim, store
+where ss_sold_time_sk = time_dim.t_time_sk
+    and ss_hdemo_sk = household_demographics.hd_demo_sk
+    and ss_store_sk = s_store_sk
+    and time_dim.t_hour = 20
+    and time_dim.t_minute >= 30
+    and household_demographics.hd_dep_count = 7
+    and store.s_store_name = 'Store_5'
+order by count(*)
+limit 100
+"""
+
 TEXTS = {
     "tpcds_lit_q1": _Q1,
     "tpcds_lit_q2": _Q2,
@@ -2799,4 +3368,14 @@ TEXTS = {
     "tpcds_lit_q93": _Q93,
     "tpcds_lit_q95": _Q95,
     "tpcds_lit_q97": _Q97,
+    # wave 7
+    "tpcds_lit_q44": _Q44,
+    "tpcds_lit_q66": _Q66,
+    "tpcds_lit_q71": _Q71,
+    "tpcds_lit_q72": _Q72,
+    "tpcds_lit_q76": _Q76,
+    "tpcds_lit_q78": _Q78,
+    "tpcds_lit_q88": _Q88,
+    "tpcds_lit_q90": _Q90,
+    "tpcds_lit_q96": _Q96,
 }
