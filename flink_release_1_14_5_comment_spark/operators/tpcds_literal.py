@@ -117,7 +117,7 @@ store_sales AS (
   SELECT CAST({ddiff_orderdate} AS BIGINT) AS ss_sold_date_sk,
          l_partkey AS ss_item_sk,
          o_custkey AS ss_customer_sk,
-         1 + (o_custkey % 70) AS ss_cdemo_sk,
+         1 + ((o_custkey + l_orderkey) % 70) AS ss_cdemo_sk,
          1 + ((l_orderkey + l_linenumber) % 50) AS ss_promo_sk,
          1 + (l_suppkey % 12) AS ss_store_sk,
          1 + ((o_custkey + l_orderkey) % 20) AS ss_hdemo_sk,
@@ -500,8 +500,8 @@ catalog_returns AS (
          CAST(l_quantity AS INT) AS cr_return_quantity,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 90, 0) AS BIGINT) AS cr_return_amount,
          CAST(ROUND(l_extendedprice * ((1 - l_discount) * 90 + l_tax * 90), 0) AS BIGINT) AS cr_return_amt_inc_tax,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 80, 0) AS BIGINT) AS cr_refunded_cash,
-         CAST(ROUND(l_extendedprice * (1 - l_discount) * 7, 0) AS BIGINT) AS cr_reversed_charge,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 50, 0) AS BIGINT) AS cr_refunded_cash,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 5, 0) AS BIGINT) AS cr_reversed_charge,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 3, 0) AS BIGINT) AS cr_store_credit,
          CAST(ROUND(l_extendedprice * (1 - l_discount) * 30, 0) AS BIGINT) AS cr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey

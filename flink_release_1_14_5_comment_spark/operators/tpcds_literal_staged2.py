@@ -328,7 +328,9 @@ select
  limit 100
 """
 
-# query27.sql — d_year 2002 → 2001 (order dates end 2001-08); averages
+# query27.sql — d_year 2002 → 1996 (order dates end 2001-08, and the
+# 1/70-demographic × TN-store slice is empty at sf0.001 for 2001 — an
+# empty ROLLUP input is the q80 engine-divergence trap); averages
 # rounded (q7's standard, cents at the dollar boundary); NULLS FIRST on
 # the ROLLUP order keys.
 _Q27 = """
@@ -346,7 +348,7 @@ select  i_item_id,
        cd_gender = 'M' and
        cd_marital_status = 'S' and
        cd_education_status = 'College' and
-       d_year = 2001 and
+       d_year = 1996 and
        s_state in ('TN','TN', 'TN', 'TN', 'TN', 'TN')
  group by rollup (i_item_id, s_state)
  order by i_item_id nulls first
@@ -3311,6 +3313,135 @@ order by count(*)
 limit 100
 """
 
+# ---- wave 8: the q64 cross-sales monster --------------------------------
+
+# query64.sql — the 18-relation cross-sales self-join (two demographic /
+# household / address / income-band roles, three date roles, the cs_ui
+# refund-gated catalog aggregate). Adaptations: i_color list and the
+# double price band retargeted into the synthetic domains; the duplicate
+# output names (syear/cnt from both sides) aliased *1/*2; money at the
+# dollar boundary.
+_Q64 = """
+with cs_ui as
+ (select cs_item_sk
+        ,sum(cs_ext_list_price) as sale,sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit) as refund
+  from catalog_sales
+      ,catalog_returns
+  where cs_item_sk = cr_item_sk
+    and cs_order_number = cr_order_number
+  group by cs_item_sk
+  having sum(cs_ext_list_price)>2*sum(cr_refunded_cash+cr_reversed_charge+cr_store_credit)),
+cross_sales as
+ (select i_product_name product_name
+     ,i_item_sk item_sk
+     ,s_store_name store_name
+     ,s_zip store_zip
+     ,ad1.ca_street_number b_street_number
+     ,ad1.ca_street_name b_street_name
+     ,ad1.ca_city b_city
+     ,ad1.ca_zip b_zip
+     ,ad2.ca_street_number c_street_number
+     ,ad2.ca_street_name c_street_name
+     ,ad2.ca_city c_city
+     ,ad2.ca_zip c_zip
+     ,d1.d_year as syear
+     ,d2.d_year as fsyear
+     ,d3.d_year s2year
+     ,count(*) cnt
+     ,sum(ss_wholesale_cost) s1
+     ,sum(ss_list_price) s2
+     ,sum(ss_coupon_amt) s3
+  FROM   store_sales
+        ,store_returns
+        ,cs_ui
+        ,date_dim d1
+        ,date_dim d2
+        ,date_dim d3
+        ,store
+        ,customer
+        ,customer_demographics cd1
+        ,customer_demographics cd2
+        ,promotion
+        ,household_demographics hd1
+        ,household_demographics hd2
+        ,customer_address ad1
+        ,customer_address ad2
+        ,income_band ib1
+        ,income_band ib2
+        ,item
+  WHERE  ss_store_sk = s_store_sk AND
+         ss_sold_date_sk = d1.d_date_sk AND
+         ss_customer_sk = c_customer_sk AND
+         ss_cdemo_sk= cd1.cd_demo_sk AND
+         ss_hdemo_sk = hd1.hd_demo_sk AND
+         ss_addr_sk = ad1.ca_address_sk and
+         ss_item_sk = i_item_sk and
+         ss_item_sk = sr_item_sk and
+         ss_ticket_number = sr_ticket_number and
+         ss_item_sk = cs_ui.cs_item_sk and
+         c_current_cdemo_sk = cd2.cd_demo_sk AND
+         c_current_hdemo_sk = hd2.hd_demo_sk AND
+         c_current_addr_sk = ad2.ca_address_sk and
+         c_first_sales_date_sk = d2.d_date_sk and
+         c_first_shipto_date_sk = d3.d_date_sk and
+         ss_promo_sk = p_promo_sk and
+         hd1.hd_income_band_sk = ib1.ib_income_band_sk and
+         hd2.hd_income_band_sk = ib2.ib_income_band_sk and
+         cd1.cd_marital_status <> cd2.cd_marital_status and
+         i_color in ('col_1','col_3','col_5','col_7','col_9','col_11') and
+         i_current_price between 900 and 900 + 60 and
+         i_current_price between 900 + 5 and 900 + 70
+group by i_product_name
+       ,i_item_sk
+       ,s_store_name
+       ,s_zip
+       ,ad1.ca_street_number
+       ,ad1.ca_street_name
+       ,ad1.ca_city
+       ,ad1.ca_zip
+       ,ad2.ca_street_number
+       ,ad2.ca_street_name
+       ,ad2.ca_city
+       ,ad2.ca_zip
+       ,d1.d_year
+       ,d2.d_year
+       ,d3.d_year
+)
+select cs1.product_name
+     ,cs1.store_name
+     ,cs1.store_zip
+     ,cs1.b_street_number
+     ,cs1.b_street_name
+     ,cs1.b_city
+     ,cs1.b_zip
+     ,cs1.c_street_number
+     ,cs1.c_street_name
+     ,cs1.c_city
+     ,cs1.c_zip
+     ,cs1.syear syear1
+     ,cs1.cnt cnt1
+     ,round(cs1.s1 / 100, 2) as s11
+     ,round(cs1.s2 / 100, 2) as s21
+     ,round(cs1.s3 / 100, 2) as s31
+     ,round(cs2.s1 / 100, 2) as s12
+     ,round(cs2.s2 / 100, 2) as s22
+     ,round(cs2.s3 / 100, 2) as s32
+     ,cs2.syear syear2
+     ,cs2.cnt cnt2
+from cross_sales cs1,cross_sales cs2
+where cs1.item_sk=cs2.item_sk and
+     cs1.syear = 1999 and
+     cs2.syear = 1999 + 1 and
+     cs2.cnt <= cs1.cnt and
+     cs1.store_name = cs2.store_name and
+     cs1.store_zip = cs2.store_zip
+order by cs1.product_name
+       ,cs1.store_name
+       ,cs2.cnt
+       ,cs1.s1
+       ,cs2.s1
+"""
+
 TEXTS = {
     "tpcds_lit_q1": _Q1,
     "tpcds_lit_q2": _Q2,
@@ -3378,4 +3509,6 @@ TEXTS = {
     "tpcds_lit_q88": _Q88,
     "tpcds_lit_q90": _Q90,
     "tpcds_lit_q96": _Q96,
+    # wave 8
+    "tpcds_lit_q64": _Q64,
 }
