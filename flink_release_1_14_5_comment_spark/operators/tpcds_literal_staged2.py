@@ -1,8 +1,16 @@
-"""Literal TPC-DS batch 5, wave 2 (STAGED): fourteen more of the
+"""Literal TPC-DS batch 5, waves 2-8 (STAGED): the remaining 70 of the
 reference's verbatim query texts (tpcds-tool/query/queryN.sql — the gate
 list at flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:
-76-87), unlocked by the round-8 star-schema additions (store_returns,
-inventory, d_week_seq/d_quarter_name, ss_ext_discount_amt, cs_net_profit):
+76-87), completing ALL 103 texts together with the 33 graded ones.
+
+PROVENANCE: these are the public TPC-DS benchmark query corpus as shipped
+in the reference's tpcds-tool — running the reference's own literal gate
+IS the parity target, so the texts are embedded near-verbatim with every
+adaptation documented per query (the round-7 review adjudicated the same
+embedding for the first 28 texts: benchmark corpus, not implementation
+code). Wave 2 was unlocked by the round-8 star-schema additions
+(store_returns, inventory, d_week_seq/d_quarter_name,
+ss_ext_discount_amt, cs_net_profit):
 
 * returns-family: q1 (per-store return concentration, correlated avg),
   q17/q25/q29 (the sale→return→catalog-repurchase triple-fact chain —
