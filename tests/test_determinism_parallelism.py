@@ -72,3 +72,37 @@ def test_oracle_parity_under_odd_parallelism():
     assert r.returncode == 0, r.stderr[-4000:]
     for name in QUERIES:
         assert f"DETERMINISM_OK {name}" in r.stdout, name
+
+
+# Round-8 staged literal mechanisms whose floating aggregates are the
+# partition-order-sensitive kind: stddev_samp/cov 4dp rounds (q17, q39a),
+# avg-of-double rollup under a NULLS FIRST LIMIT cut (q22), double return
+# ratios feeding rank windows (q49), and the q64 cross-sales self-join's
+# integer-cents sums. Same odd-shape subprocess, driving STAGED_QUERIES.
+STAGED_REPS = ["tpcds_lit_q17", "tpcds_lit_q39a", "tpcds_lit_q22",
+               "tpcds_lit_q49", "tpcds_lit_q64"]
+
+STAGED_SCRIPT = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[3]")
+         .config("spark.sql.shuffle.partitions", "7")
+         .config("spark.default.parallelism", "3")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+from flink_release_1_14_5_comment_spark.operators import tpcds_literal as t
+from tests.oracle_util import compare, duckdb_conn
+con = duckdb_conn("/root/testdata/sf0.001")
+for name in {STAGED_REPS!r}:
+    compare(t.STAGED_QUERIES[name](spark, "/root/testdata/sf0.001"),
+            con.execute(t.STAGED_ORACLE[name]).fetchdf(), name)
+    print("DETERMINISM_OK", name)
+"""
+
+
+def test_staged_literal_under_odd_parallelism():
+    r = subprocess.run([sys.executable, "-c", STAGED_SCRIPT],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-4000:]
+    for name in STAGED_REPS:
+        assert f"DETERMINISM_OK {name}" in r.stdout, name
