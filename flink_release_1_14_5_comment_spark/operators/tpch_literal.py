@@ -1,0 +1,931 @@
+"""LITERAL TPC-H: the 22 official query texts over a spec-completed schema.
+
+The reference's TPC-H e2e gate (flink-end-to-end-tests/flink-tpch-test/
+.../TpchDataGenerator.java:80-88) runs the 22 queries it copies verbatim
+from the airlift tpch jar (`/io/airlift/tpch/queries/qN.sql` — the public
+TPC-H benchmark corpus with the spec's validation parameters).
+operators/tpch.py covers all 22 plan shapes ADAPTED to the driver's
+trimmed schema; THIS module goes the rest of the way, exactly like the
+literal TPC-DS suite: the missing spec columns are DERIVED
+DETERMINISTICALLY by pure per-row expressions shared by both engines, and
+the official texts run verbatim on top.
+
+Spec completion (per-row maps over the same parquet, nothing written):
+* lineitem  += l_commitdate / l_receiptdate (shipdate ± modular days —
+  date+int arithmetic is identical in Spark and DuckDB), l_shipmode
+  (the spec's 7-value vocabulary), l_shipinstruct (4-value)
+* orders    += o_shippriority (the spec constant 0), o_clerk,
+  o_comment (~1/23 of orders match Q13's '%special%requests%' pattern)
+* customer  += c_address, c_comment, c_phone — country code =
+  10 + c_nationkey, so Q22's literal code list ('13','31',…) is the
+  nations 3/21/13/19/20/8/7
+* part      += p_mfgr, p_container (the spec's container vocabulary —
+  Q17's 'MED BOX' and Q19's SM/MED/LG families exist)
+* supplier  += s_address, s_phone, s_comment (~1/13 match Q16's
+  '%Customer%Complaints%')
+* nation    += n_comment
+* partsupp  := the adapted suite's derivation verbatim (tpch.py _PS_CTE —
+  every traded (l_partkey, l_suppkey) pair, FLOOR-exact min unit price as
+  ps_supplycost; the round-5 cross-engine ULP lesson lives there) +
+  ps_comment
+
+The completion CTEs SHADOW the base table names so the official texts run
+unchanged. Spark resolves a CTE's self-reference to the underlying temp
+view; DuckDB calls that circular, so its side reads the schema-qualified
+`main.<table>` — the one engine-specific token, parameterized like the
+literal TPC-DS star's `{s}`.
+
+Documented constant retargets (the literal-TPC-DS standard — selectivity
+constants moved into the synthetic domains, everything else verbatim):
+dates start 1995 (spec 1992) so 1993/1994 windows → 1996; nation names
+are NATION_0..24 (FRANCE→NATION_6, GERMANY→NATION_7, BRAZIL→NATION_2,
+CANADA→NATION_3, SAUDI ARABIA→NATION_20); p_type is single-word
+('%BRASS'→'%ECONOMY', 'ECONOMY ANODIZED STEEL'→'ECONOMY',
+'MEDIUM POLISHED%'→'MEDIUM%'); p_name colors ('%green%'→'%red%',
+'forest%'→'red%'); Brand#45→Brand#35 (synthetic brands stop at 40);
+Q19's 'AIR REG' → 'REG AIR' (the spec mode vocabulary this schema
+derives). Money stays double (testdata prices are dollars); revenue sums
+round to 4dp and averages to 4dp exactly like the adapted suite; Q15's
+CREATE VIEW becomes a CTE.
+
+STAGED like the literal TPC-DS batch 5: verified against DuckDB at
+sf0.001/0.01/0.1 (tests/test_tpch_literal.py) but kept out of
+queries()/oracle_sql() under the r8 addition freeze; the r9 flip is one
+dict move.
+
+100 TB: the completion layer is scan-level projection (zero shuffles) +
+partsupp's one map-side-combined groupBy; every query keeps the plan
+shape the adapted suite already audits (broadcast dim chains, pushed date
+filters, semi/anti decorrelation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_release_1_14_5_comment_spark.catalog import register_views
+
+
+def _spec_ctes(src: str) -> str:
+    """src = '' for Spark (CTE self-shadow reads the temp view),
+    'main.' for DuckDB (schema-qualified base bypasses the CTE name)."""
+    return f"""lineitem AS (
+  SELECT *,
+         CAST(l_shipdate AS DATE) + CAST((l_orderkey + l_linenumber) % 61 - 30 AS INT) AS l_commitdate,
+         CAST(l_shipdate AS DATE) + CAST(1 + (l_orderkey + l_suppkey) % 30 AS INT) AS l_receiptdate,
+         CASE CAST((l_orderkey + l_linenumber) % 7 AS INT)
+              WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+              WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+              ELSE 'FOB' END AS l_shipmode,
+         CASE CAST((l_orderkey + l_suppkey + l_linenumber) % 4 AS INT)
+              WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD'
+              WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct
+  FROM {src}lineitem
+),
+orders AS (
+  SELECT *,
+         CAST(0 AS INT) AS o_shippriority,
+         CONCAT('Clerk#', lpad(CAST(o_orderkey % 1000 AS STRING), 9, '0')) AS o_clerk,
+         CASE WHEN o_orderkey % 23 = 0
+              THEN 'was special asking for requests to be handled'
+              ELSE CONCAT('routine order note ', CAST(o_orderkey % 97 AS STRING))
+         END AS o_comment
+  FROM {src}orders
+),
+customer AS (
+  -- base customers + a 5% synthetic ORDER-LESS block (keys above 1e9):
+  -- the trimmed generator gives every customer at least one order, which
+  -- would make Q22's NOT EXISTS anti-join vacuously empty.
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         CONCAT('Address_', CAST(c_custkey % 997 AS STRING)) AS c_address,
+         CONCAT(CAST(10 + c_nationkey AS STRING), '-',
+                lpad(CAST(c_custkey % 900 + 100 AS STRING), 3, '0'), '-',
+                lpad(CAST((c_custkey * 7) % 900 + 100 AS STRING), 3, '0'), '-',
+                lpad(CAST((c_custkey * 13) % 9000 + 1000 AS STRING), 4, '0')) AS c_phone,
+         CONCAT('customer comment ', CAST(c_custkey % 89 AS STRING)) AS c_comment
+  FROM {src}customer
+  UNION ALL
+  SELECT c_custkey + 1000000000 AS c_custkey,
+         CONCAT(c_name, '_noorder') AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment,
+         CONCAT('Address_', CAST((c_custkey + 13) % 997 AS STRING)) AS c_address,
+         CONCAT(CAST(10 + c_nationkey AS STRING), '-',
+                lpad(CAST((c_custkey + 3) % 900 + 100 AS STRING), 3, '0'), '-',
+                lpad(CAST((c_custkey * 7 + 3) % 900 + 100 AS STRING), 3, '0'), '-',
+                lpad(CAST((c_custkey * 13 + 3) % 9000 + 1000 AS STRING), 4, '0')) AS c_phone,
+         CONCAT('customer comment ', CAST((c_custkey + 7) % 89 AS STRING)) AS c_comment
+  FROM {src}customer
+  WHERE c_custkey % 20 = 0
+),
+part AS (
+  SELECT *,
+         CONCAT('Manufacturer#', CAST(1 + (p_partkey % 5) AS STRING)) AS p_mfgr,
+         CASE CAST(p_partkey % 8 AS INT)
+              WHEN 0 THEN 'SM CASE' WHEN 1 THEN 'SM BOX' WHEN 2 THEN 'SM PACK'
+              WHEN 3 THEN 'MED BAG' WHEN 4 THEN 'MED BOX' WHEN 5 THEN 'MED PACK'
+              WHEN 6 THEN 'LG CASE' ELSE 'LG BOX' END AS p_container,
+         CONCAT('part comment ', CAST(p_partkey % 83 AS STRING)) AS p_comment
+  FROM {src}part
+),
+supplier AS (
+  SELECT *,
+         CONCAT('SupplierAddr_', CAST(s_suppkey % 499 AS STRING)) AS s_address,
+         CONCAT(CAST(10 + s_nationkey AS STRING), '-',
+                lpad(CAST(s_suppkey % 900 + 100 AS STRING), 3, '0'), '-',
+                lpad(CAST((s_suppkey * 7) % 900 + 100 AS STRING), 3, '0'), '-',
+                lpad(CAST((s_suppkey * 13) % 9000 + 1000 AS STRING), 4, '0')) AS s_phone,
+         CASE WHEN s_suppkey % 13 = 0
+              THEN 'careful Customer noted Complaints repeatedly'
+              ELSE CONCAT('supplier comment ', CAST(s_suppkey % 71 AS STRING))
+         END AS s_comment
+  FROM {src}supplier
+),
+nation AS (
+  SELECT *, CONCAT('about ', n_name) AS n_comment FROM {src}nation
+),
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         FLOOR(MIN(l_extendedprice / l_quantity) * 1000000) / CAST(1000000 AS DOUBLE) AS ps_supplycost,
+         ROUND(SUM(l_quantity), 2) AS ps_availqty,
+         CONCAT('ps comment ', CAST(l_partkey % 79 AS STRING)) AS ps_comment
+  FROM {src}lineitem
+  GROUP BY l_partkey, l_suppkey
+)"""
+
+
+# q1.sql — verbatim (the 90-day delta off 1998-12-01 lands mid-corpus);
+# float aggregates rounded to 4dp.
+_Q1 = """
+select
+  l_returnflag,
+  l_linestatus,
+  sum(l_quantity) as sum_qty,
+  round(sum(l_extendedprice), 4) as sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) as sum_charge,
+  round(avg(l_quantity), 4) as avg_qty,
+  round(avg(l_extendedprice), 4) as avg_price,
+  round(avg(l_discount), 4) as avg_disc,
+  count(*) as count_order
+from
+  lineitem
+where
+  l_shipdate <= date '1998-12-01' - interval '90' day
+group by
+  l_returnflag,
+  l_linestatus
+order by
+  l_returnflag,
+  l_linestatus
+"""
+
+# q2.sql — '%BRASS' → '%ECONOMY' (single-word p_type vocabulary);
+# s_acctbal rounded.
+_Q2 = """
+select
+  round(s_acctbal, 2) as s_acctbal,
+  s_name,
+  n_name,
+  p_partkey,
+  p_mfgr,
+  s_address,
+  s_phone,
+  s_comment
+from
+  part,
+  supplier,
+  partsupp,
+  nation,
+  region
+where
+  p_partkey = ps_partkey
+  and s_suppkey = ps_suppkey
+  and p_size = 15
+  and p_type like '%ECONOMY'
+  and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey
+  and r_name = 'EUROPE'
+  and ps_supplycost = (
+    select
+      min(ps_supplycost)
+    from
+      partsupp,
+      supplier,
+      nation,
+      region
+    where
+      p_partkey = ps_partkey
+      and s_suppkey = ps_suppkey
+      and s_nationkey = n_nationkey
+      and n_regionkey = r_regionkey
+      and r_name = 'EUROPE'
+  )
+order by
+  s_acctbal desc,
+  n_name,
+  s_name,
+  p_partkey
+limit 100
+"""
+
+# q3.sql — verbatim ('BUILDING', 1995-03-15 both exist).
+_Q3 = """
+select
+  l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+  o_orderdate,
+  o_shippriority
+from
+  customer,
+  orders,
+  lineitem
+where
+  c_mktsegment = 'BUILDING'
+  and c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and o_orderdate < date '1995-03-15'
+  and l_shipdate > date '1995-03-15'
+group by
+  l_orderkey,
+  o_orderdate,
+  o_shippriority
+order by
+  revenue desc,
+  o_orderdate
+limit 10
+"""
+
+# q4.sql — 1993-07-01 → 1996-07-01 (dates start 1995).
+_Q4 = """
+select
+  o_orderpriority,
+  count(*) as order_count
+from
+  orders
+where
+  o_orderdate >= date '1996-07-01'
+  and o_orderdate < date '1996-07-01' + interval '3' month
+  and exists (
+    select
+      *
+    from
+      lineitem
+    where
+      l_orderkey = o_orderkey
+      and l_commitdate < l_receiptdate
+  )
+group by
+  o_orderpriority
+order by
+  o_orderpriority
+"""
+
+# q5.sql — 1994 → 1996.
+_Q5 = """
+select
+  n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue
+from
+  customer,
+  orders,
+  lineitem,
+  supplier,
+  nation,
+  region
+where
+  c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and l_suppkey = s_suppkey
+  and c_nationkey = s_nationkey
+  and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey
+  and r_name = 'ASIA'
+  and o_orderdate >= date '1996-01-01'
+  and o_orderdate < date '1996-01-01' + interval '1' year
+group by
+  n_name
+order by
+  revenue desc
+"""
+
+# q6.sql — 1994 → 1996.
+_Q6 = """
+select
+  round(sum(l_extendedprice * l_discount), 4) as revenue
+from
+  lineitem
+where
+  l_shipdate >= date '1996-01-01'
+  and l_shipdate < date '1996-01-01' + interval '1' year
+  and l_discount between 0.06 - 0.01 and 0.06 + 0.01
+  and l_quantity < 24
+"""
+
+# q7.sql — FRANCE/GERMANY → NATION_6/NATION_7.
+_Q7 = """
+select
+  supp_nation,
+  cust_nation,
+  l_year,
+  round(sum(volume), 4) as revenue
+from
+  (
+    select
+      n1.n_name as supp_nation,
+      n2.n_name as cust_nation,
+      extract(year from l_shipdate) as l_year,
+      l_extendedprice * (1 - l_discount) as volume
+    from
+      supplier,
+      lineitem,
+      orders,
+      customer,
+      nation n1,
+      nation n2
+    where
+      s_suppkey = l_suppkey
+      and o_orderkey = l_orderkey
+      and c_custkey = o_custkey
+      and s_nationkey = n1.n_nationkey
+      and c_nationkey = n2.n_nationkey
+      and (
+        (n1.n_name = 'NATION_6' and n2.n_name = 'NATION_7')
+        or (n1.n_name = 'NATION_7' and n2.n_name = 'NATION_6')
+      )
+      and l_shipdate between date '1995-01-01' and date '1996-12-31'
+  ) as shipping
+group by
+  supp_nation,
+  cust_nation,
+  l_year
+order by
+  supp_nation,
+  cust_nation,
+  l_year
+"""
+
+# q8.sql — BRAZIL → NATION_2; 'ECONOMY ANODIZED STEEL' → 'ECONOMY';
+# the market-share ratio divides 4dp-stable sums of exact products.
+_Q8 = """
+select
+  o_year,
+  round(sum(case
+    when nation = 'NATION_2' then volume
+    else 0
+  end) / sum(volume), 4) as mkt_share
+from
+  (
+    select
+      extract(year from o_orderdate) as o_year,
+      l_extendedprice * (1 - l_discount) as volume,
+      n2.n_name as nation
+    from
+      part,
+      supplier,
+      lineitem,
+      orders,
+      customer,
+      nation n1,
+      nation n2,
+      region
+    where
+      p_partkey = l_partkey
+      and s_suppkey = l_suppkey
+      and l_orderkey = o_orderkey
+      and o_custkey = c_custkey
+      and c_nationkey = n1.n_nationkey
+      and n1.n_regionkey = r_regionkey
+      and r_name = 'AMERICA'
+      and s_nationkey = n2.n_nationkey
+      and o_orderdate between date '1995-01-01' and date '1996-12-31'
+      and p_type = 'ECONOMY'
+  ) as all_nations
+group by
+  o_year
+order by
+  o_year
+"""
+
+# q9.sql — '%green%' → '%red%'; the amount computed in DECIMAL arithmetic
+# and summed exactly (the adapted suite's q9 convention — a double SUM of
+# ~1e5 addends lands on 4dp half-boundaries at sf0.1 and the engines
+# round opposite ways), cast to double only at the output.
+_Q9 = """
+select
+  nation,
+  o_year,
+  cast(sum(amount) as double) as sum_profit
+from
+  (
+    select
+      n_name as nation,
+      extract(year from o_orderdate) as o_year,
+      cast(l_extendedprice as decimal(18, 2))
+        * (cast(1 as decimal(3, 2)) - cast(l_discount as decimal(4, 2)))
+        - cast(ps_supplycost as decimal(18, 6))
+        * cast(l_quantity as decimal(18, 0)) as amount
+    from
+      part,
+      supplier,
+      lineitem,
+      partsupp,
+      orders,
+      nation
+    where
+      s_suppkey = l_suppkey
+      and ps_suppkey = l_suppkey
+      and ps_partkey = l_partkey
+      and p_partkey = l_partkey
+      and o_orderkey = l_orderkey
+      and s_nationkey = n_nationkey
+      and p_name like '%red%'
+  ) as profit
+group by
+  nation,
+  o_year
+order by
+  nation,
+  o_year desc
+"""
+
+# q10.sql — 1993-10-01 → 1996-10-01.
+_Q10 = """
+select
+  c_custkey,
+  c_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+  round(c_acctbal, 2) as c_acctbal,
+  n_name,
+  c_address,
+  c_phone,
+  c_comment
+from
+  customer,
+  orders,
+  lineitem,
+  nation
+where
+  c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and o_orderdate >= date '1996-10-01'
+  and o_orderdate < date '1996-10-01' + interval '3' month
+  and l_returnflag = 'R'
+  and c_nationkey = n_nationkey
+group by
+  c_custkey,
+  c_name,
+  c_acctbal,
+  c_phone,
+  n_name,
+  c_address,
+  c_comment
+order by
+  revenue desc
+limit 20
+"""
+
+# q11.sql — GERMANY → NATION_7; the value sums stay raw inside the HAVING
+# comparison (both engines compute the identical doubles from the
+# FLOOR-exact supplycost) and round only at the output.
+_Q11 = """
+select
+  ps_partkey,
+  round(sum(ps_supplycost * ps_availqty), 4) as value
+from
+  partsupp,
+  supplier,
+  nation
+where
+  ps_suppkey = s_suppkey
+  and s_nationkey = n_nationkey
+  and n_name = 'NATION_7'
+group by
+  ps_partkey
+having
+  sum(ps_supplycost * ps_availqty) > (
+    select
+      sum(ps_supplycost * ps_availqty) * 0.0001000000
+    from
+      partsupp,
+      supplier,
+      nation
+    where
+      ps_suppkey = s_suppkey
+      and s_nationkey = n_nationkey
+      and n_name = 'NATION_7'
+  )
+order by
+  value desc
+limit 100
+"""
+
+# q12.sql — 1994 → 1996.
+_Q12 = """
+select
+  l_shipmode,
+  sum(case
+    when o_orderpriority = '1-URGENT'
+      or o_orderpriority = '2-HIGH'
+      then 1
+    else 0
+  end) as high_line_count,
+  sum(case
+    when o_orderpriority <> '1-URGENT'
+      and o_orderpriority <> '2-HIGH'
+      then 1
+    else 0
+  end) as low_line_count
+from
+  orders,
+  lineitem
+where
+  o_orderkey = l_orderkey
+  and l_shipmode in ('MAIL', 'SHIP')
+  and l_commitdate < l_receiptdate
+  and l_shipdate < l_commitdate
+  and l_receiptdate >= date '1996-01-01'
+  and l_receiptdate < date '1996-01-01' + interval '1' year
+group by
+  l_shipmode
+order by
+  l_shipmode
+"""
+
+# q13.sql — verbatim (the derived o_comment gives the pattern ~1/23 of
+# orders).
+_Q13 = """
+select
+  c_count,
+  count(*) as custdist
+from
+  (
+    select
+      c_custkey,
+      count(o_orderkey) as c_count
+    from
+      customer left outer join orders on
+        c_custkey = o_custkey
+        and o_comment not like '%special%requests%'
+    group by
+      c_custkey
+  ) as c_orders
+group by
+  c_count
+order by
+  custdist desc,
+  c_count desc
+"""
+
+# q14.sql — verbatim (single-word p_type makes 'PROMO%' a real slice).
+_Q14 = """
+select
+  round(100.00 * sum(case
+    when p_type like 'PROMO%'
+      then l_extendedprice * (1 - l_discount)
+    else 0
+  end) / sum(l_extendedprice * (1 - l_discount)), 4) as promo_revenue
+from
+  lineitem,
+  part
+where
+  l_partkey = p_partkey
+  and l_shipdate >= date '1995-09-01'
+  and l_shipdate < date '1995-09-01' + interval '1' month
+"""
+
+# q15.sql — the reference text CREATEs a revenue view; expressed as a CTE
+# (the only structural adaptation in the suite). total_revenue is rounded
+# inside the CTE so the MAX equality compares the identical rounded
+# doubles in both engines.
+_Q15 = """
+with revenue0 as (
+  select
+    l_suppkey as supplier_no,
+    round(sum(l_extendedprice * (1 - l_discount)), 4) as total_revenue
+  from
+    lineitem
+  where
+    l_shipdate >= date '1996-01-01'
+    and l_shipdate < date '1996-01-01' + interval '3' month
+  group by
+    l_suppkey
+)
+select
+  s_suppkey,
+  s_name,
+  s_address,
+  s_phone,
+  total_revenue
+from
+  supplier,
+  revenue0
+where
+  s_suppkey = supplier_no
+  and total_revenue = (
+    select
+      max(total_revenue)
+    from
+      revenue0
+  )
+order by
+  s_suppkey
+"""
+
+# q16.sql — Brand#45 → Brand#35 (synthetic brands stop at 40);
+# 'MEDIUM POLISHED%' → 'MEDIUM%'; sizes verbatim (1..50 domain).
+_Q16 = """
+select
+  p_brand,
+  p_type,
+  p_size,
+  count(distinct ps_suppkey) as supplier_cnt
+from
+  partsupp,
+  part
+where
+  p_partkey = ps_partkey
+  and p_brand <> 'Brand#35'
+  and p_type not like 'MEDIUM%'
+  and p_size in (49, 14, 23, 45, 19, 3, 36, 9)
+  and ps_suppkey not in (
+    select
+      s_suppkey
+    from
+      supplier
+    where
+      s_comment like '%Customer%Complaints%'
+  )
+group by
+  p_brand,
+  p_type,
+  p_size
+order by
+  supplier_cnt desc,
+  p_brand,
+  p_type,
+  p_size
+limit 100
+"""
+
+# q17.sql — verbatim (Brand#23 and 'MED BOX' exist); the correlated
+# 0.2×avg threshold compares identically (exact sum/count division).
+_Q17 = """
+select
+  round(sum(l_extendedprice) / 7.0, 4) as avg_yearly
+from
+  lineitem,
+  part
+where
+  p_partkey = l_partkey
+  and p_brand = 'Brand#23'
+  and p_container = 'MED BOX'
+  and l_quantity < (
+    select
+      0.2 * avg(l_quantity)
+    from
+      lineitem
+    where
+      l_partkey = p_partkey
+  )
+"""
+
+# q18.sql — verbatim (sum(l_quantity) > 300 is non-degenerate: synthetic
+# orders top out at ~460 units).
+_Q18 = """
+select
+  c_name,
+  c_custkey,
+  o_orderkey,
+  o_orderdate,
+  round(o_totalprice, 2) as o_totalprice,
+  sum(l_quantity) as total_quantity
+from
+  customer,
+  orders,
+  lineitem
+where
+  o_orderkey in (
+    select
+      l_orderkey
+    from
+      lineitem
+    group by
+      l_orderkey
+    having
+      sum(l_quantity) > 300
+  )
+  and c_custkey = o_custkey
+  and o_orderkey = l_orderkey
+group by
+  c_name,
+  c_custkey,
+  o_orderkey,
+  o_orderdate,
+  o_totalprice
+order by
+  o_totalprice desc,
+  o_orderdate
+limit 100
+"""
+
+# q19.sql — 'AIR REG' → 'REG AIR' (the spec mode vocabulary this schema
+# derives); everything else verbatim.
+_Q19 = """
+select
+  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue
+from
+  lineitem,
+  part
+where
+  (
+    p_partkey = l_partkey
+    and p_brand = 'Brand#12'
+    and p_container in ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
+    and l_quantity >= 1 and l_quantity <= 1 + 10
+    and p_size between 1 and 5
+    and l_shipmode in ('AIR', 'REG AIR')
+    and l_shipinstruct = 'DELIVER IN PERSON'
+  )
+  or
+  (
+    p_partkey = l_partkey
+    and p_brand = 'Brand#23'
+    and p_container in ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
+    and l_quantity >= 10 and l_quantity <= 10 + 10
+    and p_size between 1 and 10
+    and l_shipmode in ('AIR', 'REG AIR')
+    and l_shipinstruct = 'DELIVER IN PERSON'
+  )
+  or
+  (
+    p_partkey = l_partkey
+    and p_brand = 'Brand#34'
+    and p_container in ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
+    and l_quantity >= 20 and l_quantity <= 20 + 10
+    and p_size between 1 and 15
+    and l_shipmode in ('AIR', 'REG AIR')
+    and l_shipinstruct = 'DELIVER IN PERSON'
+  )
+"""
+
+# q20.sql — 'forest%' → 'red%'; 1994 → 1996; CANADA → NATION_3.
+_Q20 = """
+select
+  s_name,
+  s_address
+from
+  supplier,
+  nation
+where
+  s_suppkey in (
+    select
+      ps_suppkey
+    from
+      partsupp
+    where
+      ps_partkey in (
+        select
+          p_partkey
+        from
+          part
+        where
+          p_name like 'red%'
+      )
+      and ps_availqty > (
+        select
+          0.5 * sum(l_quantity)
+        from
+          lineitem
+        where
+          l_partkey = ps_partkey
+          and l_suppkey = ps_suppkey
+          and l_shipdate >= date '1996-01-01'
+          and l_shipdate < date '1996-01-01' + interval '1' year
+      )
+  )
+  and s_nationkey = n_nationkey
+  and n_name = 'NATION_3'
+order by
+  s_name
+"""
+
+# q21.sql — SAUDI ARABIA → NATION_20.
+_Q21 = """
+select
+  s_name,
+  count(*) as numwait
+from
+  supplier,
+  lineitem l1,
+  orders,
+  nation
+where
+  s_suppkey = l1.l_suppkey
+  and o_orderkey = l1.l_orderkey
+  and o_orderstatus = 'F'
+  and l1.l_receiptdate > l1.l_commitdate
+  and exists (
+    select
+      *
+    from
+      lineitem l2
+    where
+      l2.l_orderkey = l1.l_orderkey
+      and l2.l_suppkey <> l1.l_suppkey
+  )
+  and not exists (
+    select
+      *
+    from
+      lineitem l3
+    where
+      l3.l_orderkey = l1.l_orderkey
+      and l3.l_suppkey <> l1.l_suppkey
+      and l3.l_receiptdate > l3.l_commitdate
+  )
+  and s_nationkey = n_nationkey
+  and n_name = 'NATION_20'
+group by
+  s_name
+order by
+  numwait desc,
+  s_name
+limit 100
+"""
+
+# q22.sql — verbatim: the derived c_phone country code is 10+nationkey,
+# so the literal code list selects nations 3/21/13/19/20/8/7.
+_Q22 = """
+select
+  cntrycode,
+  count(*) as numcust,
+  round(sum(c_acctbal), 4) as totacctbal
+from
+  (
+    select
+      substring(c_phone, 1, 2) as cntrycode,
+      c_acctbal
+    from
+      customer
+    where
+      substring(c_phone, 1, 2) in
+        ('13', '31', '23', '29', '30', '18', '17')
+      and c_acctbal > (
+        select
+          avg(c_acctbal)
+        from
+          customer
+        where
+          c_acctbal > 0.00
+          and substring(c_phone, 1, 2) in
+            ('13', '31', '23', '29', '30', '18', '17')
+      )
+      and not exists (
+        select
+          *
+        from
+          orders
+        where
+          o_custkey = c_custkey
+      )
+  ) as custsale
+group by
+  cntrycode
+order by
+  cntrycode
+"""
+
+TEXTS = {
+    "tpch_lit_q1": _Q1, "tpch_lit_q2": _Q2, "tpch_lit_q3": _Q3,
+    "tpch_lit_q4": _Q4, "tpch_lit_q5": _Q5, "tpch_lit_q6": _Q6,
+    "tpch_lit_q7": _Q7, "tpch_lit_q8": _Q8, "tpch_lit_q9": _Q9,
+    "tpch_lit_q10": _Q10, "tpch_lit_q11": _Q11, "tpch_lit_q12": _Q12,
+    "tpch_lit_q13": _Q13, "tpch_lit_q14": _Q14, "tpch_lit_q15": _Q15,
+    "tpch_lit_q16": _Q16, "tpch_lit_q17": _Q17, "tpch_lit_q18": _Q18,
+    "tpch_lit_q19": _Q19, "tpch_lit_q20": _Q20, "tpch_lit_q21": _Q21,
+    "tpch_lit_q22": _Q22,
+}
+
+_SPARK_SPEC = _spec_ctes("")
+_DUCK_SPEC = _spec_ctes("main.")
+
+
+def _compose(ctes: str, qtext: str) -> str:
+    stripped = qtext.lstrip()
+    if stripped.lower().startswith("with "):
+        return f"WITH {ctes},\n{stripped[5:]}"
+    return f"WITH {ctes} {qtext}"
+
+
+def _runner(qtext: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_compose(_SPARK_SPEC, qtext))
+
+    return run
+
+
+# STAGED (r9 flip: merge into a graded module's QUERIES/ORACLE).
+STAGED_QUERIES = {name: _runner(text) for name, text in TEXTS.items()}
+
+STAGED_ORACLE = {name: _compose(_DUCK_SPEC, text) for name, text in TEXTS.items()}
