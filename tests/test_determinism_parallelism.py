@@ -106,3 +106,34 @@ def test_staged_literal_under_odd_parallelism():
     assert r.returncode == 0, r.stderr[-4000:]
     for name in STAGED_REPS:
         assert f"DETERMINISM_OK {name}" in r.stdout, name
+
+
+# Literal TPC-H mechanisms: decimal-exact profit sums (q9), the
+# FLOOR-exact supplycost correlated MIN (q2), the correlated 0.2×avg
+# threshold (q17), and Q15's rounded-revenue MAX equality.
+TPCH_REPS = ["tpch_lit_q2", "tpch_lit_q9", "tpch_lit_q15", "tpch_lit_q17"]
+
+TPCH_SCRIPT = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[3]")
+         .config("spark.sql.shuffle.partitions", "7")
+         .config("spark.default.parallelism", "3")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+from flink_release_1_14_5_comment_spark.operators import tpch_literal as t
+from tests.oracle_util import compare, duckdb_conn
+con = duckdb_conn("/root/testdata/sf0.001")
+for name in {TPCH_REPS!r}:
+    compare(t.STAGED_QUERIES[name](spark, "/root/testdata/sf0.001"),
+            con.execute(t.STAGED_ORACLE[name]).fetchdf(), name)
+    print("DETERMINISM_OK", name)
+"""
+
+
+def test_tpch_literal_under_odd_parallelism():
+    r = subprocess.run([sys.executable, "-c", TPCH_SCRIPT],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-4000:]
+    for name in TPCH_REPS:
+        assert f"DETERMINISM_OK {name}" in r.stdout, name
