@@ -45,6 +45,10 @@ QUERIES = [
     "doc_fingerprint",
     "tpcds_lit_q53",
     "tpcds_lit_q85",
+    # round-9 mechanism: q47's exact-integer window average (SUM/COUNT
+    # windows + modulo-truncated micro-cents + cross-multiplied 10% filter
+    # — the rewrite of r8's one official red row; no raw double anywhere)
+    "tpcds_lit_q47",
 ]
 
 SCRIPT = f"""
