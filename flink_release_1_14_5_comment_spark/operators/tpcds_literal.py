@@ -60,6 +60,7 @@ to exercise.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -549,8 +550,9 @@ inventory AS (
   -- small linear mod: a mod-9 of p+d+w collapses items into 9 classes
   -- whose passing sets never overlap across months, leaving q39's
   -- Jan⋈Feb self-join empty). |inventory| = |part| × ~350 Sundays × 2,
-  -- derivation-only cross joins of tiny sides; materialized lazily (only
-  -- q39 pays for it).
+  -- derivation-only cross joins of tiny sides; materialized lazily
+  -- PER-TABLE on first reference (only inventory-reading staged queries
+  -- pay for it — ADVICE r8 #2).
   SELECT d.d_date_sk AS inv_date_sk,
          p.p_partkey AS inv_item_sk,
          w.inv_w AS inv_warehouse_sk,
@@ -744,7 +746,8 @@ limit 100
 """
 
 # query89.sql — category/class IN-lists retargeted to the synthetic
-# values (two-arm OR structure preserved); SUM/window-AVG rounded; ORDER
+# values (two-arm OR structure preserved); SUM rounded, window-AVG an
+# exact single division (see inline note); ORDER
 # BY extended with the group key so LIMIT cuts deterministically.
 _Q89 = """
 select  *
@@ -753,8 +756,15 @@ select i_category, i_class, i_brand,
        s_store_name, s_company_name,
        d_moy,
        round(sum(ss_sales_price) / 100, 2) sum_sales,
-       round(avg(sum(ss_sales_price)) over
-         (partition by i_category, i_brand, s_store_name, s_company_name) / 100, 4)
+       -- r9 float hardening: the rounded window AVG sat EXACTLY on a 4dp
+       -- half-boundary at sf0.01 (tests/test_staged_float_boundaries.py
+       -- caught it) — the q47 failure class. Emit the average as a single
+       -- IEEE division of the exact cent sum by (months*100): full
+       -- precision, bit-identical in any engine build.
+       sum(sum(ss_sales_price)) over
+         (partition by i_category, i_brand, s_store_name, s_company_name)
+         / cast(count(*) over
+         (partition by i_category, i_brand, s_store_name, s_company_name) * 100 as double)
          avg_monthly_sales
 from item, store_sales, date_dim, store
 where ss_item_sk = i_item_sk and
@@ -1905,7 +1915,11 @@ with  cross_items as
       and i_category_id = category_id
 ),
  avg_sales as
- (select avg(quantity*list_price) average_sales
+ (select sum(quantity*list_price) / count(quantity*list_price) average_sales
+  -- r9 float hardening: avg() -> explicit sum/count. The products are
+  -- exact bigints (int quantity x integer-cent price), so the sum is
+  -- exact and the single IEEE division is bit-identical in any engine;
+  -- engine-internal AVG state merges are not (the q47 lesson).
   from (select ss_quantity quantity
              ,ss_list_price list_price
        from store_sales
@@ -2015,7 +2029,11 @@ with  cross_items as
       and i_category_id = category_id
 ),
  avg_sales as
-(select avg(quantity*list_price) average_sales
+(select sum(quantity*list_price) / count(quantity*list_price) average_sales
+  -- r9 float hardening: avg() -> explicit sum/count. The products are
+  -- exact bigints (int quantity x integer-cent price), so the sum is
+  -- exact and the single IEEE division is bit-identical in any engine;
+  -- engine-internal AVG state merges are not (the q47 lesson).
   from (select ss_quantity quantity
              ,ss_list_price list_price
        from store_sales
@@ -2256,7 +2274,7 @@ where i_color = 'col_5'
 group by c_last_name
         ,c_first_name
         ,s_store_name
-having sum(netpaid) > (select 0.05*avg(netpaid)
+having sum(netpaid) > (select 0.05 * cast(sum(netpaid) as double) / count(netpaid)
                                  from ssales)
 order by c_last_name
         ,c_first_name
@@ -2311,8 +2329,8 @@ where i_color = 'col_9'
 group by c_last_name
         ,c_first_name
         ,s_store_name
-having sum(netpaid) > (select 0.05*avg(netpaid)
-                           from ssales)
+having sum(netpaid) > (select 0.05 * cast(sum(netpaid) as double) / count(netpaid)
+                                 from ssales)
 order by c_last_name
         ,c_first_name
         ,s_store_name
@@ -2330,7 +2348,15 @@ with inv as
 (select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
        ,stdev,mean, case mean when 0 then null else stdev/mean end cov
  from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
-            ,stddev_samp(cast(inv_quantity_on_hand as double)) stdev,avg(cast(inv_quantity_on_hand as double)) mean
+            -- r9 float hardening: stddev_samp/avg -> exact integer moments
+            -- (sum, sum-of-squares, count are exact bigints; the divisions
+            -- and sqrt are single correctly-rounded IEEE ops, bit-identical
+            -- in any engine — engine-internal Welford merges are not)
+            ,case when count(*) > 1 then sqrt(
+                 (count(*) * sum(inv_quantity_on_hand * inv_quantity_on_hand)
+                  - sum(inv_quantity_on_hand) * sum(inv_quantity_on_hand))
+                 / cast(count(*) * (count(*) - 1) as double)) else null end stdev
+            ,sum(inv_quantity_on_hand) / cast(count(*) as double) mean
       from inventory
           ,item
           ,warehouse
@@ -2363,7 +2389,15 @@ with inv as
 (select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
        ,stdev,mean, case mean when 0 then null else stdev/mean end cov
  from(select w_warehouse_name,w_warehouse_sk,i_item_sk,d_moy
-            ,stddev_samp(cast(inv_quantity_on_hand as double)) stdev,avg(cast(inv_quantity_on_hand as double)) mean
+            -- r9 float hardening: stddev_samp/avg -> exact integer moments
+            -- (sum, sum-of-squares, count are exact bigints; the divisions
+            -- and sqrt are single correctly-rounded IEEE ops, bit-identical
+            -- in any engine — engine-internal Welford merges are not)
+            ,case when count(*) > 1 then sqrt(
+                 (count(*) * sum(inv_quantity_on_hand * inv_quantity_on_hand)
+                  - sum(inv_quantity_on_hand) * sum(inv_quantity_on_hand))
+                 / cast(count(*) * (count(*) - 1) as double)) else null end stdev
+            ,sum(inv_quantity_on_hand) / cast(count(*) as double) mean
       from inventory
           ,item
           ,warehouse
@@ -2505,23 +2539,27 @@ _STAR_TABLES_EXT = ("store_returns", "inventory", "catalog_returns",
                     "call_center", "catalog_page", "income_band", "time_dim")
 
 
-def _ensure_star_ext(spark: SparkSession, sf_dir: str) -> None:
+def _ensure_star_ext(spark: SparkSession, sf_dir: str,
+                     tables: tuple[str, ...] | None = None) -> None:
+    """Materialize ext tables PER-TABLE on first reference (ADVICE r8 #2:
+    the round-8 cut checkpointed all 7 on the first run of ANY staged
+    query, so e.g. a store_returns query paid for the |part|×~350-Sundays
+    ×2 inventory cross join). Graded queries and bench never touch this
+    path at all."""
     key = os.path.abspath(sf_dir)
     _ensure_star(spark, sf_dir)
-    if getattr(spark, "_graft_tpcds_star_ext_for", None) == key:
-        return
-    for name in _STAR_TABLES_EXT:
+    done = getattr(spark, "_graft_tpcds_star_ext", None)
+    if done is None or done.get("dir") != key:
+        done = {"dir": key, "tables": set()}
+        spark._graft_tpcds_star_ext = done
+    for name in _STAR_TABLES_EXT if tables is None else tables:
+        if name in done["tables"]:
+            continue
         df = spark.sql(
             f"WITH {_SPARK_CTES} SELECT * FROM {name}"
         ).localCheckpoint(eager=True)
         df.createOrReplaceTempView(f"tpcds_star_{name}")
-    spark._graft_tpcds_star_ext_for = key
-
-
-_ALIAS_CTES_EXT = ",\n".join(
-    f"{name} AS (SELECT * FROM tpcds_star_{name})"
-    for name in _STAR_TABLES + _STAR_TABLES_EXT
-)
+        done["tables"].add(name)
 
 
 def _runner(qtext: str):
@@ -2533,9 +2571,17 @@ def _runner(qtext: str):
 
 
 def _runner_ext(qtext: str):
+    """Like _runner but for texts over the lazily-materialized ext tables:
+    only the ext tables the text actually references are checkpointed and
+    aliased (the rest stay underived)."""
+    needed = tuple(t for t in _STAR_TABLES_EXT
+                   if re.search(rf"\b{t}\b", qtext))
+    alias = ",\n".join(f"{name} AS (SELECT * FROM tpcds_star_{name})"
+                       for name in _STAR_TABLES + needed)
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _ensure_star_ext(spark, sf_dir)
-        return spark.sql(_compose(_ALIAS_CTES_EXT, qtext))
+        _ensure_star_ext(spark, sf_dir, needed)
+        return spark.sql(_compose(alias, qtext))
 
     return run
 

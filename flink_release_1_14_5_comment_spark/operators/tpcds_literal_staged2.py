@@ -51,7 +51,7 @@ group by sr_customer_sk
 from customer_total_return ctr1
 ,store
 ,customer
-where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+where ctr1.ctr_total_return > (select cast(sum(ctr_total_return) as double)*1.2 / count(ctr_total_return)
 from customer_total_return ctr2
 where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
 and s_store_sk = ctr1.ctr_store_sk
@@ -179,24 +179,43 @@ from reason
 where r_reason_sk = 1
 """
 
-# query17.sql — verbatim constants (2001 quarters exist); float aggregates
-# (avg/stddev_samp/cov over INT quantities) rounded to 4dp at the output.
+# query17.sql — verbatim constants (2001 quarters exist). r9 float
+# hardening: avg/stddev_samp over INT quantities -> exact integer
+# moments (sum, sum-of-squares, count) with single correctly-rounded
+# divisions/sqrt, so the 4dp-rounded outputs are bit-identical in any
+# engine build (engine-internal Welford/AVG merges are not — the q47
+# lesson).
 _Q17 = """
 select  i_item_id
        ,i_item_desc
        ,s_state
        ,count(ss_quantity) as store_sales_quantitycount
-       ,round(avg(ss_quantity), 4) as store_sales_quantityave
-       ,round(stddev_samp(ss_quantity), 4) as store_sales_quantitystdev
-       ,round(stddev_samp(ss_quantity)/avg(ss_quantity), 4) as store_sales_quantitycov
+       ,round(sum(ss_quantity) / cast(count(ss_quantity) as double), 4) as store_sales_quantityave
+       ,round(case when count(ss_quantity) > 1 then sqrt(
+            (count(ss_quantity) * sum(ss_quantity * ss_quantity) - sum(ss_quantity) * sum(ss_quantity))
+            / cast(count(ss_quantity) * (count(ss_quantity) - 1) as double)) else null end, 4) as store_sales_quantitystdev
+       ,round(case when count(ss_quantity) > 1 then sqrt(
+            (count(ss_quantity) * sum(ss_quantity * ss_quantity) - sum(ss_quantity) * sum(ss_quantity))
+            / cast(count(ss_quantity) * (count(ss_quantity) - 1) as double)) else null end
+            / (sum(ss_quantity) / cast(count(ss_quantity) as double)), 4) as store_sales_quantitycov
        ,count(sr_return_quantity) as store_returns_quantitycount
-       ,round(avg(sr_return_quantity), 4) as store_returns_quantityave
-       ,round(stddev_samp(sr_return_quantity), 4) as store_returns_quantitystdev
-       ,round(stddev_samp(sr_return_quantity)/avg(sr_return_quantity), 4) as store_returns_quantitycov
+       ,round(sum(sr_return_quantity) / cast(count(sr_return_quantity) as double), 4) as store_returns_quantityave
+       ,round(case when count(sr_return_quantity) > 1 then sqrt(
+            (count(sr_return_quantity) * sum(sr_return_quantity * sr_return_quantity) - sum(sr_return_quantity) * sum(sr_return_quantity))
+            / cast(count(sr_return_quantity) * (count(sr_return_quantity) - 1) as double)) else null end, 4) as store_returns_quantitystdev
+       ,round(case when count(sr_return_quantity) > 1 then sqrt(
+            (count(sr_return_quantity) * sum(sr_return_quantity * sr_return_quantity) - sum(sr_return_quantity) * sum(sr_return_quantity))
+            / cast(count(sr_return_quantity) * (count(sr_return_quantity) - 1) as double)) else null end
+            / (sum(sr_return_quantity) / cast(count(sr_return_quantity) as double)), 4) as store_returns_quantitycov
        ,count(cs_quantity) as catalog_sales_quantitycount
-       ,round(avg(cs_quantity), 4) as catalog_sales_quantityave
-       ,round(stddev_samp(cs_quantity), 4) as catalog_sales_quantitystdev
-       ,round(stddev_samp(cs_quantity)/avg(cs_quantity), 4) as catalog_sales_quantitycov
+       ,round(sum(cs_quantity) / cast(count(cs_quantity) as double), 4) as catalog_sales_quantityave
+       ,round(case when count(cs_quantity) > 1 then sqrt(
+            (count(cs_quantity) * sum(cs_quantity * cs_quantity) - sum(cs_quantity) * sum(cs_quantity))
+            / cast(count(cs_quantity) * (count(cs_quantity) - 1) as double)) else null end, 4) as catalog_sales_quantitystdev
+       ,round(case when count(cs_quantity) > 1 then sqrt(
+            (count(cs_quantity) * sum(cs_quantity * cs_quantity) - sum(cs_quantity) * sum(cs_quantity))
+            / cast(count(cs_quantity) * (count(cs_quantity) - 1) as double)) else null end
+            / (sum(cs_quantity) / cast(count(cs_quantity) as double)), 4) as catalog_sales_quantitycov
  from store_sales
      ,store_returns
      ,catalog_sales
@@ -1315,7 +1334,7 @@ with customer_total_return as
  from customer_total_return ctr1
      ,customer_address
      ,customer
- where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+ where ctr1.ctr_total_return > (select cast(sum(ctr_total_return) as double)*1.2 / count(ctr_total_return)
  			  from customer_total_return ctr2
                   	  where ctr1.ctr_state = ctr2.ctr_state)
        and ca_address_sk = c_current_addr_sk
@@ -1824,7 +1843,7 @@ and d_date_sk = cs_sold_date_sk
 and cs_ext_discount_amt
      > (
          select
-            1.3 * avg(cs_ext_discount_amt)
+            1.3 * cast(sum(cs_ext_discount_amt) as double) / count(cs_ext_discount_amt)
          from
             catalog_sales
            ,date_dim
@@ -2002,7 +2021,8 @@ select  channel, item, round(return_ratio, 4) return_ratio, return_rank, currenc
 """
 
 # query57.sql — q47's call-center sibling (lag/lead via rn self-join).
-# Money rounded inside v1 (the q53 convention); ORDER BY extended with
+# Sums rounded inside v1; the window AVG is an exact single division
+# (see inline note); ORDER BY extended with
 # the v2 keys (the q47 convention) so the LIMIT cut is deterministic.
 _Q57 = """
 with v1 as(
@@ -2010,9 +2030,15 @@ with v1 as(
         cc_name,
         d_year, d_moy,
         round(sum(cs_sales_price) / 100, 2) sum_sales,
-        round(avg(sum(cs_sales_price)) over
+        -- r9 float hardening: the rounded window AVG sat EXACTLY on a 4dp
+        -- half-boundary at sf0.01 (the q47/q89 class); emit a single IEEE
+        -- division of the exact cent sum instead (bit-identical anywhere).
+        sum(sum(cs_sales_price)) over
           (partition by i_category, i_brand,
-                     cc_name, d_year) / 100, 4)
+                     cc_name, d_year)
+          / cast(count(*) over
+          (partition by i_category, i_brand,
+                     cc_name, d_year) * 100 as double)
           avg_monthly_sales,
         rank() over
           (partition by i_category, i_brand,
@@ -2286,7 +2312,7 @@ with customer_total_return as
  from customer_total_return ctr1
      ,customer_address
      ,customer
- where ctr1.ctr_total_return > (select avg(ctr_total_return)*1.2
+ where ctr1.ctr_total_return > (select cast(sum(ctr_total_return) as double)*1.2 / count(ctr_total_return)
  			  from customer_total_return ctr2
                   	  where ctr1.ctr_state = ctr2.ctr_state)
        and ca_address_sk = c_current_addr_sk
@@ -2350,7 +2376,7 @@ and d_date_sk = ws_sold_date_sk
 and ws_ext_discount_amt
      > (
          SELECT
-            1.3 * avg(ws_ext_discount_amt)
+            1.3 * cast(sum(ws_ext_discount_amt) as double) / count(ws_ext_discount_amt)
          FROM
             web_sales
            ,date_dim
@@ -2761,11 +2787,11 @@ _Q44 = """
 select  asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
 from(select *
      from (select item_sk,rank() over (order by rank_col asc) rnk
-           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+           from (select ss_item_sk item_sk,sum(ss_net_profit) / count(ss_net_profit) rank_col
                  from store_sales ss1
                  where ss_store_sk = 4
                  group by ss_item_sk
-                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                 having sum(ss_net_profit) / count(ss_net_profit) > 0.9*(select sum(ss_net_profit) / count(ss_net_profit) rank_col
                                                   from store_sales
                                                   where ss_store_sk = 4
                                                     and ss_addr_sk is null
@@ -2773,11 +2799,11 @@ from(select *
      where rnk  < 11) asceding,
     (select *
      from (select item_sk,rank() over (order by rank_col desc) rnk
-           from (select ss_item_sk item_sk,avg(ss_net_profit) rank_col
+           from (select ss_item_sk item_sk,sum(ss_net_profit) / count(ss_net_profit) rank_col
                  from store_sales ss1
                  where ss_store_sk = 4
                  group by ss_item_sk
-                 having avg(ss_net_profit) > 0.9*(select avg(ss_net_profit) rank_col
+                 having sum(ss_net_profit) / count(ss_net_profit) > 0.9*(select sum(ss_net_profit) / count(ss_net_profit) rank_col
                                                   from store_sales
                                                   where ss_store_sk = 4
                                                     and ss_addr_sk is null

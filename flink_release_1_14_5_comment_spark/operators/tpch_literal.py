@@ -44,9 +44,22 @@ CANADA→NATION_3, SAUDI ARABIA→NATION_20); p_type is single-word
 'MEDIUM POLISHED%'→'MEDIUM%'); p_name colors ('%green%'→'%red%',
 'forest%'→'red%'); Brand#45→Brand#35 (synthetic brands stop at 40);
 Q19's 'AIR REG' → 'REG AIR' (the spec mode vocabulary this schema
-derives). Money stays double (testdata prices are dollars); revenue sums
-round to 4dp and averages to 4dp exactly like the adapted suite; Q15's
-CREATE VIEW becomes a CTE.
+derives); Q15's CREATE VIEW becomes a CTE.
+
+MONEY CONVENTION (r9 float hardening — the q47 lesson applied before the
+flip): testdata money columns are 2dp doubles, and a raw double SUM of
+~1e5 addends is partition-order- and engine-build-dependent at the scale
+of a 4dp rounding boundary (measured: frac distance ≤ 0.5e-4-dollar
+units vs reorder divergence up to ~19 units at sf0.01). Every money
+aggregate therefore runs in EXACT INTEGER UNITS — cents via
+cast(round(x*100) as bigint), discount/tax percents likewise, supplycost
+in 1e-6-dollar units — summed exactly in bigint and converted to dollars
+by ONE final IEEE division (bit-identical in any engine build). Decimal
+accumulation was tried first and rejected: DuckDB's decimal→double cast
+double-rounds (int128→double, then ×10^-scale), which produced 18
+one-ulp mismatches on q11. Per-row round(x, 2) emissions of 2dp columns
+stay raw (their pre-round values sit ~1e-9 from an integer, never near a
+half-boundary); tests/test_staged_float_boundaries.py gates both rules.
 
 STAGED like the literal TPC-DS batch 5: verified against DuckDB at
 sf0.001/0.01/0.1 (tests/test_tpch_literal.py) but kept out of
@@ -160,12 +173,12 @@ select
   l_returnflag,
   l_linestatus,
   sum(l_quantity) as sum_qty,
-  round(sum(l_extendedprice), 4) as sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) as sum_charge,
-  round(avg(l_quantity), 4) as avg_qty,
-  round(avg(l_extendedprice), 4) as avg_price,
-  round(avg(l_discount), 4) as avg_disc,
+  sum(cast(round(l_extendedprice * 100) as bigint)) / cast(100 as double) as sum_base_price,
+  sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / cast(10000 as double) as sum_disc_price,
+  sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)) * (100 + cast(round(l_tax * 100) as bigint))) / cast(1000000 as double) as sum_charge,
+  sum(cast(l_quantity as bigint)) / cast(count(l_quantity) as double) as avg_qty,
+  sum(cast(round(l_extendedprice * 100) as bigint)) / cast(count(l_extendedprice) * 100 as double) as avg_price,
+  sum(cast(round(l_discount * 100) as bigint)) / cast(count(l_discount) * 100 as double) as avg_disc,
   count(*) as count_order
 from
   lineitem
@@ -232,7 +245,7 @@ limit 100
 _Q3 = """
 select
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+  sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / cast(10000 as double) as revenue,
   o_orderdate,
   o_shippriority
 from
@@ -284,7 +297,7 @@ order by
 _Q5 = """
 select
   n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue
+  sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / cast(10000 as double) as revenue
 from
   customer,
   orders,
@@ -311,7 +324,7 @@ order by
 # q6.sql — 1994 → 1996.
 _Q6 = """
 select
-  round(sum(l_extendedprice * l_discount), 4) as revenue
+  sum(cast(round(l_extendedprice * 100) as bigint) * cast(round(l_discount * 100) as bigint)) / cast(10000 as double) as revenue
 from
   lineitem
 where
@@ -327,14 +340,14 @@ select
   supp_nation,
   cust_nation,
   l_year,
-  round(sum(volume), 4) as revenue
+  sum(volume) / cast(10000 as double) as revenue
 from
   (
     select
       n1.n_name as supp_nation,
       n2.n_name as cust_nation,
       extract(year from l_shipdate) as l_year,
-      l_extendedprice * (1 - l_discount) as volume
+      cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)) as volume
     from
       supplier,
       lineitem,
@@ -369,15 +382,15 @@ order by
 _Q8 = """
 select
   o_year,
-  round(sum(case
+  cast(sum(case
     when nation = 'NATION_2' then volume
     else 0
-  end) / sum(volume), 4) as mkt_share
+  end) as double) / sum(volume) as mkt_share
 from
   (
     select
       extract(year from o_orderdate) as o_year,
-      l_extendedprice * (1 - l_discount) as volume,
+      cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)) as volume,
       n2.n_name as nation
     from
       part,
@@ -406,24 +419,24 @@ order by
   o_year
 """
 
-# q9.sql — '%green%' → '%red%'; the amount computed in DECIMAL arithmetic
-# and summed exactly (the adapted suite's q9 convention — a double SUM of
-# ~1e5 addends lands on 4dp half-boundaries at sf0.1 and the engines
-# round opposite ways), cast to double only at the output.
+# q9.sql — '%green%' → '%red%'; the amount computed in exact integer
+# 1e-6-dollar units (cents × percent × 100 − microdollar supplycost ×
+# quantity) and summed exactly in bigint — a double SUM of ~1e5 addends
+# lands on 4dp half-boundaries at sf0.1 and the engines round opposite
+# ways — divided to dollars once at the output.
 _Q9 = """
 select
   nation,
   o_year,
-  cast(sum(amount) as double) as sum_profit
+  sum(amount) / cast(1000000 as double) as sum_profit
 from
   (
     select
       n_name as nation,
       extract(year from o_orderdate) as o_year,
-      cast(l_extendedprice as decimal(18, 2))
-        * (cast(1 as decimal(3, 2)) - cast(l_discount as decimal(4, 2)))
-        - cast(ps_supplycost as decimal(18, 6))
-        * cast(l_quantity as decimal(18, 0)) as amount
+      cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)) * 100
+        - cast(round(ps_supplycost * 1000000) as bigint)
+        * cast(l_quantity as bigint) as amount
     from
       part,
       supplier,
@@ -453,7 +466,7 @@ _Q10 = """
 select
   c_custkey,
   c_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+  sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / cast(10000 as double) as revenue,
   round(c_acctbal, 2) as c_acctbal,
   n_name,
   c_address,
@@ -490,7 +503,7 @@ limit 20
 _Q11 = """
 select
   ps_partkey,
-  round(sum(ps_supplycost * ps_availqty), 4) as value
+  sum(cast(round(ps_supplycost * 1000000) as bigint) * ps_availqty) / cast(1000000 as double) as value
 from
   partsupp,
   supplier,
@@ -502,9 +515,9 @@ where
 group by
   ps_partkey
 having
-  sum(ps_supplycost * ps_availqty) > (
+  cast(sum(cast(round(ps_supplycost * 1000000) as bigint) * ps_availqty) as double) > (
     select
-      sum(ps_supplycost * ps_availqty) * 0.0001000000
+      cast(sum(cast(round(ps_supplycost * 1000000) as bigint) * ps_availqty) as double) * 0.0001000000
     from
       partsupp,
       supplier,
@@ -579,11 +592,11 @@ order by
 # q14.sql — verbatim (single-word p_type makes 'PROMO%' a real slice).
 _Q14 = """
 select
-  round(100.00 * sum(case
+  100 * cast(sum(case
     when p_type like 'PROMO%'
-      then l_extendedprice * (1 - l_discount)
+      then cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))
     else 0
-  end) / sum(l_extendedprice * (1 - l_discount)), 4) as promo_revenue
+  end) as double) / sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) as promo_revenue
 from
   lineitem,
   part
@@ -601,7 +614,7 @@ _Q15 = """
 with revenue0 as (
   select
     l_suppkey as supplier_no,
-    round(sum(l_extendedprice * (1 - l_discount)), 4) as total_revenue
+    sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / cast(10000 as double) as total_revenue
   from
     lineitem
   where
@@ -667,11 +680,15 @@ order by
 limit 100
 """
 
-# q17.sql — verbatim (Brand#23 and 'MED BOX' exist); the correlated
-# 0.2×avg threshold compares identically (exact sum/count division).
+# q17.sql — verbatim (Brand#23 and 'MED BOX' exist). r9 float
+# hardening: the correlated 0.2×avg threshold is spelled out as
+# 0.2*sum/count — l_quantity is integer-valued so the sum is exact in
+# any order and the explicit multiply/divide sequence is bit-identical
+# in any engine build; engine-internal AVG state merges are not (the
+# q47 lesson).
 _Q17 = """
 select
-  round(sum(l_extendedprice) / 7.0, 4) as avg_yearly
+  sum(cast(round(l_extendedprice * 100) as bigint)) / cast(700 as double) as avg_yearly
 from
   lineitem,
   part
@@ -681,7 +698,7 @@ where
   and p_container = 'MED BOX'
   and l_quantity < (
     select
-      0.2 * avg(l_quantity)
+      0.2 * sum(l_quantity) / count(l_quantity)
     from
       lineitem
     where
@@ -732,7 +749,7 @@ limit 100
 # derives); everything else verbatim.
 _Q19 = """
 select
-  round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue
+  sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / cast(10000 as double) as revenue
 from
   lineitem,
   part
@@ -853,13 +870,19 @@ order by
 limit 100
 """
 
-# q22.sql — verbatim: the derived c_phone country code is 10+nationkey,
-# so the literal code list selects nations 3/21/13/19/20/8/7.
+# q22.sql — the derived c_phone country code is 10+nationkey, so the
+# literal code list selects nations 3/21/13/19/20/8/7. r9 float
+# hardening: c_acctbal is a 2dp double (NOT integer-valued), so a raw
+# double SUM/AVG is partition-order-dependent; the avg threshold and
+# the emitted total are rewritten to exact integer cents
+# (cast(round(x*100) as bigint)) with single correctly-rounded
+# divisions — the spec's decimal(15,2) semantics, bit-identical in any
+# engine build.
 _Q22 = """
 select
   cntrycode,
   count(*) as numcust,
-  round(sum(c_acctbal), 4) as totacctbal
+  round(sum(cast(round(c_acctbal * 100) as bigint)) / cast(100 as double), 4) as totacctbal
 from
   (
     select
@@ -872,7 +895,7 @@ from
         ('13', '31', '23', '29', '30', '18', '17')
       and c_acctbal > (
         select
-          avg(c_acctbal)
+          sum(cast(round(c_acctbal * 100) as bigint)) / (cast(count(c_acctbal) as double) * 100)
         from
           customer
         where

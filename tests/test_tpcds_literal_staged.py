@@ -50,7 +50,13 @@ def test_staged_nondegenerate_at_oracle_sf():
     con = duckdb_conn("/root/testdata/sf0.01")
     try:
         for name in STAGED:
-            n = len(con.execute(t.STAGED_ORACLE[name]).fetchdf())
+            df = con.execute(t.STAGED_ORACLE[name]).fetchdf()
+            n = len(df)
+            if n == 1 and df.iloc[0].isna().all():
+                # a single-scalar query (q23a/q32/q92 class) returning one
+                # all-NULL row is vacuous too (ADVICE r8 #3 — the guard
+                # test_tpch_literal.py already applies)
+                n = 0
             assert n >= 1, f"{name} is vacuous at sf0.01"
     finally:
         con.close()
