@@ -52,7 +52,6 @@ HEADLINE = [
     "nation_market_share",
     "tpch_q5",   # classic 6-table dim-chain join (broadcast-audited)
     "tpch_q18",  # large-volume HAVING-subquery + top-100
-    "tpch_q9",   # derived-partsupp profit: extra groupBy + 5-way join
     # r5 rotation-bound TPC-H additions (VERDICT r4 #8): the suite's other
     # hard plan shapes, now also officially graded
     "tpch_q2",   # correlated min-cost subquery over the partsupp CTE
@@ -107,7 +106,6 @@ HEADLINE = [
     "corpus_mix",            # two-phase skew-proof cut (r6 rewrite)
     # r6: adapted TPC-DS pack representatives (VERDICT r5 #4)
     "tpcds_q67_topk_rollup",
-    "tpcds_q14_cross_channel",
     # r6 session 2: retrieval + HLL additions
     "bm25_topk",
     "hybrid_rrf_fusion",
@@ -124,6 +122,13 @@ HEADLINE = [
     # budget; its plan family is perf-tracked via tpcds_q59/q31 already)
     "tpcds_lit_q33",
     "tpcds_lit_q69",
+    # r9 (VERDICT r8 #5): staged-flip reps — the a/b cross-channel pair's
+    # first half (INTERSECT + UNION ALL + rollup over the three channels)
+    # and the literal TPC-H q9 profit rollup (exact-integer money units).
+    # Their adapted counterparts (tpcds_q14_cross_channel, tpch_q9 — same
+    # plan families) rotate OUT to hold the 1900-char machine-line budget.
+    "tpcds_lit_q14a",
+    "tpch_lit_q9",
 ]
 
 

@@ -2460,10 +2460,10 @@ _LITERAL = {
     "tpcds_lit_q85": _Q85,
 }
 
-# Batch 5, STAGED for r9 (see the batch-5 block comment): kept out of
-# _LITERAL so queries()/oracle_sql() stay frozen this round; the pytest
-# oracle-parity gate runs these at sf0.001/0.01/0.1 exactly like graded
-# entries (tests/test_tpcds_literal_staged.py).
+# The multi-part a/b pairs (ext-table texts — flipped into the graded
+# surface in r9 together with waves 2-8; the pytest oracle-parity gate
+# additionally runs them at sf0.001/0.01/0.1 via
+# tests/test_tpcds_literal_staged.py).
 _STAGED = {
     "tpcds_lit_q14a": _Q14A,
     "tpcds_lit_q14b": _Q14B,
@@ -2586,18 +2586,23 @@ def _runner_ext(qtext: str):
     return run
 
 
-QUERIES = {name: _runner(text) for name, text in _LITERAL.items()}
-
-ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _LITERAL.items()}
-
-# Staged batch 5 (r9 flip: move entries into _LITERAL and delete these two
-# dicts — the ext runner keeps working unchanged). Wave 2's texts live in
-# tpcds_literal_staged2.py (pure data) to keep this module readable.
+# The r9 FLIP (ROADMAP's committed schedule): every formerly-staged
+# literal text — the 8 multi-part a/b pairs plus waves 2-8 from
+# tpcds_literal_staged2.py — joins the graded surface. Base-star texts
+# run via _runner; texts over the lazily-materialized ext tables run via
+# _runner_ext. The STAGED_* aliases remain for the pytest suites that
+# exercise this family at all three SFs.
 from flink_release_1_14_5_comment_spark.operators.tpcds_literal_staged2 import (  # noqa: E402
     TEXTS as _STAGED2,
 )
 
 _STAGED_ALL = {**_STAGED, **_STAGED2}
+
+QUERIES = {name: _runner(text) for name, text in _LITERAL.items()}
+QUERIES.update({name: _runner_ext(text) for name, text in _STAGED_ALL.items()})
+
+ORACLE = {name: _compose(_DUCK_CTES, text)
+          for name, text in {**_LITERAL, **_STAGED_ALL}.items()}
 
 STAGED_QUERIES = {name: _runner_ext(text) for name, text in _STAGED_ALL.items()}
 

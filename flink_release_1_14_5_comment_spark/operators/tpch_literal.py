@@ -61,10 +61,9 @@ one-ulp mismatches on q11. Per-row round(x, 2) emissions of 2dp columns
 stay raw (their pre-round values sit ~1e-9 from an integer, never near a
 half-boundary); tests/test_staged_float_boundaries.py gates both rules.
 
-STAGED like the literal TPC-DS batch 5: verified against DuckDB at
-sf0.001/0.01/0.1 (tests/test_tpch_literal.py) but kept out of
-queries()/oracle_sql() under the r8 addition freeze; the r9 flip is one
-dict move.
+Verified against DuckDB at sf0.001/0.01/0.1 (tests/test_tpch_literal.py)
+and — since the r9 flip — part of the graded queries()/oracle_sql()
+surface (the r8 addition freeze had staged it).
 
 100 TB: the completion layer is scan-level projection (zero shuffles) +
 partsupp's one map-side-combined groupBy; every query keeps the plan
@@ -948,7 +947,12 @@ def _runner(qtext: str):
     return run
 
 
-# STAGED (r9 flip: merge into a graded module's QUERIES/ORACLE).
-STAGED_QUERIES = {name: _runner(text) for name, text in TEXTS.items()}
+# Flipped into the graded surface in r9 (ROADMAP's committed schedule);
+# the STAGED_* aliases remain for the pytest suites.
+QUERIES = {name: _runner(text) for name, text in TEXTS.items()}
 
-STAGED_ORACLE = {name: _compose(_DUCK_SPEC, text) for name, text in TEXTS.items()}
+ORACLE = {name: _compose(_DUCK_SPEC, text) for name, text in TEXTS.items()}
+
+STAGED_QUERIES = QUERIES
+
+STAGED_ORACLE = ORACLE

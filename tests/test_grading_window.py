@@ -27,45 +27,38 @@ def test_priority_all_resolvable_with_oracles():
     assert list(qs)[:50] == entry._PRIORITY
 
 
-# r8 window: rotation window 3 of 3 over the official-evidence backlog
-# (VERDICT r7 #1) — the full 46-entry residual + 4 multi-round anchors.
-# Families graded green in r1-r7 keep that multi-round official record
-# plus the per-commit pytest sweep; the anchors below assert the r8
-# window's own family spread so a rotation edit can't silently drop one
-# of the NEW evidence families.
+# r9 window: window 1 of 2 over the staged-literal flip (ROADMAP). The
+# anchors below assert the window's family spread so a rotation edit
+# can't silently drop one of the NEW evidence families: the q47 regrade,
+# the batch-4 returns-side star, every multi-part a/b pair family, one
+# representative per staged wave, and the literal TPC-H gate. (q64 — the
+# cross-sales monster — is a committed r10-window anchor; it flips with
+# waves 5-8.)
 FAMILY_ANCHORS = {
-    "graph-summarize": "graph_summarize",
-    "kmeans-minibatch": "embedding_kmeans_minibatch",
-    "embedding-clusters": "embedding_cluster_sizes",
-    "ann-recall": "ann_recall_eval",
-    "ann-lsh-buckets": "ann_lsh_buckets",
-    "embedding-quantize": "embedding_quantize",
-    "embedding-stats": "embedding_stats",
-    "vocab-oov": "vocab_oov_rate",
-    "corpus-sample": "corpus_sample",
-    "doc-fingerprint": "doc_fingerprint",
-    "source-quality": "source_quality_filter",
-    "cohort-retention": "cohort_retention",
-    "funnel": "funnel_conversion_rates",
-    "exists-shape": "exists_returned_customers",
-    "scalar-subquery": "above_nation_avg_balance",
-    "union-rollup": "channel_union_rollup",
-    "intersect": "channel_intersect_customers",
-    "rank-join": "best_worst_rank_join",
-    # literal TPC-DS representatives (all 28 are in the window; anchor a
-    # plan-diverse spread so a partial edit still trips the guard)
-    "tpcds-lit-star": "tpcds_lit_q3",
-    "tpcds-lit-union3": "tpcds_lit_q33",
-    "tpcds-lit-rollup-grouping": "tpcds_lit_q36",
-    "tpcds-lit-lag-lead": "tpcds_lit_q47",
-    "tpcds-lit-triple-exists": "tpcds_lit_q69",
-    "tpcds-lit-window-over-agg": "tpcds_lit_q89",
-    "tpcds-lit-ratio": "tpcds_lit_q98",
-    # multi-round anchors
-    "anchor-agg": "agg_pricing_summary",
-    "anchor-join": "join_multiway",
-    "anchor-dedup": "dedup_minhash_lsh",
-    "anchor-stream": "stream_window_tumble",
+    # the r8 red row, regraded after the exact-integer rewrite
+    "tpcds-lit-lag-lead-exact": "tpcds_lit_q47",
+    # batch 4 (returns-side star + correlated decorrelation)
+    "tpcds-lit-returns-star": "tpcds_lit_q85",
+    "tpcds-lit-scalar-count": "tpcds_lit_q41",
+    # multi-part a/b pair families
+    "tpcds-lit-cross-channel": "tpcds_lit_q14a",
+    "tpcds-lit-frequent-best": "tpcds_lit_q23a",
+    "tpcds-lit-zip-netpaid": "tpcds_lit_q24a",
+    "tpcds-lit-inventory-cov": "tpcds_lit_q39a",
+    # staged wave representatives
+    "tpcds-lit-correlated-returns": "tpcds_lit_q1",      # wave 2
+    "tpcds-lit-stddev-moments": "tpcds_lit_q17",         # wave 2
+    "tpcds-lit-rollup-qoh": "tpcds_lit_q22",             # wave 2
+    "tpcds-lit-no-equi-join": "tpcds_lit_q28",           # wave 3
+    "tpcds-lit-window-avg-manager": "tpcds_lit_q63",     # wave 3
+    "tpcds-lit-topk-rollup": "tpcds_lit_q67",            # wave 3
+    "tpcds-lit-year-over-year": "tpcds_lit_q11",         # wave 4
+    "tpcds-lit-grouped-exists": "tpcds_lit_q35",         # wave 4
+    # the literal TPC-H gate (the reference's second e2e suite)
+    "tpch-lit-pricing": "tpch_lit_q1",
+    "tpch-lit-profit": "tpch_lit_q9",
+    "tpch-lit-avg-threshold": "tpch_lit_q17",
+    "tpch-lit-antijoin-avg": "tpch_lit_q22",
 }
 
 

@@ -1,9 +1,8 @@
 """Batch-5 literal TPC-DS (the reference's multi-part a/b pairs q14 q23
 q24 q39 — TpcdsTestProgram.java:76-87 counts 103 queries vs 99 because
-these ship as pairs). STAGED: oracle-verified here exactly like graded
-entries, but kept out of queries()/oracle_sql() until r9 because ROADMAP's
-r8 freeze caps new graded entries. This module is the evidence that the
-r9 flip is a 1-line move, not new work."""
+these ship as pairs). Oracle-verified here at every SF
+like all graded entries; since the r9 flip the whole set is also part of
+the graded queries()/oracle_sql() surface."""
 
 from __future__ import annotations
 
@@ -33,13 +32,15 @@ def test_staged_oracle_parity(name, spark, sf_dir, con):
     compare(sdf, odf, name)
 
 
-def test_staged_not_graded_this_round():
-    """The r8 freeze: staged entries must NOT leak into the graded surface
-    (flip them in r9 by moving them into _LITERAL)."""
+def test_staged_all_graded_after_r9_flip():
+    """The r9 flip: every formerly-staged literal text is part of the
+    graded queries()/oracle_sql() surface (a/b pairs + waves 2-4 in the
+    r9 _PRIORITY window, waves 5-8 scheduled for r10 — ROADMAP)."""
     import __spark_entry__ as entrymod
 
     graded = set(entrymod.oracle_sql())
-    assert not graded & set(STAGED), graded & set(STAGED)
+    missing = set(STAGED) - graded
+    assert not missing, missing
 
 
 def test_staged_nondegenerate_at_oracle_sf():

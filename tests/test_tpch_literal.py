@@ -35,11 +35,17 @@ def test_tpch_literal_oracle_parity(name, spark, sf_dir, con):
     compare(sdf, odf, name)
 
 
-def test_not_graded_this_round():
+def test_all_graded_after_r9_flip():
+    """The r9 flip: all 22 literal TPC-H texts are part of the graded
+    queries()/oracle_sql() surface (4 in the r9 _PRIORITY window, the
+    rest scheduled for r10 — ROADMAP)."""
     import __spark_entry__ as entrymod
 
     graded = set(entrymod.oracle_sql())
-    assert not graded & set(NAMES)
+    missing = set(NAMES) - graded
+    assert not missing, missing
+    assert {"tpch_lit_q1", "tpch_lit_q9", "tpch_lit_q17",
+            "tpch_lit_q22"} <= set(entrymod._PRIORITY)
 
 
 def test_nondegenerate_at_oracle_sf():
