@@ -188,3 +188,50 @@ def test_tpch_money_sums_are_exact():
             assert False, (
                 f"{name}: raw double money sum sum({m.group(1)}...) — "
                 "wrap in decimal/cents (module standard)")
+
+# --- retrieval-family audits (VERDICT r8 #7 carry-over) ----------------
+# bm25 scores are ROUND(SUM(ln-based term weights), 4): ln() is libm-
+# dependent (not IEEE-correctly-rounded), so engine builds can differ by
+# a few ulps before the round. hybrid RRF's dense leg rounds a cosine
+# that the two engines compute by DIFFERENT algorithms (Spark:
+# dot/(sqrt(a·a)·sqrt(b·b)); DuckDB: list_cosine_similarity). Both carry
+# the documented "4dp risk acceptance" (BENCH_NOTES) — this audit turns
+# the acceptance into a measured margin at the grading SF.
+
+def _bm25_audit_sql():
+    from flink_release_1_14_5_comment_spark.pipeline import retrieval as R
+    scored = R._BM25_SCORED_CTES.replace("ROUND(SUM(", "(SUM(")
+    assert scored != R._BM25_SCORED_CTES
+    scored = scored.replace("), 4) AS score", ")) AS score")
+    return (f"WITH qterms AS ({R._QTERMS_DUCK}),{scored}\n"
+            f"SELECT min({_halfdist('score', 10000)}) mind, count(*) n "
+            "FROM scored")
+
+
+def _cosine_audit_sql():
+    from flink_release_1_14_5_comment_spark.pipeline import retrieval as R
+    probes = ", ".join(str(x) for x in R._PROBES)
+    return f"""
+WITH pe AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id IN ({probes})
+), dense AS (
+  SELECT list_cosine_similarity(e.embedding::DOUBLE[], p.qe::DOUBLE[]) x
+  FROM embeddings e CROSS JOIN pe p
+)
+SELECT min({_halfdist('x', 10000)}) mind, count(*) n FROM dense
+WHERE x IS NOT NULL
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_retrieval_boundary_distances(sf):
+    con = duckdb_conn(sf)
+    for name, audit in (("bm25_topk", _bm25_audit_sql()),
+                        ("hybrid_rrf_dense", _cosine_audit_sql())):
+        mind, n = con.execute(audit).fetchone()
+        assert n > 0, f"{name}@{sf}: audit is vacuous"
+        assert mind is not None and mind > MARGIN_AVG, (
+            f"{name}@{sf}: value within {mind} relative of the 4dp "
+            f"half-boundary over {n} rows — do the integer micro-unit "
+            "rewrite (VERDICT r8 #7)")
