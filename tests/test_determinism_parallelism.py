@@ -84,7 +84,11 @@ def test_oracle_parity_under_odd_parallelism():
 # ratios feeding rank windows (q49), and the q64 cross-sales self-join's
 # integer-cents sums. Same odd-shape subprocess, driving STAGED_QUERIES.
 STAGED_REPS = ["tpcds_lit_q17", "tpcds_lit_q39a", "tpcds_lit_q22",
-               "tpcds_lit_q49", "tpcds_lit_q64"]
+               "tpcds_lit_q49", "tpcds_lit_q64",
+               # r9 float-hardening mechanisms: rank() ordered by an
+               # explicit sum/count average (q44) and the cross-channel
+               # HAVING > sum/count threshold (q14a)
+               "tpcds_lit_q44", "tpcds_lit_q14a"]
 
 STAGED_SCRIPT = f"""
 import sys; sys.path.insert(0, "/root/repo")
