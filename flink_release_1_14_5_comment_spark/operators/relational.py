@@ -359,7 +359,8 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders o
-        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+        WHERE o_totalprice > (SELECT 1.5 * CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                                    / (COUNT(o2.o_totalprice) * 100)
                               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     """)
 
@@ -367,7 +368,8 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q_SUBQUERY_CORRELATED = """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
 FROM orders o
-WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+WHERE o_totalprice > (SELECT 1.5 * CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                            / (COUNT(o2.o_totalprice) * 100)
                       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 """
 

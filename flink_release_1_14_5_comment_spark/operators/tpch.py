@@ -304,12 +304,16 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
 
 # --- Q17: small-quantity-order revenue (p_container → brand-only gate) ----
+# r9 float hardening (the q47 lesson, applied to the adapted suite's
+# threshold queries too): AVG spelled out as SUM/COUNT (integer-valued
+# quantities sum exactly; the explicit op sequence is bit-identical in
+# any engine build), money summed in exact integer cents.
 TPCH_Q17 = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / CAST(700 AS DOUBLE), 2) AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
   AND l_quantity < (
-    SELECT ROUND(0.2 * AVG(l_quantity), 6)
+    SELECT ROUND(0.2 * SUM(l_quantity) / COUNT(l_quantity), 6)
     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
 """
 
@@ -391,10 +395,12 @@ ORDER BY numwait DESC, s_name
 #     the anti-join is now on a filtered build side, same plan shape)
 TPCH_Q22 = """
 SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS totacctbal
 FROM customer JOIN nation ON n_nationkey = c_nationkey
 WHERE c_acctbal > (
-    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+           / (CAST(COUNT(c_acctbal) AS DOUBLE) * 100)
+    FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (
     SELECT 1 FROM orders WHERE o_custkey = c_custkey
       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
