@@ -32,6 +32,11 @@ NAMES = [
     "tpcds_lit_q3", "tpcds_lit_q7", "tpcds_lit_q89",
     # round-8 batch 4: returns-side star (q85) + correlated-count (q41)
     "tpcds_lit_q85", "tpcds_lit_q41",
+    # round-9 flip: one rep per flipped family — the q47 exact-integer
+    # rewrite, an ext-table a/b pair, a staged-wave window-avg, and two
+    # literal TPC-H texts (the exact-integer money convention)
+    "tpcds_lit_q47", "tpcds_lit_q14a", "tpcds_lit_q63",
+    "tpch_lit_q1", "tpch_lit_q22",
 ]
 
 SCRIPT = f"""
