@@ -254,12 +254,14 @@ _Q21 = """
 select  *
  from(select w_warehouse_name
             ,i_item_id
-            ,sum(case when (cast(d_date as date) < cast ('2000-03-11' as date))
+            ,cast(sum(case when (cast(d_date as date) < cast ('2000-03-11' as date))
 	                then inv_quantity_on_hand
-                      else 0 end) as inv_before
-            ,sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date))
+                      else 0 end) as bigint) as inv_before
+            ,cast(sum(case when (cast(d_date as date) >= cast ('2000-03-11' as date))
                       then inv_quantity_on_hand
-                      else 0 end) as inv_after
+                      else 0 end) as bigint) as inv_after
+            -- ^ r10: uncast SUM(integer) -> DuckDB HUGEINT -> float64 vs
+            -- Spark bigint; the driver hash is dtype-sensitive (r9 reds)
    from inventory
        ,warehouse
        ,item
@@ -390,9 +392,10 @@ select
     ,i_item_desc
     ,s_store_id
     ,s_store_name
-    ,sum(ss_quantity)        as store_sales_quantity
-    ,sum(sr_return_quantity) as store_returns_quantity
-    ,sum(cs_quantity)        as catalog_sales_quantity
+    ,cast(sum(ss_quantity) as bigint)        as store_sales_quantity
+    ,cast(sum(sr_return_quantity) as bigint) as store_returns_quantity
+    ,cast(sum(cs_quantity) as bigint)        as catalog_sales_quantity
+    -- ^ r10: driver-hash dtype class (DuckDB HUGEINT sums -> float64)
  from
     store_sales
    ,store_returns
@@ -1484,14 +1487,15 @@ select
   ,s_county
   ,s_state
   ,s_zip
-  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30 ) then 1 else 0 end)  as d30_days
-  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30) and
-                 (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end )  as d31_60_days
-  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60) and
-                 (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end)  as d61_90_days
-  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90) and
-                 (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end)  as d91_120_days
-  ,sum(case when (sr_returned_date_sk - ss_sold_date_sk  > 120) then 1 else 0 end)  as dgt120_days
+  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30 ) then 1 else 0 end) as bigint)  as d30_days
+  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30) and
+                 (sr_returned_date_sk - ss_sold_date_sk <= 60) then 1 else 0 end ) as bigint)  as d31_60_days
+  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60) and
+                 (sr_returned_date_sk - ss_sold_date_sk <= 90) then 1 else 0 end) as bigint)  as d61_90_days
+  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90) and
+                 (sr_returned_date_sk - ss_sold_date_sk <= 120) then 1 else 0 end) as bigint)  as d91_120_days
+  ,cast(sum(case when (sr_returned_date_sk - ss_sold_date_sk  > 120) then 1 else 0 end) as bigint)  as dgt120_days
+  -- ^ r10: driver-hash dtype class (DuckDB HUGEINT sums -> float64)
 from
    store_sales
   ,store_returns
@@ -2429,14 +2433,15 @@ select
    substr(w_warehouse_name,1,20) wh_name
   ,sm_type
   ,cc_name
-  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end)  as d30_days
-  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and
-                 (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end )  as d31_60_days
-  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and
-                 (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end)  as d61_90_days
-  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and
-                 (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end)  as d91_120_days
-  ,sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end)  as dgt120_days
+  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30 ) then 1 else 0 end) as bigint)  as d30_days
+  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30) and
+                 (cs_ship_date_sk - cs_sold_date_sk <= 60) then 1 else 0 end ) as bigint)  as d31_60_days
+  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60) and
+                 (cs_ship_date_sk - cs_sold_date_sk <= 90) then 1 else 0 end) as bigint)  as d61_90_days
+  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90) and
+                 (cs_ship_date_sk - cs_sold_date_sk <= 120) then 1 else 0 end) as bigint)  as d91_120_days
+  ,cast(sum(case when (cs_ship_date_sk - cs_sold_date_sk  > 120) then 1 else 0 end) as bigint)  as dgt120_days
+  -- ^ r10: driver-hash dtype class (DuckDB HUGEINT sums -> float64)
 from
    catalog_sales
   ,warehouse
@@ -2531,7 +2536,9 @@ WITH all_sales AS (
        ,i_class_id
        ,i_category_id
        ,i_manufact_id
-       ,SUM(sales_cnt) AS sales_cnt
+       ,CAST(SUM(sales_cnt) AS BIGINT) AS sales_cnt
+       -- ^ r10: driver-hash dtype class (DuckDB HUGEINT sums -> float64);
+       -- fixes prev_yr_cnt / curr_yr_cnt / sales_cnt_diff downstream
        ,SUM(sales_amt) AS sales_amt
  FROM (SELECT d_year
              ,i_brand_id
@@ -2604,7 +2611,8 @@ WITH all_sales AS (
 _Q83 = """
 with sr_items as
  (select i_item_id item_id,
-        sum(sr_return_quantity) sr_item_qty
+        cast(sum(sr_return_quantity) as bigint) sr_item_qty
+        -- ^ r10 (and the two casts below): driver-hash dtype class
  from store_returns,
       item,
       date_dim
@@ -2620,7 +2628,7 @@ with sr_items as
  group by i_item_id),
  cr_items as
  (select i_item_id item_id,
-        sum(cr_return_quantity) cr_item_qty
+        cast(sum(cr_return_quantity) as bigint) cr_item_qty
  from catalog_returns,
       item,
       date_dim
@@ -2636,7 +2644,7 @@ with sr_items as
  group by i_item_id),
  wr_items as
  (select i_item_id item_id,
-        sum(wr_return_quantity) wr_item_qty
+        cast(sum(wr_return_quantity) as bigint) wr_item_qty
  from web_returns,
       item,
       date_dim
@@ -2770,9 +2778,10 @@ where cs_sold_date_sk = d_date_sk
   and d_month_seq between 61 and 61 + 11
 group by cs_bill_customer_sk
         ,cs_item_sk)
- select  sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) store_only
-      ,sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) catalog_only
-      ,sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) store_and_catalog
+ select  cast(sum(case when ssci.customer_sk is not null and csci.customer_sk is null then 1 else 0 end) as bigint) store_only
+      ,cast(sum(case when ssci.customer_sk is null and csci.customer_sk is not null then 1 else 0 end) as bigint) catalog_only
+      ,cast(sum(case when ssci.customer_sk is not null and csci.customer_sk is not null then 1 else 0 end) as bigint) store_and_catalog
+      -- ^ r10: driver-hash dtype class (DuckDB HUGEINT sums -> float64)
 from ssci full outer join csci on (ssci.customer_sk=csci.customer_sk
                                and ssci.item_sk = csci.item_sk)
 limit 100
@@ -3092,8 +3101,9 @@ _Q72 = """
 select  i_item_desc
       ,w_warehouse_name
       ,d1.d_week_seq
-      ,sum(case when p_promo_sk is null then 1 else 0 end) no_promo
-      ,sum(case when p_promo_sk is not null then 1 else 0 end) promo
+      ,cast(sum(case when p_promo_sk is null then 1 else 0 end) as bigint) no_promo
+      ,cast(sum(case when p_promo_sk is not null then 1 else 0 end) as bigint) promo
+      -- ^ r10: driver-hash dtype class (DuckDB HUGEINT sums -> float64)
       ,count(*) total_cnt
 from catalog_sales
 join inventory on (cs_item_sk = inv_item_sk)
@@ -3154,7 +3164,9 @@ _Q78 = """
 with ws as
   (select d_year AS ws_sold_year, ws_item_sk,
     ws_bill_customer_sk ws_customer_sk,
-    sum(ws_quantity) ws_qty,
+    cast(sum(ws_quantity) as bigint) ws_qty,
+    -- ^ r10 (and the two casts below): driver-hash dtype class on the
+    -- qty outputs (store_qty / other_chan_qty)
     sum(ws_wholesale_cost) ws_wc,
     sum(ws_sales_price) ws_sp
    from web_sales
@@ -3166,7 +3178,7 @@ with ws as
 cs as
   (select d_year AS cs_sold_year, cs_item_sk,
     cs_bill_customer_sk cs_customer_sk,
-    sum(cs_quantity) cs_qty,
+    cast(sum(cs_quantity) as bigint) cs_qty,
     sum(cs_wholesale_cost) cs_wc,
     sum(cs_sales_price) cs_sp
    from catalog_sales
@@ -3178,7 +3190,7 @@ cs as
 ss as
   (select d_year AS ss_sold_year, ss_item_sk,
     ss_customer_sk,
-    sum(ss_quantity) ss_qty,
+    cast(sum(ss_quantity) as bigint) ss_qty,
     sum(ss_wholesale_cost) ss_wc,
     sum(ss_sales_price) ss_sp
    from store_sales

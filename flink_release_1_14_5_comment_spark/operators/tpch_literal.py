@@ -54,7 +54,13 @@ units vs reorder divergence up to ~19 units at sf0.01). Every money
 aggregate therefore runs in EXACT INTEGER UNITS — cents via
 cast(round(x*100) as bigint), discount/tax percents likewise, supplycost
 in 1e-6-dollar units — summed exactly in bigint and converted to dollars
-by ONE final IEEE division (bit-identical in any engine build). Decimal
+by ONE final division, IDENTICALLY ROUNDED in both engines (both perform
+the same correctly-rounded bigint→double conversion + IEEE division; the
+conversion itself is exact only while the scaled sum stays ≤ 2^53 —
+q1's sum_charge in 1e-6-dollar units is ~1e16 at sf0.1, already past
+that, but still converts identically in both engines; an overflow-
+headroom audit vs 2^63 lives in tests/test_staged_float_boundaries.py).
+Decimal
 accumulation was tried first and rejected: DuckDB's decimal→double cast
 double-rounds (int128→double, then ×10^-scale), which produced 18
 one-ulp mismatches on q11. Per-row round(x, 2) emissions of 2dp columns
@@ -535,18 +541,20 @@ limit 100
 _Q12 = """
 select
   l_shipmode,
-  sum(case
+  cast(sum(case
     when o_orderpriority = '1-URGENT'
       or o_orderpriority = '2-HIGH'
       then 1
     else 0
-  end) as high_line_count,
-  sum(case
+  end) as bigint) as high_line_count,
+  cast(sum(case
     when o_orderpriority <> '1-URGENT'
       and o_orderpriority <> '2-HIGH'
       then 1
     else 0
-  end) as low_line_count
+  end) as bigint) as low_line_count
+  -- ^ r10: uncast SUM(integer) types as DuckDB HUGEINT -> fetchdf float64
+  -- vs Spark bigint; the driver hash is dtype-sensitive (r9 red class)
 from
   orders,
   lineitem

