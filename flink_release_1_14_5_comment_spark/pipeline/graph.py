@@ -116,7 +116,12 @@ def _distributed_cc(edges: DataFrame, src: str, dst: str, max_iters: int) -> Dat
                 "node",
                 F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias("component"),
             )
-            .persist()
+            # lazy checkpoint, not persist: each round references `labels`
+            # three times (neighbor_min, the merge join, the changed
+            # count), so an un-truncated plan grows 3^iters — the HITS
+            # OOM class (SCALE.md r10). The per-round `changed` count
+            # materializes it exactly like the old persist+count.
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -275,7 +280,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             "node",
             (F.lit((1.0 - damping) / n)
              + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))).alias("pr"),
-        ).persist()
+        ).localCheckpoint(eager=False)  # O(1) lineage/round (SCALE.md r10)
         new_ranks.count()  # materialize, then drop the previous round
         ranks.unpersist()
         ranks = new_ranks
@@ -304,11 +309,12 @@ def single_source_shortest_paths(edges: DataFrame, source: str,
             .select(F.col("b").alias("node"), F.lit(hop).alias("dist"))
             .distinct()
         )
-        new_frontier = reached.join(dist, "node", "left_anti").persist()
+        new_frontier = reached.join(dist, "node", "left_anti") \
+            .localCheckpoint(eager=False)  # O(1) lineage/round (SCALE.md r10)
         if new_frontier.isEmpty():  # delta iteration: converged
             new_frontier.unpersist()
             break
-        new_dist = dist.union(new_frontier).persist()
+        new_dist = dist.union(new_frontier).localCheckpoint(eager=False)
         new_dist.count()  # materialize before retiring the frames it reads
         retired.extend((dist, frontier) if frontier is not dist else (dist,))
         dist, frontier = new_dist, new_frontier
@@ -424,7 +430,9 @@ def weighted_sssp(edges: DataFrame, source: str, src: str = "src",
                     F.least(F.coalesce(F.col("dist"), F.lit(float("inf"))),
                             F.coalesce(F.col("cand"), F.lit(float("inf"))))
                     .alias("dist"))
-            .persist()
+            # `dist` is referenced twice per round (cand + merge) — lazy
+            # checkpoint keeps the Bellman-Ford plan O(1)/round
+            .localCheckpoint(eager=False)
         )
         improved = (
             new_dist.alias("n").join(dist.alias("o"), "node", "left")
@@ -479,7 +487,7 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
             freq.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(F.col("nbr_of").alias("node"), "label")
-            .persist()
+            .localCheckpoint(eager=False)  # O(1) lineage/round (SCALE.md r10)
         )
         new_labels.count()
         labels.unpersist()
