@@ -26,39 +26,24 @@ import pandas as pd
 
 
 def family(s: pd.Series) -> str:
-    """Coarse dtype family as the driver's value-repr hash would see it."""
-    if pd.api.types.is_bool_dtype(s):
-        return "bool"
-    if pd.api.types.is_integer_dtype(s):
-        return "int"
-    if pd.api.types.is_float_dtype(s):
-        return "float"
-    if pd.api.types.is_datetime64_any_dtype(s):
-        return "datetime"
-    if pd.api.types.is_object_dtype(s):
-        nn = s.dropna()
-        if len(nn) == 0:
-            return "object:empty"
-        return f"object:{type(nn.iloc[0]).__name__}"
-    return str(s.dtype)
+    """One shared classifier with the in-suite gate (oracle_util), so the
+    enumerator can never drift from what compare() enforces."""
+    from tests.oracle_util import _dtype_family
+
+    f = _dtype_family(s)
+    return "object:empty" if f is None else f
 
 
 def classify(sf: str, of: str) -> str:
     if sf == of:
         return "ok"
-    ints = {"int", "bool"}
-    if sf in ints and of in ints:
+    if "object:empty" in (sf, of):
+        return "ok"  # vacuous column — nothing for a hash to disagree on
+    if {sf, of} <= {"int", "bool"}:
         return "ok"  # width/bool-int gaps proven safe (q36/q86 r8)
-    if {sf, of} == {"int", "float"} or ("float" in (sf, of) and ("int" in (sf, of))):
+    if "float" in (sf, of) and "int" in (sf, of):
         return "FATAL"  # the r9 red class
-    if sf.startswith("object:") and of.startswith("object:"):
-        a, b = sf.split(":", 1)[1], of.split(":", 1)[1]
-        if {a, b} <= {"str", "str_"}:
-            return "ok"
-        if {a, b} <= {"int", "int64", "int32"}:
-            return "ok"
-        return "WARN"
-    return "WARN"  # object-vs-datetime (raw DATE), etc. — adjudicate by history
+    return "WARN"  # date-vs-datetime etc. — adjudicate by grading history
 
 
 def main() -> int:
