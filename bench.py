@@ -55,7 +55,8 @@ HEADLINE = [
     # r5 rotation-bound TPC-H additions (VERDICT r4 #8): the suite's other
     # hard plan shapes, now also officially graded
     "tpch_q2",   # correlated min-cost subquery over the partsupp CTE
-    "tpch_q13",  # left-outer + count-distribution double aggregate
+    # tpch_q13 (count-distribution) rotated OUT in r10 for the line
+    # budget — the family moves to the literal tpch_lit_q12 rep below
     "tpch_q17",  # per-part avg-quantity scalar subquery
     "tpch_q21",  # exists + not-exists + 4-way join (anti-heavy)
     "tpch_q22",  # anti join + scalar avg filter
@@ -104,8 +105,10 @@ HEADLINE = [
     "histogram_quantile",
     "zorder_layout",
     "corpus_mix",            # two-phase skew-proof cut (r6 rewrite)
-    # r6: adapted TPC-DS pack representatives (VERDICT r5 #4)
-    "tpcds_q67_topk_rollup",
+    # r6: adapted TPC-DS pack representative — rotated OUT in r10 (with
+    # adapted tpch_q13) to hold the 1900-char machine-line budget; the
+    # rank-in-rollup family stays perf-tracked via tpcds_lit_q14a's
+    # three-channel rollup and the count-census family via tpch_lit_q12.
     # r6 session 2: retrieval + HLL additions
     "bm25_topk",
     "hybrid_rrf_fusion",
@@ -129,6 +132,12 @@ HEADLINE = [
     # plan families) rotate OUT to hold the 1900-char machine-line budget.
     "tpcds_lit_q14a",
     "tpch_lit_q9",
+    # r10: window-2 reps — q64 (the cross-sales monster: the deepest
+    # literal plan, two-pass cs_ui + income-band chains over the ext
+    # star) and the dtype-fixed tpch q12 shipmode census. Line budget
+    # after adding both: ~1.78k of the 1900-char cap.
+    "tpcds_lit_q64",
+    "tpch_lit_q12",
 ]
 
 
