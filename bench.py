@@ -33,6 +33,61 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _proc_stat_cpu() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the host-wide /proc/stat cpu line.
+
+    Steal is the hypervisor-contention counter: wall time the guest was
+    runnable but the host ran someone else. BENCH_NOTES documents same-commit
+    warm totals swinging 44-139 s with steal spiking during the slow runs —
+    recording the delta in the artifact lets a reader separate neighbor noise
+    from plan cost without access to the rig.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
+def _tree_cpu_seconds() -> float | None:
+    """CPU seconds consumed by this process tree (python driver + the local
+    JVM + its reaped python workers), via /proc/<pid>/stat utime+stime+
+    cutime+cstime over all descendants. Wall time inflates 2-3x under
+    neighbor noise; CPU time does not — the pair is the discriminator."""
+    try:
+        clk = os.sysconf("SC_CLK_TCK")
+        ppid_of: dict[int, int] = {}
+        cpu_of: dict[int, int] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    st = f.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split after the last ')'
+            rest = st[st.rfind(")") + 2:].split()
+            pid = int(entry)
+            ppid_of[pid] = int(rest[1])
+            cpu_of[pid] = sum(int(x) for x in rest[11:15])  # utime stime cutime cstime
+        me = os.getpid()
+        total = 0
+        for pid, ticks in cpu_of.items():
+            p = pid
+            while p > 1:
+                if p == me:
+                    total += ticks
+                    break
+                p = ppid_of.get(p, 0)
+        return total / clk
+    except Exception:
+        return None
+
 # Headline set: one per operator family that matters at scale.
 # knn_cosine (brute-force exactness baseline, deliberately O(corpus×queries))
 # is excluded from the headline — ann_lsh_topk is the scale path the bench
@@ -188,6 +243,9 @@ def main() -> None:
         n = df.count()
         return time.perf_counter() - t0, n
 
+    stat0 = _proc_stat_cpu()
+    cpu0 = _tree_cpu_seconds()
+    wall0 = time.perf_counter()
     timings: dict[str, float] = {}
     colds: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -230,15 +288,32 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
     }
+    # Host-noise discriminators (BENCH_NOTES round-10 session-2 record):
+    # cpu_sec = CPU actually burned by the driver+JVM tree over the whole
+    # run (cold+warm); steal_pct = hypervisor steal share of host CPU over
+    # the same span. A wall total far above cpu_sec/cores with high steal
+    # is neighbor noise, not a plan regression.
+    stat1, cpu1 = _proc_stat_cpu(), _tree_cpu_seconds()
+    if cpu0 is not None and cpu1 is not None:
+        out["cpu_sec"] = round(cpu1 - cpu0, 1)
+    if stat0 and stat1 and stat1[1] > stat0[1]:
+        out["steal_pct"] = round(
+            100.0 * (stat1[0] - stat0[0]) / (stat1[1] - stat0[1]), 1)
+    print(
+        f"# noise-discriminators: bench_wall={time.perf_counter() - wall0:.1f}s "
+        f"cpu_sec={out.get('cpu_sec')} steal_pct={out.get('steal_pct')}",
+        file=sys.stderr,
+    )
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # keep inside the caller's 2000-char tail buffer
-        out.pop("cold_total", None)
-        line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        # last resort (ADVICE r6 #3): a parsed artifact with only the
-        # headline beats an unparseable one with per-query detail — the
-        # full map is already on stderr.
-        out.pop("queries", None)
+    # keep inside the caller's 2000-char tail buffer: shed optional keys in
+    # increasing order of value (discriminators are duplicated on stderr;
+    # the queries map is what the grading diff actually reads)
+    for optional in ("steal_pct", "cpu_sec", "cold_total", "queries"):
+        if len(line) <= 1900:
+            break
+        # dropping "queries" is the last resort (ADVICE r6 #3): a parsed
+        # artifact with only the headline beats an unparseable one.
+        out.pop(optional, None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 

@@ -10,21 +10,41 @@ import json
 import bench
 
 
-def test_compact_line_fits_tail_buffer():
-    # worst realistic per-query width: name + "999.99"
-    worst = {name: 999.99 for name in bench.HEADLINE}
+def _line(extra: dict, per_query: float) -> str:
     out = {
         "metric": "headline_queries_total_wall",
         "value": 99999.999,
         "unit": "sec",
-        "cold_total": 99999.999,
-        "queries": worst,
+        "queries": {name: per_query for name in bench.HEADLINE},
         "sf": 0.1,
     }
-    line = json.dumps(out, separators=(",", ":"))
+    out.update(extra)
+    return json.dumps(out, separators=(",", ":"))
+
+
+def test_compact_line_fits_tail_buffer():
+    # Hard guarantee: even at absurd per-query widths (999.99 s each), the
+    # line with the queries map must fit once the shed-cascade has dropped
+    # every optional key (bench.py drops steal_pct/cpu_sec/cold_total before
+    # ever touching "queries").
+    line = _line({}, 999.99)
     assert len(line) <= 1900, (
-        f"bench JSON line would be {len(line)} chars; trim HEADLINE or drop "
-        "optional keys — the harness tail buffer is 2000 chars"
+        f"bench JSON line would be {len(line)} chars even with all optional "
+        "keys shed; trim HEADLINE — the harness tail buffer is 2000 chars"
+    )
+
+
+def test_realistic_line_keeps_noise_discriminators():
+    # Realistic widths (every query < 100 s — the slowest ever recorded is
+    # ~5 s): cold_total + the host-noise discriminators must all survive, so
+    # graded artifacts carry the cpu/steal evidence BENCH_NOTES relies on.
+    line = _line(
+        {"cold_total": 99999.999, "cpu_sec": 99999.9, "steal_pct": 100.0},
+        99.99,
+    )
+    assert len(line) <= 1900, (
+        f"realistic bench line is {len(line)} chars; the noise "
+        "discriminators would be shed — trim HEADLINE"
     )
 
 
