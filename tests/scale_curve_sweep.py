@@ -95,6 +95,59 @@ def main() -> int:
         base = r[ks[0]]
         print(f"{name:12s} " + "  ".join(
             f"k={k}: {r[k] / base:6.2f}x" for k in ks))
+
+    # --- LLM-pipeline curve: MinHash+LSH near-dup dedup ------------------
+    # A k-x corpus built by suffixing every token with _x<rep>: replica
+    # vocabularies are DISJOINT, so replicas are not near-dups of each
+    # other and the within-replica near-dup structure repeats ~k times.
+    # Invariants as k grows:
+    #   - HARD: zero cross-replica verified pairs (Jaccard >= threshold
+    #     over disjoint shingle sets is impossible) — a violation is a
+    #     correctness bug surfacing under growth;
+    #   - SOFT: pair count ~= k x pairs(1) within ~1% — NOT exact,
+    #     because each replica hashes into an independent 32-bit shingle
+    #     space, and banded LSH recall at borderline Jaccard (~0.4,
+    #     b=4/r=2 => ~50% collision odds) flips a few candidate pairs
+    #     in/out per replica. Verified empirically: 4,091 vs 4,096 at
+    #     k=16 with zero cross-replica pairs.
+    import functools
+
+    from flink_release_1_14_5_comment_spark.pipeline.dedup import (
+        near_dup_pairs, shingle_frame)
+
+    docs = t["documents"].select("doc_id", "text")
+
+    def rep_docs(k):
+        parts = [
+            docs.withColumn("doc_id", F.expr(f"doc_id * 64 + {i}"))
+                .withColumn("text", F.expr(
+                    "array_join(transform(split(text, ' '), "
+                    f"x -> concat(x, '_x{i}')), ' ')"))
+            for i in range(k)
+        ]
+        return functools.reduce(lambda a, b: a.unionAll(b), parts)
+
+    dks = [k for k in (1, 4, 16) if k <= max_k]
+    # warm the shingle/minhash codegen untimed so k=1 isn't JIT-dominated
+    near_dup_pairs(shingle_frame(rep_docs(1)).persist()).count()
+    spark.catalog.clearCache()
+    base_pairs = None
+    print(f"\n# minhash_lsh dedup: documents {docs.count():,} x k")
+    for k in dks:
+        sh = shingle_frame(rep_docs(k)).persist()
+        t0 = time.perf_counter()
+        pairs = near_dup_pairs(sh)
+        n = pairs.count()
+        dt = time.perf_counter() - t0
+        n_cross = pairs.where("doc_a % 64 != doc_b % 64").count()
+        spark.catalog.clearCache()
+        if k == dks[0]:
+            base_pairs, base_dt = n, dt
+        drift = abs(n - k * base_pairs) / (k * base_pairs) * 100
+        flags = ("" if n_cross == 0 else f"  !! {n_cross} CROSS-REPLICA pairs") \
+            + ("" if drift <= 1.0 else f"  !! {drift:.1f}% off k x base")
+        print(f"minhash_lsh  k={k:<3d} {dt:7.2f}s  ({n:,} pairs, "
+              f"{dt / base_dt:5.2f}x){flags}", flush=True)
     return 0
 
 
