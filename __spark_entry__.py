@@ -98,6 +98,38 @@ _PRIORITY = [
     "tpch_lit_q20", "tpch_lit_q21",
 ]
 
+# Round-11 rotation, staged (ROADMAP "Round-11 plan", verbatim): the 4
+# deferred entries + 46 officially-green family anchors. NOT graded this
+# round — r11's swap is `_PRIORITY = _R11_PRIORITY` and nothing else;
+# tests/test_grading_window.py pins that every name resolves and (except
+# the rows-only streaming-sink entries) carries an oracle, so the
+# rotation cannot be broken by a typo when it happens. Re-verified 50/50
+# green under vanilla sf0.01 driver emulation (dtype gate active) in the
+# session that staged it.
+_R11_PRIORITY = [
+    # residuals: the 3 deferred wave-7 count censuses + the swapped anchor
+    "tpcds_lit_q88", "tpcds_lit_q90", "tpcds_lit_q96", "agg_pricing_summary",
+    # relational / TPC anchors
+    "join_multiway", "over_windows", "sales_rollup_nation_year",
+    "nation_market_share", "window_over_join", "over_frames_ext",
+    "skew_salted_join", "split_distinct_agg", "tpch_q9", "tpch_lit_q1",
+    "tpch_lit_q9", "tpcds_lit_q98", "tpcds_lit_q89",
+    "tpcds_q97_channel_overlap", "tpcds_q95_multi_hop_exists",
+    # streaming / CDC / temporal anchors
+    "stream_window_tumble", "streaming_file_sink", "stream_window_topn",
+    "stream_upsert_pipeline", "cdc_debezium_agg", "window_tumble",
+    "window_cumulate", "asof_join", "temporal_table_fn", "funnel_match",
+    "match_recognize_sql",
+    # IO / API / UDF anchors
+    "io_roundtrip_csv", "sink_not_null_enforcer", "python_udf_gauntlet",
+    "async_io_enrich", "table_api_fluent", "table_flat_aggregate",
+    # pipeline / similarity / retrieval / text anchors
+    "dedup_minhash_lsh", "dedup_exact", "dedup_clusters", "graph_pagerank",
+    "embedding_kmeans", "ann_lsh_topk", "knn_cosine", "bm25_topk",
+    "cms_heavy_hitters", "token_counts", "lm_perplexity", "pack_sequences",
+    "multimodal_features", "pipeline_end_to_end",
+]
+
 
 def _ordered(raw: dict) -> dict:
     out = {k: raw[k] for k in _PRIORITY if k in raw}

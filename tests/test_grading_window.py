@@ -27,6 +27,23 @@ def test_priority_all_resolvable_with_oracles():
     assert list(qs)[:50] == entry._PRIORITY
 
 
+def test_staged_r11_window_resolvable():
+    """The staged r11 rotation (entry._R11_PRIORITY) must stay swap-ready:
+    50 unique names, all resolving to queries() entries, all carrying
+    oracles except the rows-only streaming-sink checks. A typo here would
+    surface at r11 rotation time — after the window is graded."""
+    p = entry._R11_PRIORITY
+    assert len(p) == 50
+    assert len(set(p)) == 50
+    qs, osql = entry.queries(), entry.oracle_sql()
+    missing = [n for n in p if n not in qs]
+    assert not missing, missing
+    no_oracle = [n for n in p if n not in osql]
+    # rows-only entries (non-SQL-expressible, weaker driver check) are the
+    # only oracle-less names allowed in a window
+    assert set(no_oracle) <= {"streaming_file_sink"}, no_oracle
+
+
 # r10 window: window 2 of 2 over the staged-literal flip (ROADMAP,
 # amended per VERDICT r9 #3). The anchors below assert the window's
 # family spread so a rotation edit can't silently drop one of the NEW
