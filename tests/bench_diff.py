@@ -37,8 +37,12 @@ def main() -> int:
 
     print(f"A = {a_path}: total {a.get('value')}s over {len(qa)} queries")
     print(f"B = {b_path}: total {b.get('value')}s over {len(qb)} queries")
-    print(f"shared {len(shared)} queries: {ta:.1f}s -> {tb:.1f}s "
-          f"({(tb - ta) / ta * 100:+.1f}%)")
+    if ta > 0:
+        print(f"shared {len(shared)} queries: {ta:.1f}s -> {tb:.1f}s "
+              f"({(tb - ta) / ta * 100:+.1f}%)")
+    else:
+        print(f"shared {len(shared)} queries (no timed overlap — an "
+              "artifact may have shed its queries map; see its stderr log)")
     if only_a:
         print(f"only in A: {', '.join(only_a)}")
     if only_b:
@@ -63,13 +67,18 @@ def main() -> int:
 
     # noise heuristic: median per-query ratio vs spread of ratios
     ratios = sorted(vb / va for _, va, vb in movers if va > 0)
-    med = ratios[len(ratios) // 2]
-    print(f"\nmedian per-query ratio: {med:.2f}x "
-          f"(p10 {ratios[len(ratios)//10]:.2f}x, "
-          f"p90 {ratios[-max(1, len(ratios)//10)]:.2f}x)")
-    print("uniform ratio shift => host-speed delta; isolated outliers "
-          "above a flat median => plan regressions. Compare against the "
-          "best same-commit idle reading in BENCH_NOTES, not across hosts.")
+    if ratios:
+        med = ratios[len(ratios) // 2]
+        if len(ratios) >= 20:  # percentiles only meaningful with depth
+            spread = (f"(p10 {ratios[len(ratios) // 10]:.2f}x, "
+                      f"p90 {ratios[-(len(ratios) // 10)]:.2f}x)")
+        else:
+            spread = f"(min {ratios[0]:.2f}x, max {ratios[-1]:.2f}x)"
+        print(f"\nmedian per-query ratio: {med:.2f}x {spread}")
+        print("uniform ratio shift => host-speed delta; isolated outliers "
+              "above a flat median => plan regressions. Compare against the "
+              "best same-commit idle reading in BENCH_NOTES, not across "
+              "hosts.")
     return 0
 
 

@@ -44,12 +44,13 @@ CARTESIAN_ALLOWED = {"tpcds_lit_q77"}
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/plan_audit.json"
-    from pyspark.sql import SparkSession
+    # Audit under the PRODUCTION session config (CBO + join reorder + AQE,
+    # session.py), not a bare builder: the invariants gate the plans the
+    # engine actually runs, and a CBO-reordered join could differ from the
+    # default-config plan.
+    from flink_release_1_14_5_comment_spark.session import get_spark
 
-    spark = (SparkSession.builder.master("local[16]")
-             .config("spark.ui.enabled", "false")
-             .config("spark.sql.shuffle.partitions", "16")
-             .getOrCreate())
+    spark = get_spark("plan-audit", cpus=16)
     import __spark_entry__ as e
 
     qs = e.queries()

@@ -16,6 +16,7 @@ Run ad hoc (idle host):  python tests/scale_curve_sweep.py [max_k]
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -42,7 +43,6 @@ def main() -> int:
         # (3 for sf0.1 lineitem) and misreads ~linear plans as
         # superlinear. __rep folds into join/partition keys so a k-x
         # corpus behaves like k-x MORE entities, not k-x duplicates.
-        import functools
         return functools.reduce(
             lambda a, b: a.unionAll(b),
             [df.withColumn("__rep", F.lit(i)) for i in range(k)])
@@ -110,8 +110,6 @@ def main() -> int:
     #     b=4/r=2 => ~50% collision odds) flips a few candidate pairs
     #     in/out per replica. Verified empirically: 4,091 vs 4,096 at
     #     k=16 with zero cross-replica pairs.
-    import functools
-
     from flink_release_1_14_5_comment_spark.pipeline.dedup import (
         near_dup_pairs, shingle_frame)
 
@@ -143,11 +141,13 @@ def main() -> int:
         spark.catalog.clearCache()
         if k == dks[0]:
             base_pairs, base_dt = n, dt
-        drift = abs(n - k * base_pairs) / (k * base_pairs) * 100
+        drift = (abs(n - k * base_pairs) / (k * base_pairs) * 100
+                 if base_pairs else float(n > 0) * 100)
         flags = ("" if n_cross == 0 else f"  !! {n_cross} CROSS-REPLICA pairs") \
             + ("" if drift <= 1.0 else f"  !! {drift:.1f}% off k x base")
+        rate = f"{dt / base_dt:5.2f}x" if base_dt else "  n/a"
         print(f"minhash_lsh  k={k:<3d} {dt:7.2f}s  ({n:,} pairs, "
-              f"{dt / base_dt:5.2f}x){flags}", flush=True)
+              f"{rate}){flags}", flush=True)
     return 0
 
 
