@@ -947,10 +947,45 @@ def _compose(ctes: str, qtext: str) -> str:
     return f"WITH {ctes} {qtext}"
 
 
+# Spec-completed tables the query texts reference (everything _spec_ctes
+# derives; `region` needs no completion and stays the base view).
+_SPEC_TABLES = ("lineitem", "orders", "customer", "part", "supplier",
+                "nation", "partsupp")
+
+_ALIAS_SPEC = ",\n".join(
+    f"{name} AS (SELECT * FROM tpch_spec_{name})" for name in _SPEC_TABLES)
+
+
+def _ensure_spec(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the spec-completion layer ONCE per (session, sf_dir):
+    each derived table becomes a localCheckpoint'ed frame behind a
+    ``tpch_spec_<name>`` temp view — the tpcds_literal._ensure_star
+    pattern (VERDICT r7 #4) applied to the TPC-H side. Before this, every
+    literal query re-ran the whole completion CTE stack inline — in
+    particular partsupp's groupBy over lineitem ran once per *reference*
+    (twice in q2's correlated-min shape) on every run. Values are
+    identical by construction (the view materializes the very same CTE
+    text); the DuckDB oracle keeps its inline CTEs. localCheckpoint, not
+    persist, for the same cache-manager sameResult reason documented at
+    tpcds_literal._ensure_star."""
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if getattr(spark, "_graft_tpch_spec_for", None) == key:
+        return
+    register_views(spark, sf_dir)
+    for name in _SPEC_TABLES:
+        df = spark.sql(
+            f"WITH {_SPARK_SPEC} SELECT * FROM {name}"
+        ).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(f"tpch_spec_{name}")
+    spark._graft_tpch_spec_for = key
+
+
 def _runner(qtext: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
-        return spark.sql(_compose(_SPARK_SPEC, qtext))
+        _ensure_spec(spark, sf_dir)
+        return spark.sql(_compose(_ALIAS_SPEC, qtext))
 
     return run
 

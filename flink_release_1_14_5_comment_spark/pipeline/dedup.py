@@ -356,7 +356,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = bit_exprs[0]
     for e in bit_exprs[1:]:
         fp = fp + e
-    sim = docs.select("doc_id", fp.cast("long").alias("simhash"))
+    # persist: sim feeds BOTH the group-size aggregate and the join back —
+    # without it the 16 majority-vote bit folds (the plan's dominant
+    # per-row CPU) run twice over the corpus
+    sim = docs.select("doc_id", fp.cast("long").alias("simhash")).persist()
     # group size via groupBy+join, not count() OVER (PARTITION BY simhash):
     # a window puts a mass-duplicate fingerprint pile in ONE task's buffer,
     # while groupBy reduces it map-side and AQE can split the skewed join
@@ -471,9 +474,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"filter({_TOKS}, x -> x IN ('the','a','and','of','to','in'))"
         )).cast("double") / n_tok
     )
+    # persist the gated slim frame: it feeds BOTH the exact-keep aggregate
+    # and the survivors join — without it the tokenize+stopword+md5 map
+    # (the plan's dominant per-row CPU) runs twice over the corpus
     quality = docs.filter((n_tok >= 20) & (stop_ratio < 0.5)).select(
         "doc_id", "lang", n_tok.alias("n_tok"), F.md5(F.expr(_NORM)).alias("fp")
-    )
+    ).persist()
     exact_keep = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     survivors = quality.join(exact_keep, ["fp", "doc_id"])
     # Reuse the shared shingle→pairs helper on a locally persisted shingle

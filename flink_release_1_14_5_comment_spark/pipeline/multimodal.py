@@ -100,7 +100,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "features": content.map(_fake_features),
             })
 
-    return media.mapInPandas(extract, out_schema)
+    # Project to the two columns the function reads BEFORE the Python
+    # boundary: mapInPandas is opaque to Catalyst's column pruning, so
+    # every input column would otherwise be Arrow-serialized into the
+    # worker (guide: pass only what the function needs).
+    return media.select("media_id", "content").mapInPandas(extract, out_schema)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -95,7 +95,17 @@ def _doc_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 def _bm25_scores(spark: SparkSession, docs: DataFrame, qterms: DataFrame) -> DataFrame:
     """(qid, doc_id, score) for every doc matching ≥1 query term. qterms:
     (qid, term) — small, broadcast. Token stream is filtered by the
-    broadcast join BEFORE any aggregation."""
+    broadcast join BEFORE any aggregation.
+
+    r10 optimization note: two sharing variants for the double-consumed
+    `hits` subtree were built and measured (tests/ab_compare_r10.py) —
+    persisting the tokenized corpus, and persisting the tf aggregate so df
+    derives from it. BOTH lost to this plain shape at bench scale: a
+    persist costs a job + columnar materialization while re-running the
+    tokenize map is one cheap codegen pass, and the df-from-tf rewrite is
+    optimized right back to this plan by RemoveRedundantAggregates. At
+    100 TB the sharing mechanism is a WRITTEN inverted index, not a
+    session cache — out of scope for a query-shaped operator."""
     dl, stats = _doc_stats(docs)
     toks = docs.select("doc_id", F.explode(_tok_arr()).alias("tok"))
     hits = toks.join(F.broadcast(qterms), toks.tok == qterms.term, "inner")
@@ -237,7 +247,8 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RRF_DEPTH, rank_col="drank",
     )
 
-    # sparse: the probe's DISTINCT tokens are the query-term table
+    # sparse: the probe's DISTINCT tokens are the query-term table (the
+    # doc_id filter pushes to the scan, so only the 4 probe rows tokenize)
     qterms = (
         docs.filter(probes_pred)
         .select(F.col("doc_id").cast("int").alias("qid"), F.explode(_tok_arr()).alias("term"))

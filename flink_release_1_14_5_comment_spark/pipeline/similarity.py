@@ -319,6 +319,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_views(spark, sf_dir)
     e = _spread(t["embeddings"])
     cent = _centroids(e).withColumn("cnorm", _norm("cent"))
+    # (r10: persisting e_n here was measured NEGATIVE — the fresh path
+    # pays the materialization while the norm fold recompute is one cheap
+    # map; the persisted `ranked` frame below already covers the reuse
+    # that matters. tests/ab_compare_r10.py)
     e_n = e.withColumn("nrm", _norm("embedding"))
     scored = e_n.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell",
@@ -490,7 +494,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-hash join on the id."""
     t = register_views(spark, sf_dir)
     e = _spread(t["embeddings"])
-    idx = _bands_index(e)
+    # persist both reused frames (the q_ann_lsh_topk pattern): the index
+    # feeds both sides of the candidate self-join (the banding map would
+    # otherwise run twice) and the normed-vector frame feeds both
+    # verification joins (the 64-dim norm fold likewise)
+    idx = _bands_index(e).persist()
     a = idx.withColumnRenamed("vec_id", "id_a")
     b = idx.withColumnRenamed("vec_id", "id_b")
     cand = (
@@ -499,7 +507,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    e_n = e.withColumn("nrm", _norm("embedding"))
+    e_n = e.withColumn("nrm", _norm("embedding")).persist()
     return (
         cand.join(e_n.select(F.col("vec_id").alias("id_a"),
                              F.col("embedding").alias("ea"),
@@ -562,10 +570,14 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("pos", "v"))
         .withColumn("sub", (F.col("pos") / PQ_SUBDIM).cast("int"))
     )
+    # the codebook feeds TWO broadcast joins (encode + ADC) — persist so
+    # the training aggregation (a full corpus explode + 640-group agg)
+    # runs once per query, not once per consumer branch
     cb = (
         comp.groupBy(F.col("label").alias("code"), "pos")
         .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
         .select("code", "pos", "cv")
+        .persist()
     )
     sq = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
     enc = (
@@ -652,8 +664,34 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving layout. Same determinism scheme as the component queries."""
     t = register_views(spark, sf_dir)
     e = _spread(t["embeddings"])
-    # IVF coarse stage (as q_ann_ivf_topk)
-    cent = _centroids(e).withColumn("cnorm", _norm("cent"))
+    # Shared training frame: the PQ codebook's (label, pos) component means
+    # ARE the IVF centroids' components (both stages train on the same
+    # deterministic label groups — `cent` in q_ann_ivf_topk and `cb` in
+    # q_ann_pq_topk run the identical round(sum,6)/count aggregation).
+    # Train ONCE into a persisted 640-row frame and derive both: before
+    # this the composed query paid the full corpus-explode training agg
+    # twice (plus once more for the ADC branch) per run.
+    comp = (
+        e.select("vec_id", "label",
+                 F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "v"))
+        .withColumn("sub", (F.col("pos") / PQ_SUBDIM).cast("int"))
+    )
+    cb = (
+        comp.groupBy(F.col("label").alias("code"), "pos")
+        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
+        .select("code", "pos", "cv")
+        .persist()
+    )
+    # IVF coarse stage (as q_ann_ivf_topk; cent re-assembled from cb —
+    # same cv doubles, so csim is bit-identical to _centroids' output)
+    cent = (
+        cb.groupBy(F.col("code").alias("cell"))
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"]).alias("cent"))
+        .withColumn("cnorm", _norm("cent"))
+    )
     e_n = e.withColumn("nrm", _norm("embedding"))
     cscore = e_n.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell",
@@ -673,17 +711,6 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # PQ fine stage (as q_ann_pq_topk)
-    comp = (
-        e.select("vec_id", "label",
-                 F.posexplode(F.col("embedding").cast("array<double>"))
-                 .alias("pos", "v"))
-        .withColumn("sub", (F.col("pos") / PQ_SUBDIM).cast("int"))
-    )
-    cb = (
-        comp.groupBy(F.col("label").alias("code"), "pos")
-        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
-        .select("code", "pos", "cv")
-    )
     sq = (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))
     enc = (
         comp.join(F.broadcast(cb), "pos")

@@ -528,6 +528,13 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, size(t) - 7), "
             "i -> concat_ws(' ', slice(t, i, 8)))")).alias("gram"))
     )
+    # r10 optimization note: a (gram, doc_id, k) pre-aggregate variant
+    # (combine duplicate windows before the gram join, re-weight by k) was
+    # built and measured (tests/ab_compare_r10.py) — it LOST ~20%: at this
+    # corpus's low duplicate-window rate k≈1 almost everywhere, so the
+    # combine shrinks nothing and just adds an aggregation, and the
+    # explode subtree still runs once per consumer. The pre-agg only pays
+    # when window duplication is heavy; documented here, not enacted.
     gram_docs = base.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("nd"))
     dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
