@@ -96,20 +96,22 @@ def kmeans_assign(vectors: DataFrame,
 
 
 def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[float]]]:
-    """Mean per (cluster, dim) → k driver-held centroid rows. One
-    map-side-combined shuffle of k×dims partials; empty clusters drop
-    (same in the oracle)."""
-    rows = (
-        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cluster", "pos")
-        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
-        .groupBy("cluster")
-        .agg(F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
-            lambda s: s["cv"]).alias("cent"))
-        .collect()
-    )
-    return [(r["cluster"], list(r["cent"])) for r in rows]
+    """Mean per (cluster, dim) → k driver-held centroid rows, as ONE wide
+    aggregate (64 sum columns + a shared count per cluster) instead of the
+    posexplode → (cluster, pos) two-level agg the first cut used: no n×64
+    row explosion feeds the exchange, one aggregation stage instead of
+    two, and no collect_list/sort re-assembly (r10 optimization;
+    components emit in pos order by construction). Values identical: each
+    component is the same round(sum, 6)/count over the same addends —
+    distributed float-sum reassociation noise cancels in the 6-dp round
+    exactly as before (the determinism contract in the module docstring).
+    Empty clusters drop (same in the oracle)."""
+    n = F.count(F.lit(1))
+    rows = assigned.groupBy("cluster").agg(*[
+        (F.round(F.sum(F.element_at("embedding", i + 1)), 6) / n).alias(f"c{i}")
+        for i in range(DIMS)
+    ]).collect()
+    return [(r["cluster"], [r[f"c{i}"] for i in range(DIMS)]) for r in rows]
 
 
 def farthest_point_seeds(e: DataFrame, k: int) -> list[tuple[int, list[float]]]:

@@ -329,6 +329,34 @@ def old_multimodal_features(spark, sf_dir):
         F.round(F.expr("aggregate(features, cast(0.0 as double), (a, v) -> a + v)"), 6).alias("feat_sum"))
 
 
+def old_embedding_kmeans(spark, sf_dir):
+    from flink_release_1_14_5_comment_spark.catalog import register_views
+    from flink_release_1_14_5_comment_spark.pipeline.clustering import (
+        kmeans_assign, _spread)
+    from flink_release_1_14_5_comment_spark.pipeline.similarity import _norm
+
+    def update(assigned):
+        rows = (assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
+                .groupBy("cluster")
+                .agg(F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"]).alias("cent"))
+                .collect())
+        return [(r["cluster"], list(r["cent"])) for r in rows]
+
+    t = register_views(spark, sf_dir)
+    vectors = _spread(t["embeddings"]).select("vec_id", "embedding")
+    e = vectors.withColumn("nrm", _norm("embedding")).persist()
+    cents = [(int(r["vec_id"]), list(r["embedding"]))
+             for r in e.orderBy("vec_id").limit(8)
+             .select("vec_id", "embedding").collect()]
+    for _ in range(2):
+        cents = update(kmeans_assign(e, cents))
+    return kmeans_assign(e, cents).select("vec_id", "cluster")
+
+
 def old_tpch_lit(name):
     def run(spark, sf_dir):
         from flink_release_1_14_5_comment_spark.catalog import register_views
@@ -363,6 +391,7 @@ OLD = {
     "dedup_embedding": old_dedup_embedding,
     "ann_ivf_topk": old_ann_ivf_topk,
     "multimodal_features": old_multimodal_features,
+    "embedding_kmeans": old_embedding_kmeans,
 }
 
 
