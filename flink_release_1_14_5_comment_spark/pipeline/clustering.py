@@ -95,23 +95,26 @@ def kmeans_assign(vectors: DataFrame,
     return vectors.withColumn("cluster", _assign_col(cents))
 
 
-def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+def _update_centroids(assigned: DataFrame,
+                      dims: int = DIMS) -> list[tuple[int, list[float]]]:
     """Mean per (cluster, dim) → k driver-held centroid rows, as ONE wide
-    aggregate (64 sum columns + a shared count per cluster) instead of the
-    posexplode → (cluster, pos) two-level agg the first cut used: no n×64
-    row explosion feeds the exchange, one aggregation stage instead of
-    two, and no collect_list/sort re-assembly (r10 optimization;
+    aggregate (dims sum columns + a shared count per cluster) instead of
+    the posexplode → (cluster, pos) two-level agg the first cut used: no
+    n×dims row explosion feeds the exchange, one aggregation stage instead
+    of two, and no collect_list/sort re-assembly (r10 optimization;
     components emit in pos order by construction). Values identical: each
     component is the same round(sum, 6)/count over the same addends —
     distributed float-sum reassociation noise cancels in the 6-dp round
     exactly as before (the determinism contract in the module docstring).
-    Empty clusters drop (same in the oracle)."""
+    Empty clusters drop (same in the oracle). ``dims`` comes from the
+    caller's driver-held centroids — element_at past the array length
+    would raise, and unit fixtures train on short vectors."""
     n = F.count(F.lit(1))
     rows = assigned.groupBy("cluster").agg(*[
         (F.round(F.sum(F.element_at("embedding", i + 1)), 6) / n).alias(f"c{i}")
-        for i in range(DIMS)
+        for i in range(dims)
     ]).collect()
-    return [(r["cluster"], [r[f"c{i}"] for i in range(DIMS)]) for r in rows]
+    return [(r["cluster"], [r[f"c{i}"] for i in range(dims)]) for r in rows]
 
 
 def farthest_point_seeds(e: DataFrame, k: int) -> list[tuple[int, list[float]]]:
@@ -161,7 +164,8 @@ def kmeans_centroids(vectors: DataFrame, k: int = K, iters: int = ITERS,
     else:
         raise ValueError(f"unknown seeding: {seeding!r}")
     for _ in range(iters - 1):
-        cents = _update_centroids(kmeans_assign(e, cents))
+        cents = _update_centroids(kmeans_assign(e, cents),
+                                  dims=len(cents[0][1]))
     return e, cents
 
 
@@ -304,7 +308,8 @@ def minibatch_kmeans_centroids(
     ]
     for i in range(1, iters + 1):
         batch = e.filter(_batch_member(i, mod))
-        upd = dict(_update_centroids(kmeans_assign(batch, cents)))
+        upd = dict(_update_centroids(kmeans_assign(batch, cents),
+                                     dims=len(cents[0][1])))
         cents = [(c, upd.get(c, v)) for c, v in cents]
     return e, cents
 

@@ -86,7 +86,8 @@ def test_batch_mean_update_with_carry(spark, vectors):
     ]
     batch = e.filter(_batch_member(1, 2))
     expected = dict(seeds)
-    expected.update(dict(_update_centroids(kmeans_assign(batch, seeds))))
+    expected.update(dict(_update_centroids(kmeans_assign(batch, seeds),
+                                           dims=len(seeds[0][1]))))
     _, cents = minibatch_kmeans_centroids(vectors, k=2, iters=1, mod=2)
     assert dict(cents) == expected
 
