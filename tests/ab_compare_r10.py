@@ -366,6 +366,16 @@ def old_tpch_lit(name):
     return run
 
 
+def old_tpcds_staged(name):
+    """HEAD-of-5cf511e behavior: plain _runner_ext over the staged text
+    (CTEs inlined per reference by Spark)."""
+    def run(spark, sf_dir):
+        from flink_release_1_14_5_comment_spark.operators import (
+            tpcds_literal as tl)
+        return tl._runner_ext(tl._STAGED_ALL[name])(spark, sf_dir)
+    return run
+
+
 def old_tpch_adapted(name):
     def run(spark, sf_dir):
         from flink_release_1_14_5_comment_spark.catalog import register_views
@@ -387,6 +397,9 @@ OLD = {
     "tpch_lit_q12": old_tpch_lit("tpch_lit_q12"),
     "tpch_q2": old_tpch_adapted("tpch_q2"),
     "tpch_q9": old_tpch_adapted("tpch_q9"),
+    "tpcds_lit_q14a": old_tpcds_staged("tpcds_lit_q14a"),
+    "tpcds_lit_q14b": old_tpcds_staged("tpcds_lit_q14b"),
+    "tpcds_lit_q64": old_tpcds_staged("tpcds_lit_q64"),
     "dedup_simhash": old_dedup_simhash,
     "dedup_embedding": old_dedup_embedding,
     "ann_ivf_topk": old_ann_ivf_topk,

@@ -76,12 +76,70 @@ def test_staged_plans_broadcast_no_cartesian(spark, sf_dir, name):
         # call-center-grained, ≤6 rows each) — the one sanctioned
         # cartesian in the suite.
         assert "CartesianProduct" not in plan
-    if name not in ("tpcds_lit_q9", "tpcds_lit_q28"):
+    if name not in ("tpcds_lit_q9", "tpcds_lit_q28", "tpcds_lit_q64"):
         # q9/q28 have no equi-join at all: scalar-subquery / single-row
         # bucket scans over store_sales (q28's six 1-row buckets combine
-        # via broadcast nested-loop, never a cartesian).
+        # via broadcast nested-loop, never a cartesian). q64's returned
+        # plan is only the cross_sales self-join since the r10
+        # _runner_shared change — its star BHJs live in the per-run CTE
+        # materialization jobs (locked below by
+        # test_shared_cte_materialization_plans).
         assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "FileScan" not in plan, plan[:2000]
+
+
+def test_split_with_ctes_is_verbatim():
+    """_split_with_ctes extracts each CTE body and the main statement
+    VERBATIM (substring identity) — the shared-text discipline's guard:
+    the Spark runner may re-compose the pieces but never edits them."""
+    for name, shared in t._SHARED_CTES.items():
+        text = t._STAGED_ALL[name]
+        ctes, main = t._split_with_ctes(text)
+        names = [n for n, _ in ctes]
+        assert set(shared) <= set(names), (name, names)
+        for cte_name, body in ctes:
+            assert body in text, (name, cte_name)
+        assert main in text, name
+        assert main.lstrip().lower().startswith("select"), name
+
+
+def test_shared_cte_materialization_plans(spark, sf_dir):
+    """The plan profile moved by _runner_shared: the per-run CTE
+    materialization jobs keep the star broadcast profile (no cartesian,
+    dims broadcast), and the returned main plan no longer re-plans the
+    shared scaffold (q14a: one aggregate subtree per channel, not one
+    per channel per CTE reference)."""
+    import re
+
+    for qname, shared in t._SHARED_CTES.items():
+        text = t._STAGED_ALL[qname]
+        sql_only = re.sub(r"--[^\n]*", "", text)
+        needed = tuple(n for n in t._STAR_TABLES_EXT
+                       if re.search(rf"\b{n}\b", sql_only))
+        t._ensure_star_ext(spark, sf_dir, needed)
+        ctes, _main = t._split_with_ctes(text)
+        alias = [f"{n} AS (SELECT * FROM tpcds_star_{n})"
+                 for n in t._STAR_TABLES + needed]
+        for cte_name, body in ctes:
+            if cte_name not in shared:
+                alias.append(f"{cte_name} AS ({body})")
+                continue
+            plan = (spark.sql("WITH " + ",\n".join(alias) + f" {body}")
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert "CartesianProduct" not in plan, (qname, cte_name)
+            if cte_name == "cs_ui":
+                # fact ⋈ fact (catalog_sales ⋈ catalog_returns): a shuffle
+                # join is the right strategy, broadcast would be wrong
+                assert ("SortMergeJoin" in plan
+                        or "ShuffledHashJoin" in plan), (qname, cte_name)
+            else:
+                # dim-joined scaffolds (cross_items/avg_sales/cross_sales)
+                # keep the star broadcast profile
+                assert "BroadcastHashJoin" in plan, (
+                    qname, cte_name, plan[:2000])
+            # keep later CTEs analyzable (cross_sales references cs_ui);
+            # inline the body — this test checks each CTE's own profile
+            alias.append(f"{cte_name} AS ({body})")
 
 
 def test_graded_star_stays_lazy(spark, sf_dir):
