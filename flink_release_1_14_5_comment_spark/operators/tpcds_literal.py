@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import os
 import re
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -2522,11 +2523,19 @@ def _ensure_star(spark: SparkSession, sf_dir: str) -> None:
     if getattr(spark, "_graft_tpcds_star_for", None) == key:
         return
     register_views(spark, sf_dir)
-    for name in _STAR_TABLES:
-        df = spark.sql(
-            f"WITH {_SPARK_CTES} SELECT * FROM {name}"
-        ).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(f"tpcds_star_{name}")
+    # The 17 checkpoint jobs are independent; running them from a small
+    # thread pool lets each job's task tail back-fill the cores the
+    # previous job left idle (guide §2.6) — the derivations are 1-2 task
+    # jobs over small dims plus three fact slices, so serial execution
+    # left local[32] ~empty per job. Analysis happens on the caller
+    # thread (catalog lookups), only the eager checkpoint runs pooled.
+    dfs = {name: spark.sql(f"WITH {_SPARK_CTES} SELECT * FROM {name}")
+           for name in _STAR_TABLES}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        ckpts = {name: pool.submit(df.localCheckpoint, True)
+                 for name, df in dfs.items()}
+        for name, fut in ckpts.items():
+            fut.result().createOrReplaceTempView(f"tpcds_star_{name}")
     spark._graft_tpcds_star_for = key
 
 
@@ -2557,14 +2566,20 @@ def _ensure_star_ext(spark: SparkSession, sf_dir: str,
     if done is None or done.get("dir") != key:
         done = {"dir": key, "tables": set()}
         spark._graft_tpcds_star_ext = done
-    for name in _STAR_TABLES_EXT if tables is None else tables:
-        if name in done["tables"]:
-            continue
-        df = spark.sql(
-            f"WITH {_SPARK_CTES} SELECT * FROM {name}"
-        ).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(f"tpcds_star_{name}")
-        done["tables"].add(name)
+    todo = [name for name in (_STAR_TABLES_EXT if tables is None else tables)
+            if name not in done["tables"]]
+    if not todo:
+        return
+    dfs = {name: spark.sql(f"WITH {_SPARK_CTES} SELECT * FROM {name}")
+           for name in todo}
+    # same §2.6 overlap as _ensure_star (inventory's dense lattice job
+    # dominates; the small ext dims back-fill its tail)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        ckpts = {name: pool.submit(df.localCheckpoint, True)
+                 for name, df in dfs.items()}
+        for name, fut in ckpts.items():
+            fut.result().createOrReplaceTempView(f"tpcds_star_{name}")
+            done["tables"].add(name)
 
 
 def _runner(qtext: str):
@@ -2691,16 +2706,41 @@ def _runner_shared(qname: str, qtext: str, shared: tuple[str, ...]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_star_ext(spark, sf_dir, needed)
         alias = list(base_alias)
-        for name, body in ctes:
-            if name in shared:
-                view = f"tpcds_cte_{qname}_{name}"
-                df = spark.sql(
-                    "WITH " + ",\n".join(alias) + f" {body}"
-                ).localCheckpoint(eager=True)
-                df.createOrReplaceTempView(view)
-                alias.append(f"{name} AS (SELECT * FROM {view})")
-            else:
+        i = 0
+        while i < len(ctes):
+            name, body = ctes[i]
+            if name not in shared:
                 alias.append(f"{name} AS ({body})")
+                i += 1
+                continue
+            # Maximal run of consecutive shared CTEs with no intra-run
+            # references: their checkpoint jobs are independent, so they
+            # run concurrently from a thread pool (guide §2.6 — q14a/b's
+            # cross_items and avg_sales overlap; q64's cross_sales
+            # references cs_ui and stays sequential).
+            level = [(name, body)]
+            j = i + 1
+            while j < len(ctes):
+                nm, bd = ctes[j]
+                if nm not in shared or any(
+                        re.search(rf"\b{n}\b", bd) for n, _ in level):
+                    break
+                level.append((nm, bd))
+                j += 1
+            prefix = "WITH " + ",\n".join(alias)
+            dfs = [(nm, spark.sql(f"{prefix} {bd}")) for nm, bd in level]
+            if len(dfs) == 1:
+                mats = [(dfs[0][0], dfs[0][1].localCheckpoint(eager=True))]
+            else:
+                with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+                    futs = [(nm, pool.submit(df.localCheckpoint, True))
+                            for nm, df in dfs]
+                    mats = [(nm, fut.result()) for nm, fut in futs]
+            for nm, df in mats:
+                view = f"tpcds_cte_{qname}_{nm}"
+                df.createOrReplaceTempView(view)
+                alias.append(f"{nm} AS (SELECT * FROM {view})")
+            i = j
         return spark.sql("WITH " + ",\n".join(alias) + " " + main)
 
     return run

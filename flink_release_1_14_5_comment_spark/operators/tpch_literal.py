@@ -974,11 +974,18 @@ def _ensure_spec(spark: SparkSession, sf_dir: str) -> None:
     if getattr(spark, "_graft_tpch_spec_for", None) == key:
         return
     register_views(spark, sf_dir)
-    for name in _SPEC_TABLES:
-        df = spark.sql(
-            f"WITH {_SPARK_SPEC} SELECT * FROM {name}"
-        ).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(f"tpch_spec_{name}")
+    # independent checkpoint jobs → overlap them (guide §2.6; same as
+    # tpcds_literal._ensure_star): partsupp's groupBy tail no longer
+    # serializes behind the six cheap projections
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = {name: spark.sql(f"WITH {_SPARK_SPEC} SELECT * FROM {name}")
+           for name in _SPEC_TABLES}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        ckpts = {name: pool.submit(df.localCheckpoint, True)
+                 for name, df in dfs.items()}
+        for name, fut in ckpts.items():
+            fut.result().createOrReplaceTempView(f"tpch_spec_{name}")
     spark._graft_tpch_spec_for = key
 
 
