@@ -2761,22 +2761,35 @@ _STAGED_ALL = {**_STAGED, **_STAGED2}
 # Texts whose leading CTEs the main body references more than once — Spark
 # inlines (re-executes) them per reference; the _runner_shared runner
 # materializes each once per call (r10 optimization; A/B evidence in
-# OPTIMIZATION_r10.md, plan diff in plans/r10/).
+# OPTIMIZATION_r10.md, plan diff in plans/r10/). Membership is measured,
+# not inferred: a 23-candidate A/B (every repeated-CTE literal text)
+# showed most candidates LOSE from materialization because Catalyst
+# pushes each reference's filters into its inline copy (q4/q11's
+# year_total year-slices, q39's inv month-slices, q95's ws_wh) — only
+# texts whose repeated CTE is reused UNFILTERED from multiple references
+# win: q14a/b cross_items+avg_sales, q64 cs_ui+cross_sales, q24a/b
+# ssales (-25/-34%), q47/q57 v1 lag/lead self-join (-17/-13%).
 _SHARED_CTES = {
     "tpcds_lit_q14a": ("cross_items", "avg_sales"),
     "tpcds_lit_q14b": ("cross_items", "avg_sales"),
     "tpcds_lit_q64": ("cs_ui", "cross_sales"),
+    "tpcds_lit_q24a": ("ssales",),
+    "tpcds_lit_q24b": ("ssales",),
+    "tpcds_lit_q47": ("v1",),
+    "tpcds_lit_q57": ("v1",),
 }
 
 QUERIES = {name: _runner(text) for name, text in _LITERAL.items()}
 QUERIES.update({name: _runner_ext(text) for name, text in _STAGED_ALL.items()})
-QUERIES.update({name: _runner_shared(name, _STAGED_ALL[name], shared)
+_ALL_TEXTS = {**_LITERAL, **_STAGED_ALL}
+QUERIES.update({name: _runner_shared(name, _ALL_TEXTS[name], shared)
                 for name, shared in _SHARED_CTES.items()})
 
 ORACLE = {name: _compose(_DUCK_CTES, text)
           for name, text in {**_LITERAL, **_STAGED_ALL}.items()}
 
 STAGED_QUERIES = {name: _runner_ext(text) for name, text in _STAGED_ALL.items()}
-STAGED_QUERIES.update({name: QUERIES[name] for name in _SHARED_CTES})
+STAGED_QUERIES.update({name: QUERIES[name] for name in _SHARED_CTES
+                       if name in _STAGED_ALL})
 
 STAGED_ORACLE = {name: _compose(_DUCK_CTES, text) for name, text in _STAGED_ALL.items()}

@@ -997,9 +997,52 @@ def _runner(qtext: str):
     return run
 
 
+def _runner_shared(qname: str, qtext: str, shared: tuple[str, ...]):
+    """tpch twin of tpcds_literal._runner_shared: materialize the text's
+    repeated leading CTEs once per call (eager localCheckpoint behind a
+    per-query temp view), then run the verbatim main body over the views.
+    q15's revenue0 (the 3-month lineitem revenue aggregate) is referenced
+    twice — in the join and in the MAX scalar subquery — and Spark inlines
+    (re-executes) it per reference; materializing it halves the work
+    (A/B: -46% on warm minima, 5/5 rounds; OPTIMIZATION_r10.md). Values
+    unchanged by construction (the same CTE text runs once over the same
+    spec views); the DuckDB oracle keeps the single inline text."""
+    from flink_release_1_14_5_comment_spark.operators.tpcds_literal import (
+        _split_with_ctes,
+    )
+
+    ctes, main = _split_with_ctes(qtext)
+    unknown = set(shared) - {name for name, _ in ctes}
+    if unknown:
+        raise ValueError(f"{qname}: shared CTEs not in text: {unknown}")
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_spec(spark, sf_dir)
+        alias = [_ALIAS_SPEC]
+        for name, body in ctes:
+            if name not in shared:
+                alias.append(f"{name} AS ({body})")
+                continue
+            view = f"tpch_cte_{qname}_{name}"
+            df = spark.sql(
+                "WITH " + ",\n".join(alias) + f" {body}"
+            ).localCheckpoint(eager=True)
+            df.createOrReplaceTempView(view)
+            alias.append(f"{name} AS (SELECT * FROM {view})")
+        return spark.sql("WITH " + ",\n".join(alias) + " " + main)
+
+    return run
+
+
+_SHARED_CTES = {
+    "tpch_lit_q15": ("revenue0",),
+}
+
 # Flipped into the graded surface in r9 (ROADMAP's committed schedule);
 # the STAGED_* aliases remain for the pytest suites.
 QUERIES = {name: _runner(text) for name, text in TEXTS.items()}
+QUERIES.update({name: _runner_shared(name, TEXTS[name], shared)
+                for name, shared in _SHARED_CTES.items()})
 
 ORACLE = {name: _compose(_DUCK_SPEC, text) for name, text in TEXTS.items()}
 

@@ -25,7 +25,10 @@ def _plan(df) -> str:
     "tpcds_lit_q43", "tpcds_lit_q45", "tpcds_lit_q79", "tpcds_lit_q98",
     "tpcds_lit_q6", "tpcds_lit_q13", "tpcds_lit_q15", "tpcds_lit_q48",
     "tpcds_lit_q61", "tpcds_lit_q68", "tpcds_lit_q73",
-    "tpcds_lit_q36", "tpcds_lit_q47", "tpcds_lit_q62", "tpcds_lit_q69",
+    # q47 moved to _runner_shared in r10 (its returned plan is the v1
+    # lag/lead self-join over the checkpointed CTE; the star BHJ profile
+    # of v1 itself is locked by test_shared_cte_materialization_plans)
+    "tpcds_lit_q36", "tpcds_lit_q62", "tpcds_lit_q69",
     "tpcds_lit_q86",
     "tpcds_lit_q8", "tpcds_lit_q41", "tpcds_lit_q46", "tpcds_lit_q53",
     "tpcds_lit_q85",

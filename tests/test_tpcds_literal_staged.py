@@ -76,14 +76,16 @@ def test_staged_plans_broadcast_no_cartesian(spark, sf_dir, name):
         # call-center-grained, ≤6 rows each) — the one sanctioned
         # cartesian in the suite.
         assert "CartesianProduct" not in plan
-    if name not in ("tpcds_lit_q9", "tpcds_lit_q28", "tpcds_lit_q64"):
+    if name not in ("tpcds_lit_q9", "tpcds_lit_q28", "tpcds_lit_q64",
+                    "tpcds_lit_q24a", "tpcds_lit_q24b", "tpcds_lit_q57"):
         # q9/q28 have no equi-join at all: scalar-subquery / single-row
         # bucket scans over store_sales (q28's six 1-row buckets combine
-        # via broadcast nested-loop, never a cartesian). q64's returned
-        # plan is only the cross_sales self-join since the r10
-        # _runner_shared change — its star BHJs live in the per-run CTE
-        # materialization jobs (locked below by
-        # test_shared_cte_materialization_plans).
+        # via broadcast nested-loop, never a cartesian). q64/q24a/q24b/q57
+        # moved to _runner_shared in r10: the returned plan is only the
+        # main body over the checkpointed CTE (q24a/b: a join-free
+        # aggregate over ssales; q57/q64: the CTE self-join) — the star
+        # BHJs live in the per-run CTE materialization jobs (locked below
+        # by test_shared_cte_materialization_plans).
         assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "FileScan" not in plan, plan[:2000]
 
@@ -93,7 +95,7 @@ def test_split_with_ctes_is_verbatim():
     VERBATIM (substring identity) — the shared-text discipline's guard:
     the Spark runner may re-compose the pieces but never edits them."""
     for name, shared in t._SHARED_CTES.items():
-        text = t._STAGED_ALL[name]
+        text = t._ALL_TEXTS[name]
         ctes, main = t._split_with_ctes(text)
         names = [n for n, _ in ctes]
         assert set(shared) <= set(names), (name, names)
@@ -112,7 +114,7 @@ def test_shared_cte_materialization_plans(spark, sf_dir):
     import re
 
     for qname, shared in t._SHARED_CTES.items():
-        text = t._STAGED_ALL[qname]
+        text = t._ALL_TEXTS[qname]
         sql_only = re.sub(r"--[^\n]*", "", text)
         needed = tuple(n for n in t._STAR_TABLES_EXT
                        if re.search(rf"\b{n}\b", sql_only))
