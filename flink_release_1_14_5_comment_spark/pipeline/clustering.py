@@ -56,7 +56,12 @@ DIMS = 64
 def _sims_col(cents: list[tuple[int, list[float]]]) -> F.Column:
     """array<struct<csim, negc>> of rounded cosines against a LITERAL
     centroid array (norms precomputed driver-side). Struct order makes
-    max == argmax (csim DESC, cluster ASC)."""
+    max == argmax (csim DESC, cluster ASC).
+
+    Keep the transform/zip_with/aggregate formulation: the r10 A/B that
+    unrolled this into k*dims element_at terms (8x64 = 512-node tree)
+    blew the JVM 64KB codegen method limit, fell back to interpreting the
+    giant tree, and ran 5-10x SLOWER (OPTIMIZATION_r10.md "REVERTED")."""
     lit = F.array(*[
         F.struct(
             F.lit(int(c)).alias("cluster"),

@@ -37,6 +37,13 @@ def _spread(df: DataFrame) -> DataFrame:
     n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     return df.repartition(n)
 
+# NOTE (r10 A/B, negative result — do not "optimize" this into an unrolled
+# element_at chain): the fold looks interpreted but Catalyst runs it as one
+# tight loop over the unboxed double array, while a 64-term
+# element_at(...)*element_at(...) chain pays per-call null+bounds checks
+# and defeats codegen fusion — measured +27..54% on dedup_embedding /
+# ann_lsh_topk / ann_ivf_topk (and the 8x64 literal-centroid variant in
+# clustering.py fails codegen outright). OPTIMIZATION_r10.md "REVERTED".
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
     "cast(0.0 as double), (acc, v) -> acc + v)"
