@@ -520,12 +520,22 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram groupBy, once under the join probe) and shuffled the gram stream
     twice — the window computes nd on the already-shuffled rows in place:
     4 → 2 Exchanges, A/B min 1.95 → 0.99 s (every paired reading better;
-    OPTIMIZATION_r10.md). Per-gram window state = the distinct-doc set,
-    identical to the groupBy's distinct-agg state, so the 100 TB skew
-    story is unchanged. At 100 TB, shuffle the 64-bit xxhash64 of the
-    gram instead of the raw string (identical grouping, ~10× fewer
-    shuffle bytes); the oracle groups on the raw gram so this query does
-    too, keeping both engines bit-identical.
+    OPTIMIZATION_r10.md).
+
+    Skew tradeoff, stated honestly (cf. dedup_simhash, which keeps
+    groupBy+join for its group sizes): a mass-duplicated gram's rows land
+    in ONE window partition (WindowExec buffers them via its external
+    sorter — spill, not split; AQE skew handling only splits joins),
+    whereas the old shape's (gram, doc_id)-keyed distinct partial stayed
+    spread. The window wins anyway because the old shape re-ran the full
+    corpus tokenize+explode — a guaranteed 2× pass at every scale — to
+    buy splittability for a tail case, and unlike simhash fingerprints
+    (where near-identical boilerplate collapses to ONE value) an 8-token
+    window key caps per-gram multiplicity at the corpus's true span
+    duplication rate. At 100 TB, shuffle the 64-bit xxhash64 of the gram
+    instead of the raw string (identical grouping, ~10× fewer shuffle
+    bytes); the oracle groups on the raw gram so this query does too,
+    keeping both engines bit-identical.
     """
     t = register_views(spark, sf_dir)
     base = (
