@@ -105,7 +105,18 @@ def _bm25_scores(spark: SparkSession, docs: DataFrame, qterms: DataFrame) -> Dat
     tokenize map is one cheap codegen pass, and the df-from-tf rewrite is
     optimized right back to this plan by RemoveRedundantAggregates. At
     100 TB the sharing mechanism is a WRITTEN inverted index, not a
-    session cache — out of scope for a query-shaped operator."""
+    session cache — out of scope for a query-shaped operator.
+
+    Three MORE variants measured and rejected in session 5 on an idle
+    host (OPTIMIZATION_r10.md "Session-5 negative results" — do not
+    retry in round 2): (a) _spread()-style repartition before the
+    tokenize/explode — no win, post-AQE stages coalesce to ~1 task at
+    this SF anyway and the cost is per-job overhead, not the map;
+    (b) deriving tf and df from one (term, doc_id) pre-aggregate hoping
+    the shared Exchange is deduplicated — ReusedExchange NEVER fires
+    (column pruning specializes each branch's copy), +3 exchanges;
+    (c) carrying dl through the exploded token rows to drop the dl
+    join — 3.5× worse (widened Generate + first() agg)."""
     dl, stats = _doc_stats(docs)
     toks = docs.select("doc_id", F.explode(_tok_arr()).alias("tok"))
     hits = toks.join(F.broadcast(qterms), toks.tok == qterms.term, "inner")
