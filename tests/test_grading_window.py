@@ -10,6 +10,10 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry
 
+# rows-only entries (non-SQL-expressible, weaker driver check) are the
+# only oracle-less names allowed in a grading window
+_ROWS_ONLY = {"streaming_file_sink"}
+
 
 def test_priority_window_shape():
     p = entry._PRIORITY
@@ -17,61 +21,73 @@ def test_priority_window_shape():
     assert len(set(p)) == 50  # no duplicates
 
 
+def test_r11_swap_executed():
+    """r11 rotation contract (VERDICT r10 #3): the active window IS the
+    staged `_R11_PRIORITY`, verbatim — no partial swap, no re-edit."""
+    assert entry._PRIORITY is entry._R11_PRIORITY
+
+
 def test_priority_all_resolvable_with_oracles():
     qs, osql = entry.queries(), entry.oracle_sql()
     missing = [n for n in entry._PRIORITY if n not in qs]
     assert not missing, missing
-    no_oracle = [n for n in entry._PRIORITY if n not in osql]
+    no_oracle = [n for n in entry._PRIORITY
+                 if n not in osql and n not in _ROWS_ONLY]
     assert not no_oracle, no_oracle
     # ordering: priority entries occupy exactly the first 50 slots
     assert list(qs)[:50] == entry._PRIORITY
 
 
-def test_staged_r11_window_resolvable():
-    """The staged r11 rotation (entry._R11_PRIORITY) must stay swap-ready:
-    50 unique names, all resolving to queries() entries, all carrying
-    oracles except the rows-only streaming-sink checks. A typo here would
-    surface at r11 rotation time — after the window is graded."""
-    p = entry._R11_PRIORITY
-    assert len(p) == 50
-    assert len(set(p)) == 50
+def test_rotated_out_r10_window_still_resolves():
+    """Every rotated-out r10 entry must keep its queries() entry AND its
+    oracle — rotation changes grading order, never the surface."""
     qs, osql = entry.queries(), entry.oracle_sql()
-    missing = [n for n in p if n not in qs]
-    assert not missing, missing
-    no_oracle = [n for n in p if n not in osql]
-    # rows-only entries (non-SQL-expressible, weaker driver check) are the
-    # only oracle-less names allowed in a window
-    assert set(no_oracle) <= {"streaming_file_sink"}, no_oracle
+    gone = [n for n in entry._R10_PRIORITY if n not in qs or n not in osql]
+    assert not gone, gone
 
 
-# r10 window: window 2 of 2 over the staged-literal flip (ROADMAP,
-# amended per VERDICT r9 #3). The anchors below assert the window's
-# family spread so a rotation edit can't silently drop one of the NEW
-# evidence families: all 5 dtype-fix regrades, one representative per
-# remaining staged wave (incl. q64, the committed cross-sales anchor,
-# and q57, the wave-5 window-avg rep), the wave-7 NULL-key rep (q44),
-# and the TPC-H breadth reps the ROADMAP named (q2 the min-subquery
-# roundup, q15 the view-CTE revenue rank, q12 the dtype-fixed text).
+# r11 window: the 3 deferred wave-7 count censuses (the last texts with no
+# official pass record — grading them closes cumulative evidence at
+# 370/370) + officially-green anchors covering every operator family. The
+# anchors below assert the family spread so a rotation edit can't silently
+# drop a family from the official evidence window.
 FAMILY_ANCHORS = {
-    # the 5 r9 hash-only reds, regraded after the CAST(sum AS BIGINT) fix
-    "dtype-regrade-lag-lead": "tpcds_lit_q47",
-    "dtype-regrade-cross-channel": "tpcds_lit_q14a",
-    "dtype-regrade-inventory": "tpcds_lit_q21",
-    "dtype-regrade-three-facts": "tpcds_lit_q29",
-    "dtype-regrade-day-bands": "tpcds_lit_q50",
-    # staged wave representatives
-    "tpcds-lit-window-avg-w5": "tpcds_lit_q57",          # wave 5
-    "tpcds-lit-day-bands-ship": "tpcds_lit_q99",         # wave 5 (dtype fix)
-    "tpcds-lit-cumulative-crossover": "tpcds_lit_q51",   # wave 6
-    "tpcds-lit-yoy-decline": "tpcds_lit_q75",            # wave 6 (dtype fix)
-    "tpcds-lit-null-key-rank": "tpcds_lit_q44",          # wave 7
-    "tpcds-lit-inventory-shortfall": "tpcds_lit_q72",    # wave 7 (dtype fix)
-    "tpcds-lit-cross-sales": "tpcds_lit_q64",            # wave 8
-    # the literal TPC-H completion (18 remaining texts)
-    "tpch-lit-min-subquery": "tpch_lit_q2",
-    "tpch-lit-view-cte": "tpch_lit_q15",
-    "tpch-lit-shipmode-counts": "tpch_lit_q12",          # dtype fix
-    "tpch-lit-semi-anti": "tpch_lit_q21",
+    # the 3 previously ungraded wave-7 count censuses
+    "tpcds-lit-store-hour-census": "tpcds_lit_q88",
+    "tpcds-lit-hour-ratio": "tpcds_lit_q90",
+    "tpcds-lit-channel-census": "tpcds_lit_q96",
+    # relational / TPC anchors
+    "flagship-pricing-summary": "agg_pricing_summary",
+    "relational-join": "join_multiway",
+    "relational-window": "over_windows",
+    "tpch-adapted-profit": "tpch_q9",
+    "tpch-literal-pricing": "tpch_lit_q1",
+    "tpcds-literal-rollup": "tpcds_lit_q89",
+    "scale-rewrite-salting": "skew_salted_join",
+    # streaming / CDC / temporal anchors
+    "stream-window": "stream_window_tumble",
+    "stream-upsert": "stream_upsert_pipeline",
+    "cdc": "cdc_debezium_agg",
+    "batch-window": "window_tumble",
+    "temporal-asof": "asof_join",
+    "pattern-funnel": "funnel_match",
+    "match-recognize": "match_recognize_sql",
+    # IO / API / UDF anchors
+    "io-roundtrip": "io_roundtrip_csv",
+    "udf-gauntlet": "python_udf_gauntlet",
+    "async-io": "async_io_enrich",
+    "table-api": "table_api_fluent",
+    # pipeline / similarity / retrieval / text anchors
+    "dedup-lsh": "dedup_minhash_lsh",
+    "graph": "graph_pagerank",
+    "clustering": "embedding_kmeans",
+    "ann": "ann_lsh_topk",
+    "retrieval": "bm25_topk",
+    "sketches": "cms_heavy_hitters",
+    "text": "token_counts",
+    "packing": "pack_sequences",
+    "multimodal": "multimodal_features",
+    "end-to-end": "pipeline_end_to_end",
 }
 
 
