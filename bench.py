@@ -110,8 +110,11 @@ HEADLINE = [
     # r5 rotation-bound TPC-H additions (VERDICT r4 #8): the suite's other
     # hard plan shapes, now also officially graded
     "tpch_q2",   # correlated min-cost subquery over the partsupp CTE
-    # tpch_q13 (count-distribution) rotated OUT in r10 for the line
-    # budget — the family moves to the literal tpch_lit_q12 rep below
+    # tpch_q13 was rotated OUT in r10 for the machine-line budget and
+    # restored in r11 (VERDICT r10 #5): the 2-decimal per-query precision
+    # leaves ~95 chars of headroom under the 1900-char cap, so the bench
+    # carries its full perf history again.
+    "tpch_q13",  # left-outer + count-distribution double aggregate
     "tpch_q17",  # per-part avg-quantity scalar subquery
     "tpch_q21",  # exists + not-exists + 4-way join (anti-heavy)
     "tpch_q22",  # anti join + scalar avg filter
@@ -160,10 +163,10 @@ HEADLINE = [
     "histogram_quantile",
     "zorder_layout",
     "corpus_mix",            # two-phase skew-proof cut (r6 rewrite)
-    # r6: adapted TPC-DS pack representative — rotated OUT in r10 (with
-    # adapted tpch_q13) to hold the 1900-char machine-line budget; the
-    # rank-in-rollup family stays perf-tracked via tpcds_lit_q14a's
-    # three-channel rollup and the count-census family via tpch_lit_q12.
+    # r6: adapted TPC-DS pack representative — rotated OUT in r10 for the
+    # machine-line budget, restored in r11 (VERDICT r10 #5) alongside
+    # tpch_q13: both fit under the cap at 2-decimal precision.
+    "tpcds_q67_topk_rollup",
     # r6 session 2: retrieval + HLL additions
     "bm25_topk",
     "hybrid_rrf_fusion",
@@ -305,9 +308,15 @@ def main() -> None:
         file=sys.stderr,
     )
     line = json.dumps(out, separators=(",", ":"))
-    # keep inside the caller's 2000-char tail buffer: shed optional keys in
-    # increasing order of value (discriminators are duplicated on stderr;
-    # the queries map is what the grading diff actually reads)
+    # keep inside the caller's 2000-char tail buffer. First resort (r11,
+    # restores the two queries rotated out in r10): re-render the per-query
+    # values at 1 decimal — worst-case 75 queries at 999.9 s each is 1837
+    # chars, inside the cap (tests/test_bench_line.py pins this). Then shed
+    # optional keys in increasing order of value (discriminators are
+    # duplicated on stderr; the queries map is what the grading diff reads).
+    if len(line) > 1900 and "queries" in out:
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
     for optional in ("steal_pct", "cpu_sec", "cold_total", "queries"):
         if len(line) <= 1900:
             break

@@ -23,14 +23,16 @@ def _line(extra: dict, per_query: float) -> str:
 
 
 def test_compact_line_fits_tail_buffer():
-    # Hard guarantee: even at absurd per-query widths (999.99 s each), the
+    # Hard guarantee: even at absurd per-query widths (999.9 s each), the
     # line with the queries map must fit once the shed-cascade has dropped
-    # every optional key (bench.py drops steal_pct/cpu_sec/cold_total before
-    # ever touching "queries").
-    line = _line({}, 999.99)
+    # every optional key AND re-rendered per-query values at 1 decimal
+    # (bench.py's first shed step since r11 — it fires before any key is
+    # dropped, so the queries map survives the worst case).
+    line = _line({}, 999.9)
     assert len(line) <= 1900, (
         f"bench JSON line would be {len(line)} chars even with all optional "
-        "keys shed; trim HEADLINE — the harness tail buffer is 2000 chars"
+        "keys shed and 1-dp values; trim HEADLINE — the harness tail buffer "
+        "is 2000 chars"
     )
 
 
