@@ -322,11 +322,23 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("th").cast("long").alias("n_tokens"),
         full.alias("roll_fp"), winnow.alias("winnow_fp"),
     )
-    # groupBy+join instead of a full-partition count window (skew posture —
-    # see q_doc_fingerprint).
-    sizes = out.groupBy("winnow_fp").agg(F.count(F.lit(1)).alias("group_n"))
-    return out.join(sizes, "winnow_fp").select(
-        "doc_id", "n_tokens", "roll_fp", "winnow_fp", "group_n")
+    # r11 rewrite (VERDICT r10 #4 — the shape duplicate_spans' 4.1× win
+    # came from): group_n as a fp-keyed count window instead of
+    # groupBy+join. The join-back shape re-ran the rolling-hash map — the
+    # plan's dominant per-row CPU by far: one md5 + modular fold per TOKEN
+    # plus an 8-token rolling fold per WINDOW — once under the group-size
+    # aggregate and once under the join probe, and shuffled the fp stream
+    # twice. The window computes the count on the already-shuffled rows:
+    # ONE map pass, ONE Exchange. Skew posture (cf. q_doc_fingerprint,
+    # which keeps groupBy+join because its map is one cheap md5/doc): a
+    # mass-duplicated winnow_fp piles into one window task, but the count
+    # buffer is a single long (unlike a collect_set) and the buffered rows
+    # are 4 slim fixed-width columns that spill via WindowExec's external
+    # row array — bounded memory, paid only on a tail case, vs. the old
+    # shape's guaranteed 2× rolling-hash pass at every scale.
+    return out.select(
+        "doc_id", "n_tokens", "roll_fp", "winnow_fp",
+        F.count(F.lit(1)).over(W.partitionBy("winnow_fp")).alias("group_n"))
 
 
 ORACLE_Q_DOC_WINNOW = rf"""
@@ -524,18 +536,25 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Skew tradeoff, stated honestly (cf. dedup_simhash, which keeps
     groupBy+join for its group sizes): a mass-duplicated gram's rows land
-    in ONE window partition (WindowExec buffers them via its external
-    sorter — spill, not split; AQE skew handling only splits joins),
-    whereas the old shape's (gram, doc_id)-keyed distinct partial stayed
-    spread. The window wins anyway because the old shape re-ran the full
-    corpus tokenize+explode — a guaranteed 2× pass at every scale — to
-    buy splittability for a tail case, and unlike simhash fingerprints
-    (where near-identical boilerplate collapses to ONE value) an 8-token
-    window key caps per-gram multiplicity at the corpus's true span
-    duplication rate. At 100 TB, shuffle the 64-bit xxhash64 of the gram
-    instead of the raw string (identical grouping, ~10× fewer shuffle
-    bytes); the oracle groups on the raw gram so this query does too,
-    keeping both engines bit-identical.
+    in ONE window partition, and while WindowExec's ROW buffer spills
+    (ExternalAppendOnlyUnsafeRowArray), the collect_set AGGREGATION BUFFER
+    itself is an in-memory per-gram set that does NOT spill — a gram
+    duplicated across millions of documents accumulates all its distinct
+    doc_ids in one task's memory (ADVICE r10). AQE skew handling only
+    splits joins, so neither mechanism bounds that task. The window still
+    wins here because the old shape re-ran the full corpus tokenize+explode
+    — a guaranteed 2× pass at every scale — to buy splittability for a
+    tail case, and unlike simhash fingerprints (where near-identical
+    boilerplate collapses to ONE value) an 8-token window key caps
+    per-gram multiplicity at the corpus's true span duplication rate. If
+    real-scale data shows boilerplate-heavy gram piles, bound per-task
+    memory by either (a) a (gram, doc_id) dropDuplicates pre-pass — the
+    set then degenerates to a spillable distinct + a count window — or
+    (b) reverting to the agg+join shape (kept verbatim in
+    tests/ab_compare_r10.py). At 100 TB, also shuffle the 64-bit xxhash64
+    of the gram instead of the raw string (identical grouping, ~10× fewer
+    shuffle bytes); the oracle groups on the raw gram so this query does
+    too, keeping both engines bit-identical.
     """
     t = register_views(spark, sf_dir)
     base = (
