@@ -102,24 +102,40 @@ def kmeans_assign(vectors: DataFrame,
 
 def _update_centroids(assigned: DataFrame,
                       dims: int = DIMS) -> list[tuple[int, list[float]]]:
-    """Mean per (cluster, dim) → k driver-held centroid rows, as ONE wide
-    aggregate (dims sum columns + a shared count per cluster) instead of
-    the posexplode → (cluster, pos) two-level agg the first cut used: no
-    n×dims row explosion feeds the exchange, one aggregation stage instead
-    of two, and no collect_list/sort re-assembly (r10 optimization;
-    components emit in pos order by construction). Values identical: each
-    component is the same round(sum, 6)/count over the same addends —
-    distributed float-sum reassociation noise cancels in the 6-dp round
-    exactly as before (the determinism contract in the module docstring).
-    Empty clusters drop (same in the oracle). ``dims`` comes from the
-    caller's driver-held centroids — element_at past the array length
-    would raise, and unit fixtures train on short vectors."""
-    n = F.count(F.lit(1))
-    rows = assigned.groupBy("cluster").agg(*[
-        (F.round(F.sum(F.element_at("embedding", i + 1)), 6) / n).alias(f"c{i}")
-        for i in range(dims)
-    ]).collect()
-    return [(r["cluster"], [r[f"c{i}"] for i in range(dims)]) for r in rows]
+    """Mean per (cluster, dim) → k driver-held centroid rows: posexplode →
+    (cluster, pos) partial-aggregated shuffle → per-cluster collect_list
+    re-assembly. Values: round(sum, 6)/count per component — distributed
+    float-sum reassociation noise cancels in the 6-dp round (the
+    determinism contract in the module docstring). Empty clusters drop
+    (same in the oracle). ``dims`` is accepted for signature stability but
+    unused — posexplode infers positions from the array itself.
+
+    r11 NOTE — the r10 "wide aggregate" variant (64 per-dim
+    `round(sum(element_at(embedding, i+1)), 6)/count` columns in ONE
+    aggregate, no explosion) was REVERTED here after an 8-pair cold-JVM
+    A/B under driver conditions: the wide agg's warm median is BIMODAL —
+    6/8 trials ~2.2-2.3 s but 2/8 at 3.0-3.3 s (the driver's r10 artifact
+    recorded exactly that slow mode: embedding_kmeans 2.63 → 3.09 s),
+    while this posexplode shape never left 2.26-2.46 s across 8 trials
+    (avg warm median 2.36 vs 2.56). The r10 rationale ("no 64× row
+    explosion feeds the exchange") was overstated: hash-aggregate PARTIAL
+    mode already reduces the explosion map-side, so the exchange carries
+    ~k×dims partial sums per task under BOTH shapes — the wide agg saves
+    no shuffle bytes at any scale, and its 64-column codegen'd aggregate
+    is the suspected source of the slow mode (cf. the r10 unrolled-_DOT
+    lesson: giant generated expression trees lose). Old wide-agg text
+    preserved in tests/ab_compare_r10.py history via git."""
+    rows = (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("cv"))
+        .groupBy("cluster")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"]).alias("cent"))
+        .collect()
+    )
+    return [(r["cluster"], list(r["cent"])) for r in rows]
 
 
 def farthest_point_seeds(e: DataFrame, k: int) -> list[tuple[int, list[float]]]:
