@@ -1,11 +1,17 @@
-"""Round-8 plan locks.
+"""Round-8 plan locks (amended r11).
 
-1. VERDICT r7 residual (c): the fingerprint group-size queries
-   (doc_fingerprint, doc_winnow, dedup_simhash) must not use a
+1. VERDICT r7 residual (c), narrowed by VERDICT r10 #4: the fingerprint
+   group-size queries whose fingerprint map is CHEAP (doc_fingerprint:
+   one md5/doc; dedup_simhash: slim persisted frame) must not use a
    count() OVER (PARTITION BY <fingerprint>) window — a mass-duplicate
-   corpus would pile one fingerprint into a single window task's buffer.
-   The groupBy+join shape reduces map-side and lets AQE split a skewed
-   join partition.
+   corpus would pile one fingerprint into a single window task's buffer,
+   and the groupBy+join shape reduces map-side and lets AQE split a
+   skewed join partition. doc_winnow moved OUT of this lock in r11:
+   VERDICT r10 #4 ordered its window rewrite (its rolling-hash map is the
+   plan's dominant CPU, so the join-back shape paid a guaranteed 2× map
+   pass to buy splittability for a tail case — the same call the judge
+   approved for duplicate_spans in r10); its window shape is locked in
+   tests/test_r11_optimizations.py.
 2. VERDICT r7 #4: the literal TPC-DS queries read the session-cached star
    (InMemoryTableScan), not a re-derived lineitem⋈orders CTE per query.
 """
@@ -22,7 +28,7 @@ def _plan(df) -> str:
 def test_fingerprint_group_sizes_have_no_window(spark):
     from flink_release_1_14_5_comment_spark.pipeline import dedup, text_analysis
 
-    for fn in (text_analysis.q_doc_fingerprint, text_analysis.q_doc_winnow,
+    for fn in (text_analysis.q_doc_fingerprint,
                dedup.q_dedup_simhash):
         plan = _plan(fn(spark, SF))
         assert "Window" not in plan, f"{fn.__name__}: window survived\n{plan}"

@@ -54,11 +54,15 @@ def test_spread_skips_presplit_input(spark, tmp_path):
 
 def test_spread_consumers_unchanged_at_graded_sfs(spark, sf_dir):
     """The conditional must not change graded plans: at every test SF the
-    embeddings table is one parquet file, so the spread still fires."""
+    embeddings table is one parquet file, so the spread still fires.
+    clearCache first — a persisted band-index frame from an earlier test
+    would swallow the Repartition into an InMemoryRelation and make the
+    assertion order-dependent."""
     from flink_release_1_14_5_comment_spark.pipeline.similarity import (
         q_ann_lsh_topk,
     )
 
+    spark.catalog.clearCache()
     plan = (q_ann_lsh_topk(spark, sf_dir)
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "Repartition" in plan, plan

@@ -36,10 +36,12 @@ def test_tpch_literal_oracle_parity(name, spark, sf_dir, con):
 
 
 def test_all_graded_after_r9_flip():
-    """The r9 flip: all 22 literal TPC-H texts are part of the graded
-    queries()/oracle_sql() surface. q1/q9/q17/q22 took official green in
-    the r9 window (CORRECTNESS_r09); the r10 window carries the remaining
-    18 (ROADMAP round-10 plan)."""
+    """All 22 literal TPC-H texts are part of the graded
+    queries()/oracle_sql() surface, and every one holds an official pass
+    record: q1/q9/q17/q22 in the r9 window (CORRECTNESS_r09), the
+    remaining 18 in the r10 window (CORRECTNESS_r10, 50/50 green). After
+    the r11 rotation the active window carries the q1/q9 anchors; the
+    rest stay on the surface with oracles (rotation never drops them)."""
     import __spark_entry__ as entrymod
 
     graded = set(entrymod.oracle_sql())
@@ -47,7 +49,8 @@ def test_all_graded_after_r9_flip():
     assert not missing, missing
     r9_graded = {"tpch_lit_q1", "tpch_lit_q9", "tpch_lit_q17",
                  "tpch_lit_q22"}
-    assert set(NAMES) - r9_graded <= set(entrymod._PRIORITY)
+    assert set(NAMES) - r9_graded <= set(entrymod._R10_PRIORITY)
+    assert {"tpch_lit_q1", "tpch_lit_q9"} <= set(entrymod._PRIORITY)
 
 
 def test_nondegenerate_at_oracle_sf():
